@@ -1,0 +1,116 @@
+"""Text-analysis column expressions for the LLM-data-pipeline surface.
+
+All JVM-side built-ins (no Python in the hot path) so they stay inside
+whole-stage codegen and scale linearly with input splits — at 100 TB
+these run embarrassingly parallel with zero shuffle.
+
+Portability note: every expression here has an exact ANSI-SQL
+equivalent runnable by DuckDB (the driver's correctness oracle), which
+constrains the dialect: single-space tokenization, simple RE2/Java-
+compatible regexes, md5 for fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic.  Deliberately small + deterministic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "fr": ("le", "la", "et", "les", "de"),
+    "es": ("el", "los", "las", "y", "que"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (array<string>)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long").alias("token_count")
+
+
+def word_tokens_regex(text: Column) -> Column:
+    """BPE-ish regex tokenizer: runs of letters or digits.
+
+    Pattern is valid in both Java regex (Spark) and RE2 (DuckDB).
+    """
+    return F.regexp_extract_all(text, F.lit("[A-Za-z]+|[0-9]+"), 0)
+
+
+def _in_set(words: tuple[str, ...]):
+    """1-arg lambda factory (PySpark introspects lambda arity; extra
+    default args would be bound to Columns)."""
+    return lambda t: t.isin(*words)
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...]) -> Column:
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, _in_set(stopwords)))
+    return hits.cast("double") / F.size(toks).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality heuristic in [0,1]:
+    mean of (length score, mean-token-length score, stopword presence).
+
+    Pure arithmetic over portable primitives so the DuckDB oracle can
+    reproduce it bit-for-bit.
+    """
+    n_chars = F.length(text).cast("double")
+    toks = tokens(text)
+    n_toks = F.size(toks).cast("double")
+    mean_tok_len = (n_chars - (n_toks - F.lit(1.0))) / n_toks
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    tok_len_score = F.least(mean_tok_len / F.lit(8.0), F.lit(1.0))
+    stop_score = F.least(
+        stopword_ratio(text, LANG_MARKERS["en"]) * F.lit(5.0), F.lit(1.0)
+    )
+    return (len_score + tok_len_score + stop_score) / F.lit(3.0)
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-marker language ID: the language whose marker-token hit
+    count is highest wins; ties broken by language code ascending;
+    'und' when no marker hits at all."""
+    toks = tokens(text)
+    scored = [
+        F.struct(
+            F.size(F.filter(toks, _in_set(words))).alias("hits"),
+            F.lit(code).alias("code"),
+        )
+        for code, words in sorted(LANG_MARKERS.items())
+    ]
+    arr = F.array(*scored)
+    # max hits first, then min code among winners (deterministic ties)
+    max_hits = F.array_max(F.transform(arr, lambda s: s["hits"]))
+    winners = F.filter(arr, lambda s: s["hits"] == max_hits)
+    best_code = F.array_min(F.transform(winners, lambda s: s["code"]))
+    return F.when(max_hits > 0, best_code).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of lowercased,
+    whitespace-trimmed text.  md5 is identical in Spark and DuckDB."""
+    return F.md5(F.lower(F.trim(text)))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles (array<string>), distinct.
+
+    Built by slicing the token array — JVM-side, no UDF.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    return F.when(
+        n < F.lit(k), F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+        )
+    )

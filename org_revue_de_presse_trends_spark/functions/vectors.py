@@ -1,0 +1,59 @@
+"""Vector math over array<float>/array<double> embedding columns.
+
+JVM-side higher-order functions (zip_with + aggregate) — no UDF, no
+Python, codegen'd.  Decimal-exact variants exist for oracle-matched
+correctness checks (floating-point summation order differs between
+engines; decimal addition is associative so the oracle hash matches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def dot_scaled(a: Column, b: Column) -> Column:
+    """Order-independent dot product scaled by 1e6: each double product
+    is rounded to the nearest integer of product*1e6 and summed as
+    long — exact, associative, and identical in any IEEE-754 engine
+    (decimal accumulators don't work here: Spark's aggregate() must
+    keep the accumulator type fixed, and decimal addition at precision
+    38 silently reduces scale)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.round(
+                x.cast("double") * y.cast("double") * F.lit(1000000.0)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_exact(a: Column, b: Column) -> Column:
+    """Cross-engine-deterministic cosine: the 1e6 scaling cancels
+    between numerator and the two norms, so dividing the scaled longs
+    directly yields the true cosine."""
+    return (
+        dot_scaled(a, b).cast("double")
+        / F.sqrt(dot_scaled(a, a).cast("double"))
+        / F.sqrt(dot_scaled(b, b).cast("double"))
+    )

@@ -1,0 +1,68 @@
+"""As-of / same-day interval joins (SURVEY §2.4 J5, reference
+trends.go:396-399).
+
+The reference's popularity join is a day-granularity as-of join: match
+each publication with popularity checks taken on the publication's own
+civil day, then collapse to the peak (MAX).  Generalized here:
+
+- ``same_day_join``  — exact reference semantics (equi-join on key +
+  derived day column, so it stays a shuffled HASH join, never a range
+  join — the day column IS the range bucket).
+- ``asof_join``      — generic "latest right row at or before left ts"
+  via equi-key join + range predicate + max_by collapse.  The equi-key
+  keeps the join hash-partitioned; the range predicate is evaluated
+  post-match, so no BroadcastNestedLoop at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def same_day_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: tuple[str, str],
+    day: tuple[Column, Column],
+    how: str = "left",
+) -> DataFrame:
+    lk, rk = key
+    ld, rd = day
+    cond = (left[lk] == right[rk]) & (ld == rd)
+    return left.join(right, cond, how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: tuple[str, str],
+    ts: tuple[str, str],
+    payload: list[str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """For each left row: the right row with the greatest ``ts`` that is
+    <= left ts (optionally within ``tolerance``, e.g. '7 days').
+
+    Implementation: inner equi-join on key (hash-partitioned shuffle),
+    range filter in the join condition, then argmax collapse per left
+    row — one shuffle + one partial-aggregating shuffle.  Left rows with
+    no match are preserved via a final left join back.
+    """
+    lk, rk = key
+    lts, rts = ts
+    cond = (left[lk] == right[rk]) & (right[rts] <= left[lts])
+    if tolerance is not None:
+        cond = cond & (right[rts] >= left[lts] - F.expr(f"INTERVAL {tolerance}"))
+    lcols = [left[c] for c in left.columns]
+    matched = (
+        left.join(right, cond, "inner")
+        .groupBy(*lcols)
+        .agg(
+            *[
+                F.max_by(right[p], F.struct(right[rts])).alias(f"asof_{p}")
+                for p in payload
+            ]
+        )
+    )
+    return left.join(matched, on=left.columns, how="left")

@@ -1,0 +1,232 @@
+"""Deduplication operators for the LLM-data-pipeline surface.
+
+Five strategies, all shuffle-shaped for 100 TB (no pairwise cross
+product anywhere; candidate generation is always an equi-join on a
+bucket key):
+
+- exact          : fingerprint groupBy (one shuffle on a 128-bit key)
+- ngram_jaccard  : exact Jaccard over k-shingle sets for candidate
+                   pairs that share a blocking key (caller-chosen; at
+                   scale, an LSH band key)
+- minhash_lsh    : MinHash signatures + LSH banding → candidates share
+                   a band bucket → verify with signature similarity
+- simhash        : 64-bit SimHash, candidates within hamming radius via
+                   band blocking on 16-bit chunks
+- embedding      : cosine near-dup over embedding column (bucketed by
+                   coarse quantization, verified exactly)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions import text as T
+from ..functions import vectors as V
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One surviving row per distinct normalized text: the min id wins;
+    ``dup_count`` reports group size.  Single hash-aggregate shuffle on
+    the md5 fingerprint."""
+    return (
+        df.select(
+            T.fingerprint(F.col(text_col)).alias("fp"), F.col(id_col).cast("long")
+        )
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def shingle_pairs_jaccard(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: list[str] | None = None,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs within blocking groups.
+
+    Explode distinct k-shingles, equi-join on (block, shingle) to count
+    intersections, then |A∩B| / (|A| + |B| - |A∩B|).  The blocking
+    columns bound the candidate set; at 100 TB use an LSH band key as
+    the block (see ``minhash_lsh_pairs``) — the join stays equi-shaped
+    either way.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    block_cols = block_cols or []
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        T.shingles(F.col(text_col), k).alias("sh"),
+        *[F.col(c) for c in block_cols],
+    ).withColumn("n_sh", F.size("sh"))
+    ex = base.select("id", "n_sh", *block_cols, F.explode("sh").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    join_cond = F.col("a.shingle") == F.col("b.shingle")
+    for c in block_cols:
+        join_cond = join_cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = (
+        a.join(b, join_cond & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-dup candidate pairs with estimated Jaccard.
+
+    Pipeline: per-row signature (no shuffle) → explode band keys →
+    self-equi-join on (band, key) → dedup pairs → estimate similarity
+    as fraction of agreeing signature slots; keep >= threshold.
+    ~(b=16, r=4) S-curve crosses 0.5 near J≈0.5.
+    Returns (id_a, id_b, est_jaccard).
+    """
+    rows_per_band = num_perm // bands
+    sig = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        H.minhash_signature(T.shingles(F.col(text_col), k), num_perm).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(H.lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk"),
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("double") / F.lit(float(num_perm))
+    return (
+        cand.select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs within hamming distance ``max_hamming``.
+
+    Blocking: split the 64-bit hash into 4 × 16-bit chunks; any pair
+    within hamming distance 3 must agree on at least one chunk
+    (pigeonhole), so candidates = equi-join on (chunk_idx, chunk_value).
+    Returns (id_a, id_b, hamming).
+    """
+    hashed = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        H.simhash64(T.tokens(F.col(text_col))).alias("sh"),
+    )
+    chunks = hashed.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(F.col("sh"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sh", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            H.hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-duplicate pairs over an embedding column.
+
+    With ``block_col`` (e.g. an IVF/LSH bucket id) the self-join is
+    equi-shaped; without it this is brute force — correct baseline for
+    tests, not the 100 TB path (use ``similarity.ivf_assign`` first).
+    """
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("v"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            V.cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

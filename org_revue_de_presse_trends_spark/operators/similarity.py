@@ -1,0 +1,135 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths (task brief "Similarity search"):
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the (small)
+  query set against the corpus, per-row JVM vector math, then a
+  grouped top-k (TakeOrdered-shaped, map-side partial).  Correctness
+  baseline; also the verifier for the approximate paths.
+- ``ivf_assign`` / ``ivf_topk`` — IVF-style coarse quantization: assign
+  every vector to its nearest centroid (broadcast centroids), then
+  restrict search to the query's ``n_probe`` nearest cells — turns the
+  cross product into an equi-join on cell id.  This is the 100 TB
+  path: corpus stays partitioned by cell, queries only touch n_probe
+  cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import Row
+
+from ..functions import vectors as V
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact: bool = False,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cos, rank), rank 1..k, ties broken
+    by neighbor id ascending.  ``exact=True`` uses decimal-exact
+    summation (oracle-comparable across engines).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    cos_fn = V.cosine_exact if exact else V.cosine
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cos_fn(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[Row]:
+    """Deterministic coarse centroids: pick ``n_cells`` seed vectors by
+    hashing ids (cheap, reproducible; k-means refinement is an optional
+    extra pass with the same join shape)."""
+    return (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("centroid"))
+        .orderBy(F.xxhash64(F.col("cid")))
+        .limit(n_cells)
+        .collect()
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[Row],
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector its ``n_probe`` nearest centroid cell ids
+    (adds ``cell`` column, one row per probe).  Centroid list is tiny →
+    baked into the plan as a literal array; assignment is per-row JVM
+    math, no shuffle."""
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cid"])).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias("cv"),
+            )
+            for r in centroids
+        ]
+    )
+    scored = F.transform(
+        cent_arr,
+        lambda s: F.struct(
+            V.cosine(F.col(vec_col), s["cv"]).alias("cos"), s["cell"].alias("cell")
+        ),
+    )
+    top = F.slice(F.array_sort(scored, lambda l, r: F.when(l["cos"] > r["cos"], -1).when(l["cos"] < r["cos"], 1).otherwise(0)), 1, n_probe)
+    return corpus.withColumn("cell", F.explode(F.transform(top, lambda s: s["cell"])))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[Row],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: equi-join query probes against cell-partitioned corpus,
+    exact cosine within probed cells, grouped top-k."""
+    c_assigned = ivf_assign(corpus, centroids, vec_col, n_probe=1).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
+    )
+    q_assigned = ivf_assign(queries, centroids, vec_col, n_probe=n_probe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell"
+    )
+    scored = (
+        c_assigned.join(F.broadcast(q_assigned), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", V.cosine(F.col("qv"), F.col("cv")).alias("cos")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

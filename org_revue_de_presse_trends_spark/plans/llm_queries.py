@@ -1,0 +1,266 @@
+"""LLM-data-pipeline driver queries over documents/embeddings fixtures:
+deduplication, similarity search, text analysis (task brief: first-class
+components alongside SURVEY §2).
+
+Oracle policy: everything SQL-expressible carries a DuckDB oracle;
+minhash/simhash use Spark-side xxhash64 (no DuckDB equivalent) so they
+register without an oracle (driver records rows-only check) and get
+property-based correctness tests in tests/ instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import text as T
+from ..functions import vectors as V
+from ..operators import dedup as D
+from ..operators import similarity as S
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_token_stats",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS token_count,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS word_count,
+           length(text) AS char_count,
+           md5(lower(trim(text))) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + regex tokenizer) + md5 document
+    fingerprint.  Pure per-row JVM expressions — zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).cast("long").alias("token_count"),
+        F.size(T.word_tokens_regex(F.col("text"))).cast("long").alias("word_count"),
+        F.length("text").cast("long").alias("char_count"),
+        T.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+@query(
+    "doc_quality_scores",
+    """
+    SELECT doc_id,
+           (
+             least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+             + least(((CAST(length(text) AS DOUBLE)
+                       - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0))
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0)
+             + least((CAST(len(list_filter(string_split(text, ' '),
+                                           x -> x IN ('the','a','of','and','to')))
+                           AS DOUBLE)
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5.0, 1.0)
+           ) / 3.0 AS quality
+    FROM documents
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristic (length / token-length / stopword
+    components) — same arithmetic expression in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+def _lang_hits_sql(words: tuple[str, ...]) -> str:
+    inlist = ",".join(f"'{w}'" for w in words)
+    return (
+        f"len(list_filter(string_split(text, ' '), x -> x IN ({inlist})))"
+    )
+
+
+_LANG_CASE = f"""
+    CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+         WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+         WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+         WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+         ELSE 'fr'
+    END
+"""
+
+
+@query(
+    "doc_lang_id",
+    f"""
+    SELECT doc_id, lang, {_LANG_CASE} AS lang_guess
+    FROM (
+        SELECT doc_id, lang,
+               {_lang_hits_sql(T.LANG_MARKERS['de'])} AS h_de,
+               {_lang_hits_sql(T.LANG_MARKERS['en'])} AS h_en,
+               {_lang_hits_sql(T.LANG_MARKERS['es'])} AS h_es,
+               {_lang_hits_sql(T.LANG_MARKERS['fr'])} AS h_fr
+        FROM documents
+    )
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (ties → lexicographically smallest
+    language code, no hits → 'und')."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", T.lang_id(F.col("text")).alias("lang_guess"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact_docs",
+    """
+    SELECT md5(lower(trim(text))) AS fp,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY fp
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one hash-aggregate shuffle on the md5 fingerprint."""
+    return D.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH base AS (
+        SELECT doc_id AS id, source,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+                   i -> string_split(text,' ')[i] || ' ' ||
+                        string_split(text,' ')[i+1] || ' ' ||
+                        string_split(text,' ')[i+2]
+               )) AS sh
+        FROM documents
+    ),
+    ex AS (
+        SELECT id, source, len(sh) AS n_sh, unnest(sh) AS shingle FROM base
+    ),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+               COUNT(*) AS n_inter
+        FROM ex a JOIN ex b
+          ON a.shingle = b.shingle AND a.source = b.source AND a.id < b.id
+        GROUP BY a.id, b.id, a.n_sh, b.n_sh
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE)
+             / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.1
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs blocked by source (at 100 TB
+    the block key becomes an LSH band — same equi-join shape)."""
+    return D.shingle_pairs_jaccard(
+        load_table(spark, sf_dir, "documents"),
+        block_cols=["source"],
+        k=3,
+        threshold=0.1,
+    )
+
+
+@query("dedup_minhash_lsh")  # xxhash64-based: no DuckDB oracle (rows-only)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64 perms) + LSH(16 bands × 4 rows) candidate pairs.
+    Verified against exact Jaccard by property tests in
+    tests/test_dedup.py."""
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.35
+    )
+
+
+@query("dedup_simhash")  # xxhash64-based: no DuckDB oracle (rows-only)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs within hamming distance 3 via 16-bit
+    chunk blocking (pigeonhole-complete for d<=3)."""
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+_DOT = (
+    "list_aggregate(list_transform(range(1, 65), "
+    "i -> CAST(ROUND(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+    "* 1000000.0, 0) AS BIGINT)), 'sum')"
+)
+
+
+@query(
+    "embedding_near_dup",
+    f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST({_DOT.format(a='a.embedding', b='b.embedding')} AS DOUBLE)
+                 / sqrt(CAST({_DOT.format(a='a.embedding', b='a.embedding')} AS DOUBLE))
+                 / sqrt(CAST({_DOT.format(a='b.embedding', b='b.embedding')} AS DOUBLE))
+               AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.2
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by label (the IVF-cell
+    stand-in), decimal-exact dot products for cross-engine equality."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            V.cosine_exact(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (ANN)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST({_DOT.format(a='q.embedding', b='c.embedding')} AS DOUBLE)
+                 / sqrt(CAST({_DOT.format(a='q.embedding', b='q.embedding')} AS DOUBLE))
+                 / sqrt(CAST({_DOT.format(a='c.embedding', b='c.embedding')} AS DOUBLE))
+               AS cos
+        FROM embeddings c JOIN q ON q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos, rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+        ) AS rank
+        FROM scored
+    )
+    WHERE rank <= 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for 5 query vectors (the ANN
+    correctness baseline; the IVF scale path is ``operators.similarity.
+    ivf_topk``, verified against this in tests)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(
+        e, e.filter(F.col("vec_id") < 5), k=10, exact=True
+    )
