@@ -92,6 +92,39 @@ def shingle_pairs_jaccard(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """(id, sig: array<long>) MinHash signatures via explode + grouped
+    min-aggregates.
+
+    Shape chosen for scale AND local speed: each shingle is
+    string-hashed ONCE (xxhash64), then the ``num_perm`` permutations
+    are seeded hashes of that long — 64 cheap long-mixes instead of 64
+    string hashes, and no 64× recomputation of the shingle-building
+    expression (a column-expression formulation re-evaluates the
+    shingle array per permutation).  The groupBy(id) aggregate is
+    map-side-combined: state is num_perm longs per doc.
+    """
+    ex = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(T.shingles(F.col(text_col), k)).alias("sh"),
+    ).select("id", F.xxhash64("sh").alias("h"))
+    mins = ex.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
+            for i in range(num_perm)
+        ]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -103,17 +136,14 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash + LSH near-dup candidate pairs with estimated Jaccard.
 
-    Pipeline: per-row signature (no shuffle) → explode band keys →
-    self-equi-join on (band, key) → dedup pairs → estimate similarity
-    as fraction of agreeing signature slots; keep >= threshold.
+    Pipeline: per-doc signature → explode band keys → self-equi-join
+    on (band, key) → dedup pairs → estimate similarity as fraction of
+    agreeing signature slots; keep >= threshold.
     ~(b=16, r=4) S-curve crosses 0.5 near J≈0.5.
     Returns (id_a, id_b, est_jaccard).
     """
     rows_per_band = num_perm // bands
-    sig = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        H.minhash_signature(T.shingles(F.col(text_col), k), num_perm).alias("sig"),
-    )
+    sig = minhash_signatures(df, text_col, id_col, k, num_perm)
     banded = sig.select(
         "id",
         "sig",
@@ -160,9 +190,33 @@ def simhash_pairs(
     (pigeonhole), so candidates = equi-join on (chunk_idx, chunk_value).
     Returns (id_a, id_b, hamming).
     """
-    hashed = df.select(
+    # explode + 64 grouped sums (one xxhash64 per token, bit tests on
+    # the long) — same restructure as minhash_signatures: the pure
+    # column-expression simhash64() nests 64-wide arrays per token and
+    # codegens poorly on wide documents.
+    tok = df.select(
         F.col(id_col).cast("long").alias("id"),
-        H.simhash64(T.tokens(F.col(text_col))).alias("sh"),
+        F.explode(T.tokens(F.col(text_col))).alias("t"),
+    ).select("id", F.xxhash64("t").alias("h"))
+    counts = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"c{j}")
+            for j in range(64)
+        ]
+    )
+    import functools
+
+    bit_terms = [
+        F.when(
+            F.col(f"c{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(64)
+    ]
+    hashed = counts.select(
+        "id",
+        functools.reduce(lambda a, b: a.bitwiseOR(b), bit_terms).alias("sh"),
     )
     chunks = hashed.select(
         "id",

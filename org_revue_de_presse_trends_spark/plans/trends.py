@@ -80,7 +80,12 @@ class TrendsPipeline:
 
     def popularity_by_day(self) -> DataFrame:
         """MAX popularity per (status_id, civil day) — the A2/A3 collapse
-        done as a pre-aggregation (see module docstring)."""
+        done as a pre-aggregation (see module docstring).
+
+        Divergence note: like the reference, retweets and favorites are
+        collapsed with INDEPENDENT MAXes over the day's checks
+        (trends.go:286-287) — not "both values from the single best
+        check row"."""
         p = self.t.status_popularity
         return (
             p.groupBy(
@@ -90,7 +95,6 @@ class TrendsPipeline:
             .agg(
                 F.max("total_retweets").alias("p_total_retweets"),
                 F.max("total_favorites").alias("p_total_favorites"),
-                F.max("checked_at").alias("p_checked_at"),
             )
         )
 
@@ -139,13 +143,20 @@ class TrendsPipeline:
     # -- variant pipelines --------------------------------------------------
 
     def curated(self, include_retweets: bool) -> DataFrame:
-        """Curated path (trends.go:274-334): status/retweet variants."""
+        """Curated path (trends.go:274-334).
+
+        The reference only constrains is_retweet when retweets are
+        EXCLUDED (``AND h.is_retweet = false``, trends.go:274-277);
+        with include_retweets the curated query has no kind filter.
+        The day predicates (sinceWhen(), trends.go:536-543) are
+        equalities on an INNER join → plain filters here, and the
+        day(s)=day(h) consistency predicate makes the $1/$4 params
+        interchangeable."""
         h, s = self.t.highlight, self.t.weaving_status
         day_lit = F.lit(self.p.since_date).cast("date")
-        hf = h.filter(
-            (F.col("is_retweet") == F.lit(include_retweets))
-            & (self._day(F.col("publication_date_time")) == day_lit)
-        )
+        hf = h.filter(self._day(F.col("publication_date_time")) == day_lit)
+        if not include_retweets:
+            hf = hf.filter(F.col("is_retweet") == F.lit(False))
         base = (
             hf.join(
                 s,
@@ -171,12 +182,25 @@ class TrendsPipeline:
 
     def distinct_sources(self, include_retweets: bool) -> DataFrame:
         """Distinct-sources path (trends.go:335-393): one row per
-        publisher — its most popular tweet of the day."""
+        publisher — its most popular tweet of the day.
+
+        J2 ON-clause placement is semantics: the day-consistency
+        predicates (sinceWhen(), trends.go:536-543) and — only when
+        retweets are excluded — ``h.is_retweet = false`` live in the
+        LEFT JOIN condition (trends.go:350-356), so statuses keep
+        their null-extended row when the highlight fails them."""
         h, s = self.t.highlight, self.t.weaving_status
         day_lit = F.lit(self.p.since_date).cast("date")
         sf = s.filter(self._day(s.ust_created_at) == day_lit)
-        # J2: LEFT OUTER; highlight filters live in the ON clause
-        joined = sf.join(h, sf.ust_id == h.status_id, "left")
+        # J2: LEFT OUTER; highlight predicates live in the ON clause
+        on = (
+            (sf.ust_id == h.status_id)
+            & (self._day(sf.ust_created_at)
+               == self._day(h.publication_date_time))
+        )
+        if not include_retweets:
+            on = on & (h.is_retweet == F.lit(False))
+        joined = sf.join(h, on, "left")
         pl = self.target_lists()
         # J4: disjunctive join — curated membership OR screen-name match
         joined = joined.join(
@@ -195,31 +219,51 @@ class TrendsPipeline:
             json_user_id(sf.ust_api_document) == F.col("excluded_id"),
             "left_anti",
         )
+        # J5: popularity keys on the HIGHLIGHT side even here
+        # (trends.go:396-399) — never-highlighted statuses get no
+        # popularity row.
         pop = self.popularity_by_day()
         joined = joined.join(
             pop,
-            (F.col("p_status_id") == sf.ust_id)
-            & (F.col("p_day") == self._day(sf.ust_created_at)),
+            (F.col("p_status_id") == h.status_id)
+            & (F.col("p_day") == self._day(h.publication_date_time)),
             "left",
         )
         projected = self._project(joined, from_distinct=True)
-        # A4: argmax per publisher by popularity (trends.go:336-349,389-392)
+        # A4: argmax per publisher by popularity (trends.go:336-349,
+        # 389-392).  Quirk kept: the MAX aggregates run over the WHOLE
+        # publisher group — retweets necessarily equals the argmax
+        # winner's value, but favorites may come from a DIFFERENT
+        # status than the winning row (reference trends.go:343-344).
         picked = F.max_by(
             F.struct(*[c for c in projected.columns if c != "username"]),
             F.struct(F.col("totalRetweets"), F.col("id")),
         ).alias("top")
-        out = projected.groupBy("username").agg(picked)
+        out = projected.groupBy("username").agg(
+            picked,
+            F.max("totalRetweets").alias("max_rt"),
+            F.max("totalFavorites").alias("max_fav"),
+        )
         return out.select(
             "username",
             *[
-                F.col(f"top.{c}").alias(c)
+                F.col("max_rt").alias(c) if c == "totalRetweets"
+                else F.col("max_fav").alias(c) if c == "totalFavorites"
+                else F.col(f"top.{c}").alias(c)
                 for c in projected.columns
                 if c != "username"
             ],
         )
 
     def _project(self, df: DataFrame, from_distinct: bool) -> DataFrame:
-        """The 12-field output record (trends.go:279-292,336-349,716-729)."""
+        """The 12-field output record (trends.go:279-292,336-349,716-729).
+
+        Faithful quirks: publicationDate AND checkedAt are both
+        ``s.ust_created_at`` (trends.go:284,291 — checkedAt never reads
+        status_popularity.checked_at).  ``bug_compat`` reproduces the
+        distinct-path favorites cascade bug (trends.go:344: the middle
+        fallback reads h.total_RETWEETS); the engine default corrects
+        it to h.total_favorites."""
         doc = F.col("ust_api_document")
         retweets = popularity(
             F.col("p_total_retweets"),
@@ -227,26 +271,22 @@ class TrendsPipeline:
             doc if from_distinct else None,
             json_field="retweet_count",
         )
-        fav_json_field = (
-            # reference bug (trends.go:344): favorites fall back to
-            # retweet_count; engine default corrects to favorite_count
-            "retweet_count" if self.p.bug_compat else "favorite_count"
+        fav_mid = (
+            F.col("total_retweets") if (self.p.bug_compat and from_distinct)
+            else F.col("total_favorites")
         )
         favorites = popularity(
             F.col("p_total_favorites"),
-            F.col("total_favorites"),
+            fav_mid,
             doc if from_distinct else None,
-            json_field=fav_json_field,
+            json_field="favorite_count",
         )
         is_rt = (
             is_retweet_derived(F.col("is_retweet"), doc)
             if from_distinct
             else F.coalesce(F.col("is_retweet"), F.lit(False))
         )
-        ts_col = (
-            F.col("ust_created_at") if from_distinct
-            else F.col("publication_date_time")
-        )
+        ts_col = F.col("ust_created_at")
         return df.select(
             F.col("ust_id").alias("id"),
             F.col("ust_status_id").alias("twitterId"),
@@ -255,9 +295,7 @@ class TrendsPipeline:
             tweet_url(F.col("ust_full_name"), F.col("ust_status_id")).alias("url"),
             doc.alias("json"),
             F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss").alias("publishedAt"),
-            F.date_format(
-                F.coalesce(F.col("p_checked_at"), ts_col), "yyyy-MM-dd HH:mm:ss"
-            ).alias("checkedAt"),
+            F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss").alias("checkedAt"),
             is_rt.alias("isRetweet"),
             retweets.cast("int").alias("totalRetweets"),
             favorites.cast("int").alias("totalFavorites"),
