@@ -1,0 +1,145 @@
+"""CLI mirroring the reference worker's flags (trends.go:84-131).
+
+Reference flags → here:
+  -publishers-list-id            → --publishers-list-id
+  -since-date (default today)    → --since-date
+  -migrate-distinct-sources-only → --distinct-sources-only
+  -in-parallel                   → --in-parallel / --no-in-parallel
+  -limit / -page                 → --limit / --page
+  -dry-mode (prints SQL+params)  → --dry-mode (prints the resolved
+                                   physical plans — the Catalyst
+                                   analogue of printing the SQL string,
+                                   trends.go:408-412)
+Engine additions: --source-dir (parquet domain tables), --sink-dir
+(local document store root), --lake-dir (partitioned parquet sink),
+--bug-compat, --tz for the corrected civil-day mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import sys
+
+from pyspark.sql import SparkSession
+
+from .plans.trends import TrendsParams, TrendsPipeline, TrendsTables
+
+# reference trends.go:39: hard-coded deprecated list id also matched
+DEPRECATED_LIST_DEFAULT = "deprecated-list"
+
+DOMAIN_TABLES = (
+    "highlight", "weaving_status", "publishers_list",
+    "status_popularity", "weaving_user",
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="trends-spark",
+        description="Daily-highlights engine (PySpark re-implementation "
+        "of revuedepresse/org.revue-de-presse.trends)",
+    )
+    p.add_argument("--publishers-list-id", required=True)
+    p.add_argument(
+        "--deprecated-list-id", default=DEPRECATED_LIST_DEFAULT,
+        help="second public_id matched by the IN-list (trends.go:39)",
+    )
+    p.add_argument(
+        "--since-date", default=dt.date.today().isoformat(),
+        help="civil day YYYY-MM-DD (default: today, trends.go:98)",
+    )
+    p.add_argument("--distinct-sources-only", action="store_true")
+    p.add_argument("--limit", type=int, default=10)
+    p.add_argument("--page", type=int, default=0)
+    p.add_argument("--in-parallel", dest="in_parallel", action="store_true",
+                   default=True)
+    p.add_argument("--no-in-parallel", dest="in_parallel",
+                   action="store_false")
+    p.add_argument("--dry-mode", action="store_true")
+    p.add_argument("--source-dir", required=True,
+                   help="directory of domain-table parquet files")
+    p.add_argument("--sink-dir", default=None,
+                   help="local document-store root (omit to print rows)")
+    p.add_argument("--lake-dir", default=None,
+                   help="partitioned parquet lake root")
+    p.add_argument("--bug-compat", action="store_true")
+    p.add_argument("--tz", default=None,
+                   help="tz name for corrected civil-day mode "
+                   "(default: reference's fixed -1h shift)")
+    p.add_argument("--master", default=None)
+    return p
+
+
+def load_domain_tables(spark: SparkSession, source_dir: str) -> TrendsTables:
+    load = lambda n: spark.read.parquet(f"{source_dir}/{n}.parquet")
+    return TrendsTables(*[load(n) for n in DOMAIN_TABLES])
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if spark is None:
+        from .session import get_spark
+
+        spark = get_spark(master=args.master)
+
+    params = TrendsParams(
+        list_public_ids=(args.publishers_list_id, args.deprecated_list_id),
+        since_date=args.since_date,
+        limit=args.limit,
+        page=args.page,
+        tz=args.tz,
+        bug_compat=args.bug_compat,
+    )
+    pipe = TrendsPipeline(load_domain_tables(spark, args.source_dir), params)
+
+    # reference main (trends.go:151-198): curated run skipped under
+    # -migrate-distinct-sources-only
+    variants = (
+        ("statusFromDistinctSources", "retweetFromDistinctSources")
+        if args.distinct_sources_only
+        else ("status", "statusFromDistinctSources",
+              "retweetFromDistinctSources")
+    )
+    result = pipe.all_variants(variants)
+
+    if args.dry_mode:
+        # the -dry-mode analogue: print the plan instead of executing
+        # (trends.go:408-412 prints the assembled SQL)
+        for v in variants:
+            print(f"-- variant: {v}")
+            pipe.variant(v).explain("formatted")
+        return 0
+
+    if args.lake_dir:
+        from .functions.expressions import civil_day  # noqa: F401
+        from .sources.lake import write_partitioned
+        from pyspark.sql import functions as F
+
+        write_partitioned(
+            result.withColumn("day", F.lit(args.since_date)),
+            args.lake_dir,
+            partition_by=("day", "statusType"),
+        )
+    if args.sink_dir:
+        from .sources.document_sink import (
+            LocalFSDocumentStore,
+            write_highlights,
+        )
+
+        root = args.sink_dir
+        write_highlights(
+            result,
+            lambda: LocalFSDocumentStore(root),
+            list_id=args.publishers_list_id,
+            since_date=args.since_date,
+            parallel=args.in_parallel,
+        )
+    if not (args.sink_dir or args.lake_dir):
+        for row in result.collect():
+            print(row)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,159 @@
+"""Multimodal column operators (task brief): image/audio/video as
+opaque ``binary`` columns with typed metadata structs, processed with
+Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the DECODE step is
+pluggable: ``decoder="stub"`` raises NotImplementedError (clearly
+marking the codec boundary), ``decoder="fake"`` derives deterministic
+pseudo-features from the raw bytes so the Spark-side plumbing — schema,
+batch shape, partitioning — is fully real and testable.  Swapping in
+PIL/ffmpeg later only replaces ``_decode_payload``.
+
+Scale design: mapInPandas streams Arrow record batches through Python
+once (no per-row overhead), feature extraction is embarrassingly
+parallel, and ``repartition`` before the map sizes the Python worker
+batches; binaries never pass through the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id LONG, kind STRING, n_bytes LONG, byte_mean DOUBLE, "
+    "byte_entropy DOUBLE, content_hash STRING, feature ARRAY<FLOAT>"
+)
+
+
+def _decode_payload(payload: bytes, kind: str, decoder: str):
+    """The codec boundary.  'fake' = deterministic byte-level features;
+    real decoders (PIL, torchaudio, ffmpeg) plug in here."""
+    if decoder == "stub":
+        raise NotImplementedError(
+            "media decoding requires codec libraries not present in this "
+            "environment; use decoder='fake' for the deterministic "
+            "byte-level path"
+        )
+    if decoder != "fake":
+        raise ValueError(f"unknown decoder {decoder!r}")
+    import math
+
+    n = len(payload)
+    if n == 0:
+        return 0.0, 0.0, [0.0] * 8
+    counts = [0] * 256
+    total = 0
+    for b in payload:
+        counts[b] += 1
+        total += b
+    mean = total / n
+    entropy = -sum(
+        (c / n) * math.log2(c / n) for c in counts if c
+    )
+    # 8-bucket byte histogram as the stand-in feature vector
+    feature = [
+        sum(counts[i * 32 : (i + 1) * 32]) / n for i in range(8)
+    ]
+    return mean, entropy, feature
+
+
+def extract_media_features(
+    media: DataFrame, decoder: str = "fake", batch_partitions: int | None = None
+) -> DataFrame:
+    """(media_id, kind, n_bytes, byte_mean, byte_entropy, content_hash,
+    feature) via mapInPandas over Arrow batches."""
+    if batch_partitions:
+        media = media.repartition(batch_partitions)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "kind": [], "n_bytes": [], "byte_mean": [],
+                "byte_entropy": [], "content_hash": [], "feature": [],
+            }
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"]) if row["payload"] is not None else b""
+                mean, entropy, feature = _decode_payload(
+                    payload, row["kind"], decoder
+                )
+                out["media_id"].append(row["media_id"])
+                out["kind"].append(row["kind"])
+                out["n_bytes"].append(len(payload))
+                out["byte_mean"].append(mean)
+                out["byte_entropy"].append(entropy)
+                out["content_hash"].append(hashlib.md5(payload).hexdigest())
+                out["feature"].append(feature)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_video_frames(
+    media: DataFrame, every_ms: int = 1000, decoder: str = "fake"
+) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled timestamp
+    (frame decode itself sits behind the codec boundary).  The fake
+    decoder emits a byte-slice hash per frame so downstream dedup/
+    similarity can be exercised end-to-end."""
+    out_schema = (
+        "media_id LONG, frame_ts_ms LONG, frame_hash STRING"
+    )
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, tss, hashes = [], [], []
+            for _, row in pdf.iterrows():
+                if row["kind"] != "video":
+                    continue
+                duration = (
+                    row["meta"]["duration_ms"]
+                    if row["meta"] is not None and row["meta"]["duration_ms"]
+                    else 0
+                )
+                payload = bytes(row["payload"]) if row["payload"] is not None else b""
+                if decoder == "stub":
+                    raise NotImplementedError("video decode requires ffmpeg")
+                n_frames = max(duration // every_ms, 0)
+                for i in range(n_frames):
+                    lo = (i * len(payload)) // max(n_frames, 1)
+                    hi = ((i + 1) * len(payload)) // max(n_frames, 1)
+                    ids.append(row["media_id"])
+                    tss.append(i * every_ms)
+                    hashes.append(hashlib.md5(payload[lo:hi]).hexdigest())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_ts_ms": tss, "frame_hash": hashes}
+            )
+
+    return media.mapInPandas(run, schema=out_schema)

@@ -1,0 +1,128 @@
+"""Incremental (Structured Streaming) mode — SURVEY §2.9 / stage 5.
+
+The reference is a batch job rerun per civil day with full recompute +
+partition overwrite (trends.go:656-662).  The streaming analogue keeps
+the same *semantics* with late-data tolerance:
+
+- ``windowed_daily_counts`` — the F1/P6 civil-day tumbling window as a
+  watermarked streaming aggregation (state bounded by the watermark).
+- ``foreach_batch_day_overwrite`` — the incremental trends runner:
+  every micro-batch finds the civil days it touches and recomputes/
+  overwrites exactly those lake partitions (dynamic partition
+  overwrite), i.e. the reference's delete-then-write generalized to
+  continuous arrival.  Exactly-once per partition comes from the
+  overwrite being idempotent, the classic foreachBatch upsert pattern.
+- ``running_user_peaks`` — applyInPandasWithState example: per-user
+  running peak value with processing-time timeout, the template for
+  custom stateful operators the built-in windows can't express.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.expressions import civil_day
+
+
+def windowed_daily_counts(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Civil-day tumbling counts over a (possibly streaming) events
+    frame.  civil_day(ts) = date(ts - 1h) buckets [01:00 D, 01:00 D+1)
+    into day D, so the tumbling window starts at +1 hour and the day
+    label is the window-start date."""
+    with_wm = events.withWatermark(ts_col, watermark)
+    return (
+        with_wm.groupBy(
+            F.window(F.col(ts_col), "1 day", startTime="1 hour").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.to_date(F.col("w.start")).alias("day"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def foreach_batch_day_overwrite(
+    recompute_day: Callable[[str], DataFrame],
+    lake_path: str,
+    ts_col: str = "publication_date_time",
+    shift_hours: int = 1,
+) -> Callable[[DataFrame, int], None]:
+    """Build a foreachBatch function: for each micro-batch, derive the
+    set of affected civil days, recompute each day's full result via
+    ``recompute_day(day)`` (the batch pipeline — full-recompute
+    semantics exactly like the reference's daily rerun), and
+    dynamic-overwrite those day partitions in the lake.
+
+    Late data is handled structurally: a record for day D-3 simply puts
+    D-3 back into the affected set and that partition is rebuilt."""
+    from ..sources.lake import write_partitioned
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        days = [
+            str(r[0])
+            for r in batch_df.select(
+                civil_day(F.col(ts_col), shift_hours).alias("d")
+            )
+            .distinct()
+            .collect()
+        ]
+        for day in sorted(days):
+            out = recompute_day(day).withColumn("day", F.lit(day))
+            write_partitioned(out, lake_path, partition_by=("day",))
+
+    return run
+
+
+def running_user_peaks(
+    events: DataFrame,
+    ts_col: str = "ts",
+    timeout_minutes: int = 60,
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running peak event value + count, state expiring after
+    ``timeout_minutes`` of processing-time inactivity."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id LONG, peak_value DOUBLE, n_events LONG"
+    state_schema = "peak_value DOUBLE, n_events LONG"
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        peak, n = state.get if state.exists else (float("-inf"), 0)
+        for pdf in pdf_iter:
+            if len(pdf):
+                peak = max(peak, float(pdf["value"].max()))
+                n += len(pdf)
+        state.update((peak, n))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "peak_value": [peak], "n_events": [n]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

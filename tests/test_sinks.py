@@ -1,0 +1,160 @@
+"""Sink tests (SURVEY §2.1 S3-S5, §5.2 item 4 idempotency)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from org_revue_de_presse_trends_spark.sources.document_sink import (
+    LocalFSDocumentStore,
+    write_highlights,
+)
+from org_revue_de_presse_trends_spark.sources.jdbc import (
+    PostgresConfig,
+    reader_options,
+)
+from org_revue_de_presse_trends_spark.sources.lake import (
+    read_partitioned,
+    write_partitioned,
+)
+
+
+def _records(spark, rows):
+    cols = [
+        "id", "twitterId", "username", "text", "url", "json",
+        "publishedAt", "checkedAt", "isRetweet",
+        "totalRetweets", "totalFavorites", "statusType",
+    ]
+    return spark.createDataFrame(rows, cols)
+
+
+@pytest.fixture
+def sample_df(spark):
+    return _records(
+        spark,
+        [
+            (1, "100", "alice", "t1", "u1", '{"ok": 1}',
+             "2024-03-02 10:00:00", "2024-03-02 10:00:00", False, 50, 5,
+             "status"),
+            (2, "200", "bob", "t2", "u2", '{"ok": 2}',
+             "2024-03-02 11:00:00", "2024-03-02 11:00:00", False, 40, 4,
+             "status"),
+            (3, "300", "carol", "t3", "u3", "{invalid-json",
+             "2024-03-02 12:00:00", "2024-03-02 12:00:00", True, 30, 3,
+             "retweetFromDistinctSources"),
+        ],
+    )
+
+
+def _store_factory(root):
+    return lambda: LocalFSDocumentStore(root)
+
+
+def test_document_sink_writes_tree(spark, sample_df, tmp_path):
+    root = str(tmp_path / "store")
+    write_highlights(sample_df, _store_factory(root), "list-1", "2024-03-02")
+    p1 = os.path.join(
+        root, "highlights", "list-1", "2024-03-02", "status", "100.json"
+    )
+    assert os.path.exists(p1)
+    rec = json.load(open(p1))
+    assert rec["username"] == "alice"
+    assert rec["twitter_id"] == "100"  # quirk parity: duplicated key field
+    assert rec["totalRetweets"] == 50
+    # invalid JSON record skipped, not failed (trends.go:690-694)
+    bad = os.path.join(
+        root, "highlights", "list-1", "2024-03-02",
+        "retweetFromDistinctSources", "300.json",
+    )
+    assert not os.path.exists(bad)
+
+
+def test_document_sink_idempotent_overwrite(spark, sample_df, tmp_path):
+    """Delete-then-write (S4): stale leaves from a previous run vanish."""
+    root = str(tmp_path / "store")
+    write_highlights(sample_df, _store_factory(root), "list-1", "2024-03-02")
+    stale = os.path.join(
+        root, "highlights", "list-1", "2024-03-02", "status", "999.json"
+    )
+    assert os.path.exists(os.path.dirname(stale))
+    with open(stale, "w") as f:
+        f.write("{}")
+    write_highlights(sample_df, _store_factory(root), "list-1", "2024-03-02")
+    assert not os.path.exists(stale)
+    assert os.path.exists(
+        os.path.join(root, "highlights", "list-1", "2024-03-02", "status",
+                     "100.json")
+    )
+
+
+def test_document_sink_serial_mode(spark, sample_df, tmp_path):
+    root = str(tmp_path / "store")
+    write_highlights(
+        sample_df, _store_factory(root), "list-1", "2024-03-02",
+        parallel=False,
+    )
+    assert os.path.exists(
+        os.path.join(root, "highlights", "list-1", "2024-03-02", "status",
+                     "200.json")
+    )
+
+
+def test_lake_dynamic_partition_overwrite(spark, tmp_path):
+    """Re-writing one day replaces only that day's partitions."""
+    path = str(tmp_path / "lake")
+    df1 = spark.createDataFrame(
+        [("2024-03-01", "status", 1), ("2024-03-02", "status", 2)],
+        ["day", "statusType", "id"],
+    )
+    write_partitioned(df1, path)
+    df2 = spark.createDataFrame(
+        [("2024-03-02", "status", 99)], ["day", "statusType", "id"]
+    )
+    write_partitioned(df2, path)
+    # partition-column values come back type-inferred (date), so
+    # compare stringified
+    out = {
+        (str(r["day"]), r["id"])
+        for r in read_partitioned(spark, path).collect()
+    }
+    assert out == {("2024-03-01", 1), ("2024-03-02", 99)}
+
+
+def test_lake_rerun_identical(spark, tmp_path):
+    """SURVEY §5.2 item 4: running a variant twice yields an identical
+    output partition."""
+    path = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [("2024-03-02", "status", i, f"u{i}") for i in range(20)],
+        ["day", "statusType", "id", "username"],
+    )
+    write_partitioned(df, path)
+    first = sorted(map(tuple, read_partitioned(spark, path).collect()))
+    write_partitioned(df, path)
+    second = sorted(map(tuple, read_partitioned(spark, path).collect()))
+    assert first == second
+
+
+def test_jdbc_options_table_partitioned():
+    cfg = PostgresConfig("db", 5432, "weaving", "u", "secret")
+    opts = reader_options(
+        cfg, table="weaving_status", partition_column="ust_id",
+        num_partitions=16, lower_bound=0, upper_bound=1_000_000,
+    )
+    assert opts["url"].startswith("jdbc:postgresql://db:5432/weaving")
+    assert opts["partitionColumn"] == "ust_id"
+    assert opts["numPartitions"] == "16"
+
+
+def test_jdbc_options_validation():
+    cfg = PostgresConfig("db", 5432, "weaving", "u", "secret")
+    with pytest.raises(ValueError):
+        reader_options(cfg)
+    with pytest.raises(ValueError):
+        reader_options(cfg, table="t", query="q")
+    with pytest.raises(ValueError):
+        reader_options(cfg, query="SELECT 1", partition_column="x")
+    with pytest.raises(ValueError):
+        reader_options(cfg, table="t", partition_column="x")

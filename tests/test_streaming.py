@@ -1,0 +1,126 @@
+"""Structured Streaming tests: file-source micro-batches through the
+incremental operators, checked against the equivalent batch results.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from org_revue_de_presse_trends_spark.catalog import load_table
+from org_revue_de_presse_trends_spark.functions.expressions import civil_day
+from org_revue_de_presse_trends_spark.streaming.incremental import (
+    foreach_batch_day_overwrite,
+    running_user_peaks,
+    windowed_daily_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture
+def events_stream_dir(spark, tmp_path):
+    """events split into 2 parquet chunks to force multiple input files."""
+    d = str(tmp_path / "stream_in")
+    ev = load_table(spark, SF, "events")
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(d, mode="append")
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(d, mode="append")
+    return d
+
+
+def test_windowed_daily_counts_matches_batch(spark, events_stream_dir, tmp_path):
+    ev_batch = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(ev_batch.schema).parquet(events_stream_dir)
+    agg = windowed_daily_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("daily_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["day"]), r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM daily_counts").collect()
+    }
+    expected = {
+        (str(r["day"]), r["event_type"]): r["n"]
+        for r in ev_batch.groupBy(
+            civil_day(F.col("ts")).alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_foreach_batch_day_overwrite(spark, events_stream_dir, tmp_path):
+    """Incremental runner: micro-batches trigger per-day recompute +
+    dynamic partition overwrite; final lake equals the batch result."""
+    lake = str(tmp_path / "lake")
+    ev_batch = spark.read.parquet(events_stream_dir)
+
+    def recompute_day(day: str):
+        return (
+            ev_batch.filter(civil_day(F.col("ts")) == F.lit(day).cast("date"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+
+    stream = spark.readStream.schema(ev_batch.schema).parquet(events_stream_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_day_overwrite(recompute_day, lake, ts_col="ts")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (str(r["day"]), r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(lake).collect()
+    }
+    expected = {
+        (str(r["day"]), r["event_type"]): r["n"]
+        for r in ev_batch.groupBy(
+            civil_day(F.col("ts")).alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_running_user_peaks_stateful(spark, events_stream_dir, tmp_path):
+    ev_batch = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(ev_batch.schema).parquet(events_stream_dir)
+    peaks = running_user_peaks(stream)
+    q = (
+        peaks.writeStream.format("memory")
+        .queryName("user_peaks")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT user_id, max(peak_value) AS peak, max(n_events) AS n "
+        "FROM user_peaks GROUP BY user_id"
+    ).collect()
+    got = {r["user_id"]: (r["peak"], r["n"]) for r in rows}
+    expected = {
+        r["user_id"]: (r["peak"], r["n"])
+        for r in ev_batch.groupBy("user_id")
+        .agg(F.max("value").alias("peak"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
