@@ -15,13 +15,14 @@ from pyspark.sql import functions as F
 def civil_day(ts: Column, shift_hours: int = 1, tz: str | None = None) -> Column:
     """Civil-day bucketing (reference trends.go:311,377,399).
 
-    The reference hard-codes ``ts - INTERVAL 1 HOUR → date`` (a UTC→CET
-    shift, wrong under DST).  Default reproduces that semantics exactly;
-    pass ``tz="Europe/Paris"`` for the corrected tz-aware version
-    (SURVEY §7 stage 1).
+    The reference hard-codes ``ts - INTERVAL 1 HOUR → date`` — a
+    local(CET)→UTC shift that is correct in winter and off by one hour
+    under CEST (SURVEY §1.4).  Default reproduces that exactly; pass
+    ``tz="Europe/Paris"`` for the corrected DST-aware local→UTC
+    conversion (same result in winter, -2h in summer).
     """
     if tz is not None:
-        return F.to_date(F.from_utc_timestamp(ts, tz))
+        return F.to_date(F.to_utc_timestamp(ts, tz))
     return F.to_date(ts - F.expr(f"INTERVAL {int(shift_hours)} HOUR"))
 
 

@@ -1,2 +1,7 @@
 from .registry import ORACLES, QUERIES, query  # noqa: F401
-from . import driver_queries, llm_queries, trends  # noqa: F401  (register on import)
+from . import (  # noqa: F401  (register on import)
+    driver_queries,
+    driver_queries_ext,
+    llm_queries,
+    trends,
+)

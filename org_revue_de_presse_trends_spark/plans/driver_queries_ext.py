@@ -1,0 +1,196 @@
+"""Extended driver-query suite: windowed analytics, sessionization,
+correlated aggregates, conditional pivots — the batch counterparts of
+the streaming operators plus beyond-reference analytics surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+@query(
+    "sessionize_events",
+    """
+    WITH gaps AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT event_id, user_id,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_id
+    FROM gaps
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute-gap sessions via lag + running sum —
+    the batch formulation of stateful session windows (the streaming
+    equivalent is session_window / applyInPandasWithState).  One
+    shuffle on user_id serves both window passes."""
+    ev = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order)
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    running = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(new_session).over(running).alias("session_id"),
+    )
+
+
+@query(
+    "orders_above_customer_avg",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               AVG(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg,
+               COUNT(*) OVER (PARTITION BY o_custkey) AS cust_n
+        FROM orders
+    )
+    WHERE cust_n >= 2 AND o_totalprice > 1.5 * cust_avg
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate filter (the decorrelated form of TPC-H
+    Q17/Q22's scalar subqueries): windowed avg instead of a self-join.
+
+    Determinism note: AVG over doubles inside a window is computed in
+    partition-sorted order by both engines only if the frame is the
+    whole partition — which makes the sum order engine-defined; the
+    1.5x threshold keeps results away from FP-boundary flips (verified
+    by the contract test)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.avg("o_totalprice").over(w).alias("cust_avg"),
+            F.count(F.lit(1)).over(w).alias("cust_n"),
+        )
+        .filter((F.col("cust_n") >= 2)
+                & (F.col("o_totalprice") > 1.5 * F.col("cust_avg")))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "events_type_pivot",
+    """
+    SELECT CAST(ts - INTERVAL 1 HOUR AS DATE) AS day,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+    FROM events
+    GROUP BY day
+    """,
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation pivot: one shuffle, no PIVOT operator
+    needed (and the explicit form is what Spark's pivot() compiles to
+    when values are known)."""
+    from ..functions.expressions import civil_day
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = [
+        F.sum(
+            F.when(F.col("event_type") == t, 1).otherwise(0)
+        ).alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    return (
+        ev.select(civil_day(F.col("ts")).alias("day"), "event_type")
+        .groupBy("day")
+        .agg(*counts)
+    )
+
+
+@query(
+    "duplicate_line_keys",
+    """
+    SELECT l_orderkey, l_partkey, COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey, l_partkey
+    HAVING COUNT(*) > 1
+    """,
+)
+def duplicate_line_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column key dedup census (A5): the groupBy formulation of
+    dropDuplicates, reporting the duplicate groups."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_orderkey", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .filter(F.col("n_lines") > 1)
+    )
+
+
+@query(
+    "cube_lineitem_stats",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube (A6 companion to rollup_order_stats)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(l_quantity AS DECIMAL(18,6))"))
+        .cast("double")
+        .alias("total_qty"),
+    )
+
+
+@query(
+    "first_last_event_per_user",
+    """
+    SELECT user_id,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts,
+           arg_min(event_type, ts) AS first_type,
+           arg_max(event_type, ts) AS last_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def first_last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by lifecycle summary (A4 family) — ts is unique per
+    user in the fixture (microsecond grain), so argmin/argmax are
+    deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min_by("event_type", "ts").alias("first_type"),
+        F.max_by("event_type", "ts").alias("last_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,0 +1,245 @@
+"""Property tests for operators without SQL oracles (SURVEY §5.2
+item 5): MinHash-LSH recall vs exact Jaccard, SimHash vs hamming
+ground truth, IVF ANN recall vs brute force, null-aware anti-join,
+as-of join, expression unit behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from org_revue_de_presse_trends_spark.functions import text as T
+from org_revue_de_presse_trends_spark.functions.expressions import (
+    civil_day,
+    is_retweet_derived,
+    is_valid_json,
+    popularity,
+)
+from org_revue_de_presse_trends_spark.operators.antijoin import anti_join
+from org_revue_de_presse_trends_spark.operators.asof import asof_join
+from org_revue_de_presse_trends_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    shingle_pairs_jaccard,
+    simhash_pairs,
+)
+from org_revue_de_presse_trends_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    train_centroids,
+)
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    """Corpus with planted near-duplicate pairs: doc 10x+1 is doc 10x
+    with one word changed; plus unrelated docs."""
+    base_words = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon".split(),
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen seventeen".split(),
+        "red orange yellow green blue indigo violet cyan magenta "
+        "maroon olive navy teal aqua silver gray black white".split(),
+    ]
+    rows = []
+    for i, words in enumerate(base_words):
+        rows.append((i * 10, " ".join(words)))
+        mutated = list(words)
+        mutated[len(mutated) // 2] = "MUTATED"
+        rows.append((i * 10 + 1, " ".join(mutated)))
+    rows.append((900, " ".join(f"unique{j}" for j in range(20))))
+    rows.append((901, " ".join(f"distinct{j}" for j in range(20))))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_lsh_finds_planted_dups(spark, near_dup_docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(near_dup_docs, threshold=0.3).collect()
+    }
+    for base in (0, 10, 20):
+        assert (base, base + 1) in pairs, f"planted pair {base} missed"
+    # unrelated docs must not pair with anything
+    flat = {i for p in pairs for i in p}
+    assert 900 not in flat and 901 not in flat
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, near_dup_docs):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in shingle_pairs_jaccard(
+            near_dup_docs, threshold=0.0
+        ).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(near_dup_docs, threshold=0.0).collect()
+    }
+    for pair, e in est.items():
+        if pair in exact:
+            assert abs(e - exact[pair]) < 0.25, (pair, e, exact[pair])
+
+
+def test_simhash_near_dups_have_small_hamming(spark, near_dup_docs):
+    """Deterministic data + deterministic hash → fixed outcome: pairs
+    (0,1) and (20,21) land within hamming 10 AND share a 16-bit chunk;
+    (10,11) is a legitimate LSH miss (all 4 chunks differ) — that's
+    the documented pigeonhole guarantee boundary (complete only for
+    hamming <= 3)."""
+    pairs = simhash_pairs(near_dup_docs, max_hamming=10).collect()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert found.get((0, 1)) == 8
+    assert found.get((20, 21)) == 4
+    # exact duplicates always pair at hamming 0 (chunk match guaranteed)
+    dup = near_dup_docs.sparkSession.createDataFrame(
+        [(500, "same words here"), (501, "same words here")],
+        ["doc_id", "text"],
+    )
+    exact = simhash_pairs(dup, max_hamming=0).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in exact] == [
+        (500, 501, 0)
+    ]
+
+
+@pytest.fixture(scope="module")
+def embeddings_df(spark):
+    from org_revue_de_presse_trends_spark.catalog import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+
+def test_ivf_recall_vs_brute_force(spark, embeddings_df):
+    queries = embeddings_df.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(embeddings_df, queries, k=10)
+    truth = {
+        (r["query_id"], r["neighbor_id"]) for r in exact.collect()
+    }
+    cents = train_centroids(embeddings_df, n_cells=8)
+    approx = ivf_topk(embeddings_df, queries, cents, k=10, n_probe=4)
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+    # exact path: every query returns exactly k ranked 1..k
+    by_q = {}
+    for r in exact.collect():
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, 11)) for v in by_q.values())
+
+
+def test_anti_join_null_aware_vs_default(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None)], ["id", "k"]
+    )
+    keys = spark.createDataFrame([(20,), (None,)], ["k2"])
+    # default: non-null-key semantics — id 1 and the null-key row pass
+    got = {r["id"] for r in
+           anti_join(left, keys, on=("k", "k2")).collect()}
+    assert got == {1, 3}
+    # null-aware NOT IN: any NULL in the key set -> empty result
+    got_na = anti_join(left, keys, on=("k", "k2"), null_aware=True).count()
+    assert got_na == 0
+    keys_nonnull = spark.createDataFrame([(20,)], ["k2"])
+    got_na2 = {
+        r["id"]
+        for r in anti_join(
+            left, keys_nonnull, on=("k", "k2"), null_aware=True
+        ).collect()
+    }
+    assert got_na2 == {1}  # null-key left row excluded by NOT IN
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 12, m)
+    left = spark.createDataFrame(
+        [(1, "u", t(30)), (2, "u", t(5)), (3, "v", t(30))],
+        ["lid", "key", "lts"],
+    )
+    right = spark.createDataFrame(
+        [("u", t(10), 100.0), ("u", t(29), 200.0), ("u", t(31), 300.0),
+         ("w", t(0), 999.0)],
+        ["key", "rts", "val"],
+    )
+    out = {
+        r["lid"]: r["asof_val"]
+        for r in asof_join(
+            left, right, key=("key", "key"), ts=("lts", "rts"),
+            payload=["val"],
+        ).collect()
+    }
+    assert out[1] == 200.0   # latest at-or-before 12:30
+    assert out[2] is None    # nothing at-or-before 12:05... except t(10)>t(5): None
+    assert out[3] is None    # no rows for key v
+
+
+def test_civil_day_shift_and_tz(spark):
+    df = spark.createDataFrame(
+        [("2024-03-02 00:30:00",), ("2024-03-02 01:30:00",),
+         ("2024-03-02 23:30:00",)],
+        ["s"],
+    ).select(F.col("s").cast("timestamp").alias("ts"))
+    shifted = [str(r[0]) for r in df.select(civil_day(F.col("ts"))).collect()]
+    assert shifted == ["2024-03-01", "2024-03-02", "2024-03-02"]
+    # corrected tz mode: CET in March is UTC+1 → same as -1h here
+    tz = [str(r[0]) for r in
+          df.select(civil_day(F.col("ts"), tz="Europe/Paris")).collect()]
+    assert tz == shifted
+    # but in July CEST is UTC+2 and the fixed shift diverges (the
+    # reference's documented DST bug): 01:30 local is still the prior
+    # civil day under the correct -2h conversion
+    july = spark.createDataFrame(
+        [("2024-07-02 01:30:00",)], ["s"]
+    ).select(F.col("s").cast("timestamp").alias("ts"))
+    fixed = str(july.select(civil_day(F.col("ts"))).collect()[0][0])
+    correct = str(
+        july.select(civil_day(F.col("ts"), tz="Europe/Paris")).collect()[0][0]
+    )
+    assert fixed == "2024-07-02" and correct == "2024-07-01"
+
+
+def test_popularity_cascade_and_json_validity(spark):
+    rows = [
+        Row(p=5, h=3, doc='{"retweet_count": 1}'),
+        Row(p=None, h=3, doc='{"retweet_count": 1}'),
+        Row(p=None, h=None, doc='{"retweet_count": 1}'),
+        Row(p=None, h=None, doc="{broken"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = df.select(
+        popularity(F.col("p"), F.col("h"), F.col("doc")).alias("v"),
+        is_valid_json(F.col("doc")).alias("ok"),
+    ).collect()
+    assert [r["v"] for r in out] == [5, 3, 1, None]
+    assert [r["ok"] for r in out] == [True, True, True, False]
+
+
+def test_is_retweet_derivation(spark):
+    rows = [
+        Row(rt=True, doc="{}"),
+        Row(rt=None, doc='{"retweeted_status_result": {}}'),
+        Row(rt=None, doc='{"other": 1}'),
+        Row(rt=None, doc="{broken"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = [
+        r[0]
+        for r in df.select(
+            is_retweet_derived(F.col("rt"), F.col("doc"))
+        ).collect()
+    ]
+    assert got == [True, True, False, False]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of a house"),
+         (2, "el perro y los gatos que ladran"),
+         (3, "der hund und die katze ist hier"),
+         (4, "xyz qrs tuv")],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["g"] for r in
+           df.select("id", T.lang_id(F.col("text")).alias("g")).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "und"}
