@@ -1,1 +1,10 @@
-from . import antijoin, argmax, asof, dedup, similarity, topk  # noqa: F401
+from . import (  # noqa: F401
+    antijoin,
+    argmax,
+    asof,
+    dedup,
+    multimodal,
+    similarity,
+    skew,
+    topk,
+)

@@ -169,6 +169,23 @@ def cube_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("approx_sketch_stats")  # sketch outputs are engine-specific: rows-only
+def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates for the 100 TB path: HyperLogLog++
+    distinct counts and approximate quantiles per event type — the
+    constant-memory substitutes for exact distinct/percentile at scale.
+    No DuckDB oracle (sketch estimates are engine-specific); bounds are
+    asserted in tests/test_operators.py instead."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias(
+            "value_quantiles"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 @query(
     "first_last_event_per_user",
     """

@@ -232,6 +232,34 @@ def test_is_retweet_derivation(spark):
     assert got == [True, True, False, False]
 
 
+def test_approx_sketches_within_bounds(spark):
+    """approx_count_distinct within rsd bounds of the exact count;
+    approx quantiles bracketed by min/max."""
+    from org_revue_de_presse_trends_spark.catalog import load_table
+    from org_revue_de_presse_trends_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_type"]: r for r in
+           QUERIES["approx_sketch_stats"](spark, sf).collect()}
+    ev = load_table(spark, sf, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    }
+    for t, row in got.items():
+        assert abs(row["approx_users"] - exact[t]["users"]) <= max(
+            3, 0.1 * exact[t]["users"]
+        )
+        q50, q90, q99 = row["value_quantiles"]
+        assert exact[t]["lo"] <= q50 <= q90 <= q99 <= exact[t]["hi"]
+
+
 def test_lang_id_markers(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the dog of a house"),
