@@ -253,6 +253,77 @@ def simhash_pairs(
     )
 
 
+def cluster_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster) with
+    cluster = min id of the component (the canonical survivor).
+
+    Iterative min-label propagation: each round joins labels across
+    edges in both directions and keeps the per-node min; converges in
+    O(component diameter) rounds — near-dup components are shallow
+    (typically stars/chains), so a handful of rounds suffice.
+    ``localCheckpoint`` cuts lineage each round so plans stay flat.
+    At 100 TB scale swap in the large-star/small-star formulation
+    (Kiveris et al., "Connected Components in MapReduce") — same
+    join-per-round shape, provably fewer rounds on adversarial graphs.
+    """
+    edges = pairs.select(
+        F.col("id_a").cast("long").alias("a"),
+        F.col("id_b").cast("long").alias("b"),
+    )
+    nodes = (
+        edges.select(F.col("a").alias("id"))
+        .union(edges.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    labels = nodes.withColumn("cluster", F.col("id")).localCheckpoint()
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels, edges.a == labels.id)
+            .select(F.col("b").alias("id"), "cluster")
+            .union(
+                edges.join(labels, edges.b == labels.id)
+                .select(F.col("a").alias("id"), "cluster")
+            )
+        )
+        new_labels = (
+            labels.select("id", "cluster")
+            .union(msgs)
+            .groupBy("id")
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_assignments(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full dedup verdict per document: (id, cluster, keep) where
+    keep=true for the canonical (min-id) member of each near-dup
+    cluster and for all unpaired documents."""
+    clusters = cluster_pairs(pairs)
+    ids = df.select(F.col(id_col).cast("long").alias("id"))
+    joined = ids.join(clusters, "id", "left")
+    return joined.select(
+        "id",
+        F.coalesce(F.col("cluster"), F.col("id")).alias("cluster"),
+        (F.coalesce(F.col("cluster"), F.col("id")) == F.col("id")).alias(
+            "keep"
+        ),
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -170,6 +170,61 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE base AS (
+        SELECT doc_id AS id, source,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+                   i -> string_split(text,' ')[i] || ' ' ||
+                        string_split(text,' ')[i+1] || ' ' ||
+                        string_split(text,' ')[i+2]
+               )) AS sh
+        FROM documents
+    ),
+    ex AS (
+        SELECT id, source, len(sh) AS n_sh, unnest(sh) AS shingle FROM base
+    ),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+               COUNT(*) AS n_inter
+        FROM ex a JOIN ex b
+          ON a.shingle = b.shingle AND a.source = b.source AND a.id < b.id
+        GROUP BY a.id, b.id, a.n_sh, b.n_sh
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        WHERE CAST(n_inter AS DOUBLE)
+              / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.1
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    cc AS (
+        SELECT doc_id AS id, doc_id AS lbl FROM documents
+        UNION
+        SELECT e.b AS id, cc.lbl FROM cc JOIN edges e ON e.a = cc.id
+    )
+    SELECT id, MIN(lbl) AS cluster, MIN(lbl) = id AS keep
+    FROM cc GROUP BY id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup verdict: ngram-Jaccard near-dup pairs → connected
+    components (iterative min-label propagation) → per-doc
+    (cluster, keep).  The DuckDB oracle computes the same fixpoint via
+    a recursive CTE — an exact cross-engine check of an iterative
+    algorithm."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.shingle_pairs_jaccard(
+        docs, block_cols=["source"], k=3, threshold=0.1
+    )
+    return D.dedup_assignments(docs, pairs)
+
+
 @query("dedup_minhash_lsh")  # xxhash64-based: no DuckDB oracle (rows-only)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64 perms) + LSH(16 bands × 4 rows) candidate pairs.

@@ -301,6 +301,65 @@ class TrendsPipeline:
             favorites.cast("int").alias("totalFavorites"),
         )
 
+    def count_highlights(self, distinct_sources: bool = False) -> int:
+        """A1 parity (reference countHighlights, trends.go:450-529):
+        COUNT(*) of the day's matching spine rows.  Faithful to the
+        reference's count query, which applies only the spine join +
+        IN-list + day filters (none of the retweet/deleted-member
+        predicates) and LEFT-joins popularity WITHOUT pre-aggregation —
+        so multiple same-day checks multiply the count, exactly as the
+        reference's does."""
+        h, s = self.t.highlight, self.t.weaving_status
+        day_lit = F.lit(self.p.since_date).cast("date")
+        if distinct_sources:
+            spine = s.filter(self._day(s.ust_created_at) == day_lit).join(
+                h,
+                (s.ust_id == h.status_id)
+                & (self._day(s.ust_created_at)
+                   == self._day(h.publication_date_time)),
+                "left",
+            )
+            # reference count uses a LEFT join to publishers_list here
+            # (trends.go:472-481), unlike the select's inner J4
+            spine = spine.join(
+                self.target_lists(),
+                h.aggregate_id == F.col("id"),
+                "left",
+            )
+        else:
+            hf = h.filter(self._day(F.col("publication_date_time")) == day_lit)
+            spine = hf.join(
+                s,
+                (s.ust_id == hf.status_id)
+                & (self._day(s.ust_created_at)
+                   == self._day(hf.publication_date_time)),
+            ).join(self.target_lists(), hf.aggregate_id == F.col("id"))
+        p = self.t.status_popularity
+        spine = spine.join(
+            p,
+            (p.status_id == h.status_id)
+            & (self._day(p.checked_at)
+               == self._day(h.publication_date_time)),
+            "left",
+        )
+        return spine.count()
+
+    def last_week_statuses(self, now: str) -> DataFrame:
+        """F6 — the reference's -since-last-week mode emits invalid SQL
+        (trends.go:531-534: NOW()::now - '7 DAYS::interval') and is
+        dead; this is the corrected semantics: statuses whose shifted
+        creation time falls within the 7 days before ``now``
+        (parameterized instead of NOW() for determinism)."""
+        s = self.t.weaving_status
+        now_ts = F.lit(now).cast("timestamp")
+        shifted = s.ust_created_at - F.expr(
+            f"INTERVAL {self.p.shift_hours} HOUR"
+        )
+        return s.filter(
+            (shifted > now_ts - F.expr("INTERVAL 7 DAYS"))
+            & (shifted <= now_ts)
+        )
+
     # -- entry points -------------------------------------------------------
 
     def variant(self, name: str) -> DataFrame:

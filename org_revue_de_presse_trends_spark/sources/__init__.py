@@ -1,1 +1,1 @@
-from . import document_sink, jdbc, lake  # noqa: F401
+from . import bucketed, document_sink, jdbc, lake  # noqa: F401

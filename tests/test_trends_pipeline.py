@@ -274,6 +274,59 @@ def test_deleted_members_absent(spark, domain_tables):
     assert "pub05" not in usernames  # deleted-list-3 screen_name
 
 
+def test_count_highlights_matches_reference_count(
+    spark, domain_tables, domain_duck
+):
+    """A1: the count query (trends.go:450-529) — spine joins + IN-list
+    + day filter only, popularity join unaggregated (multiplies)."""
+    sday = CIVIL.format(c="s.ust_created_at")
+    hday = CIVIL.format(c="h.publication_date_time")
+    pday = CIVIL.format(c="p.checked_at")
+    curated_sql = f"""
+        SELECT COUNT(*) FROM highlight h
+        JOIN weaving_status s ON s.ust_id = h.status_id
+          AND {sday} = {hday} AND {sday} = DATE '{DAY}'
+        JOIN publishers_list pl ON h.aggregate_id = pl.id
+          AND pl.public_id IN {IN_LIST}
+        LEFT JOIN status_popularity p ON p.status_id = h.status_id
+          AND {pday} = {hday}
+        WHERE {hday} = DATE '{DAY}'
+    """
+    distinct_sql = f"""
+        SELECT COUNT(*) FROM weaving_status s
+        LEFT JOIN highlight h ON s.ust_id = h.status_id
+          AND {sday} = {hday} AND {sday} = DATE '{DAY}'
+        LEFT JOIN publishers_list pl ON h.aggregate_id = pl.id
+          AND pl.public_id IN {IN_LIST}
+        LEFT JOIN status_popularity p ON p.status_id = h.status_id
+          AND {pday} = {hday}
+        WHERE {sday} = DATE '{DAY}'
+    """
+    pipe = TrendsPipeline(domain_tables, _params())
+    assert pipe.count_highlights() == domain_duck.execute(
+        curated_sql
+    ).fetchone()[0]
+    assert pipe.count_highlights(distinct_sources=True) == domain_duck.execute(
+        distinct_sql
+    ).fetchone()[0]
+
+
+def test_last_week_statuses_corrected(spark, domain_tables, domain_duck):
+    """F6: corrected 7-day lookback (the reference's flag is dead —
+    its SQL is invalid, trends.go:531-534)."""
+    now = "2024-03-03 12:00:00"
+    got = TrendsPipeline(domain_tables, _params()).last_week_statuses(now)
+    expected = domain_duck.execute(
+        f"""
+        SELECT COUNT(*) FROM weaving_status s
+        WHERE s.ust_created_at - INTERVAL 1 HOUR
+              > TIMESTAMP '{now}' - INTERVAL 7 DAY
+          AND s.ust_created_at - INTERVAL 1 HOUR <= TIMESTAMP '{now}'
+        """
+    ).fetchone()[0]
+    assert got.count() == expected and expected > 0
+
+
 def test_argmax_one_row_per_source(spark, domain_tables):
     pipe = TrendsPipeline(domain_tables, _params(limit=0))
     out = pipe.distinct_sources(include_retweets=False).collect()
