@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-in-parallel", dest="in_parallel",
                    action="store_false")
     p.add_argument("--dry-mode", action="store_true")
+    p.add_argument("--quiet", action="store_true", default=True,
+                   help="suppress progress output (reference default)")
+    p.add_argument("--no-quiet", dest="quiet", action="store_false")
     p.add_argument("--source-dir", required=True,
                    help="directory of domain-table parquet files")
     p.add_argument("--sink-dir", default=None,
@@ -92,6 +95,14 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         bug_compat=args.bug_compat,
     )
     pipe = TrendsPipeline(load_domain_tables(spark, args.source_dir), params)
+
+    if not args.quiet:
+        # ops parity: the reference's count log line (trends.go:522);
+        # structured instead of the dots protocol (trends.go:632-634)
+        n = pipe.count_highlights(
+            distinct_sources=args.distinct_sources_only
+        )
+        print(f"Found {n} matching highlights on {args.since_date}")
 
     # reference main (trends.go:151-198): curated run skipped under
     # -migrate-distinct-sources-only

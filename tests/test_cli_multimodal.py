@@ -66,6 +66,23 @@ def test_cli_distinct_only_and_dry_mode(spark, domain_dir, tmp_path, capsys):
     assert "Physical Plan" in out
 
 
+def test_cli_count_log_line(spark, domain_dir, capsys):
+    rc = main(
+        [
+            "--publishers-list-id", TARGET_LIST,
+            "--deprecated-list-id", DEPRECATED_LIST,
+            "--since-date", "2024-03-02",
+            "--source-dir", domain_dir,
+            "--dry-mode",
+            "--no-quiet",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "matching highlights on 2024-03-02" in out
+
+
 @pytest.fixture
 def media_df(spark):
     rows = [
