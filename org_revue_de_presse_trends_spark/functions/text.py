@@ -99,6 +99,36 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.trim(text)))
 
 
+def shingle_hashes(text: Column, k: int = 3) -> Column:
+    """Distinct 64-bit fingerprints of k-word shingles (array<long>)
+    WITHOUT materializing shingle strings: hash each token once, then
+    combine k consecutive token hashes with rotate-xor (position-
+    dependent, overflow-free under ANSI mode).  ~3× cheaper than
+    building shingle strings; used by MinHash where only a fingerprint
+    is needed (exact-Jaccard keeps real strings)."""
+    toks = tokens(text)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(th)
+
+    def rot(c: Column, r: int) -> Column:
+        return F.shiftrightunsigned(c, r).bitwiseOR(F.shiftleft(c, 64 - r))
+
+    # zip_with over k shifted slices — linear work; referencing the
+    # whole array inside a per-element lambda would re-evaluate it per
+    # element (O(n^2) per document)
+    win = F.greatest(n - F.lit(k - 1), F.lit(1))
+    combined = F.slice(th, 1, win)
+    for j in range(1, k):
+        combined = F.zip_with(
+            combined,
+            F.slice(th, j + 1, win),
+            lambda a, b: rot(a, 7).bitwiseXOR(b),
+        )
+    return F.when(
+        n < F.lit(k), F.array(F.xxhash64(F.concat_ws(" ", toks)))
+    ).otherwise(F.array_distinct(combined))
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """k-word shingles (array<string>), distinct.
 

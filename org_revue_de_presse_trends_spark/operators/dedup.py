@@ -112,8 +112,8 @@ def minhash_signatures(
     """
     ex = df.select(
         F.col(id_col).cast("long").alias("id"),
-        F.explode(T.shingles(F.col(text_col), k)).alias("sh"),
-    ).select("id", F.xxhash64("sh").alias("h"))
+        F.explode(T.shingle_hashes(F.col(text_col), k)).alias("h"),
+    )
     mins = ex.groupBy("id").agg(
         *[
             F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")

@@ -34,13 +34,12 @@ from org_revue_de_presse_trends_spark.operators.similarity import (
 def near_dup_docs(spark):
     """Corpus with planted near-duplicate pairs: doc 10x+1 is doc 10x
     with one word changed; plus unrelated docs."""
+    # 40-word docs: one mutated word → Jaccard ≈ 0.86, so the
+    # (16 band × 4 row) S-curve catches the pair with P≈1-3e-6 —
+    # short docs sit near the S-curve knee where misses are expected
     base_words = [
-        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
-        "lambda mu nu xi omicron pi rho sigma tau upsilon".split(),
-        "one two three four five six seven eight nine ten eleven "
-        "twelve thirteen fourteen fifteen sixteen seventeen".split(),
-        "red orange yellow green blue indigo violet cyan magenta "
-        "maroon olive navy teal aqua silver gray black white".split(),
+        [f"{stem}{i}" for i in range(40)]
+        for stem in ("alpha", "num", "color")
     ]
     rows = []
     for i, words in enumerate(base_words):
@@ -82,14 +81,13 @@ def test_minhash_estimate_tracks_exact_jaccard(spark, near_dup_docs):
 
 
 def test_simhash_near_dups_have_small_hamming(spark, near_dup_docs):
-    """Deterministic data + deterministic hash → fixed outcome: pairs
-    (0,1) and (20,21) land within hamming 10 AND share a 16-bit chunk;
-    (10,11) is a legitimate LSH miss (all 4 chunks differ) — that's
-    the documented pigeonhole guarantee boundary (complete only for
-    hamming <= 3)."""
+    """Deterministic data + deterministic hash → fixed outcome: one
+    word changed in 40 flips only the bits where that word's ±1 vote
+    was pivotal — hamming ≤ 4 for every planted pair."""
     pairs = simhash_pairs(near_dup_docs, max_hamming=10).collect()
     found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
-    assert found.get((0, 1)) == 8
+    assert found.get((0, 1)) == 2
+    assert found.get((10, 11)) == 1
     assert found.get((20, 21)) == 4
     # exact duplicates always pair at hamming 0 (chunk match guaranteed)
     dup = near_dup_docs.sparkSession.createDataFrame(
