@@ -285,6 +285,91 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUALITY_EXPR = """
+    (
+      least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+      + least(((CAST(length(text) AS DOUBLE)
+                - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0)
+      + least((CAST(len(list_filter(string_split(text, ' '),
+                                    x -> x IN ('the','a','of','and','to')))
+                    AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5.0, 1.0)
+    ) / 3.0
+"""
+
+
+@query(
+    "corpus_selection",
+    f"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id AS id, source,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+                   i -> string_split(text,' ')[i] || ' ' ||
+                        string_split(text,' ')[i+1] || ' ' ||
+                        string_split(text,' ')[i+2]
+               )) AS sh
+        FROM documents
+    ),
+    ex AS (
+        SELECT id, source, len(sh) AS n_sh, unnest(sh) AS shingle FROM base
+    ),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+               COUNT(*) AS n_inter
+        FROM ex a JOIN ex b
+          ON a.shingle = b.shingle AND a.source = b.source AND a.id < b.id
+        GROUP BY a.id, b.id, a.n_sh, b.n_sh
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        WHERE CAST(n_inter AS DOUBLE)
+              / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.1
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    cc AS (
+        SELECT doc_id AS id, doc_id AS lbl FROM documents
+        UNION
+        SELECT e.b AS id, cc.lbl FROM cc JOIN edges e ON e.a = cc.id
+    ),
+    keep_ids AS (
+        SELECT id FROM cc GROUP BY id HAVING MIN(lbl) = id
+    )
+    SELECT d.doc_id, d.lang, d.n_chars,
+           {_QUALITY_EXPR} AS quality
+    FROM documents d
+    JOIN keep_ids k ON d.doc_id = k.id
+    WHERE {_QUALITY_EXPR} >= 0.5
+      AND len(string_split(d.text, ' ')) >= 20
+    """,
+)
+def corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus selection pipeline — the composite
+    the LLM-data operators exist for: near-dup dedup (keep canonical
+    doc per cluster) ∘ quality filter ∘ length filter, returning the
+    surviving documents with their scores.  Each stage is an operator
+    tested on its own; this query checks the composition against a
+    single-statement DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.shingle_pairs_jaccard(
+        docs, block_cols=["source"], k=3, threshold=0.1
+    )
+    keep = D.dedup_assignments(docs, pairs).filter(F.col("keep"))
+    return (
+        docs.join(keep, docs.doc_id == keep.id, "left_semi")
+        .withColumn("quality", T.quality_score(F.col("text")))
+        .filter(
+            (F.col("quality") >= 0.5)
+            & (F.size(T.tokens(F.col("text"))) >= 20)
+        )
+        .select("doc_id", "lang", "n_chars", "quality")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (ANN)
 # ---------------------------------------------------------------------------

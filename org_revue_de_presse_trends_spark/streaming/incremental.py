@@ -87,6 +87,39 @@ def foreach_batch_day_overwrite(
     return run
 
 
+def session_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-user session aggregation via native ``session_window``
+    (dynamic-gap merge windows).  Works identically on batch and
+    streaming frames; pass ``watermark`` when streaming so state for
+    closed sessions is dropped.  The batch lag-based formulation
+    (plans.driver_queries_ext.sessionize_events) is the oracle-checked
+    twin — tests assert the two agree on session counts."""
+    src = events
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def running_user_peaks(
     events: DataFrame,
     ts_col: str = "ts",
