@@ -169,6 +169,102 @@ def cube_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "orders_price_bands",
+    """
+    WITH bands(band, lo, hi) AS (
+        VALUES ('low', 0.0, 100000.0),
+               ('mid', 100000.0, 300000.0),
+               ('high', 300000.0, 1000000.0)
+    )
+    SELECT band, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: fact rows matched into [lo, hi) intervals of
+    a tiny dimension.  The dim side is broadcast, so the theta-join is
+    a BroadcastNestedLoop over 3 rows — the standard banded-join shape
+    (at scale with many bands: bucketize the probe key first and
+    equi-join on the band id)."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100000.0), ("mid", 100000.0, 300000.0),
+         ("high", 300000.0, 1000000.0)],
+        ["band", "lo", "hi"],
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@query(
+    "events_time_rollup",
+    """
+    SELECT date_trunc('hour', ts - INTERVAL 1 HOUR) AS bucket_hour,
+           CAST(ts - INTERVAL 1 HOUR AS DATE) AS bucket_day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY GROUPING SETS ((bucket_hour), (bucket_day), ())
+    """,
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup (hour / day / total)
+    in one pass via grouping sets — the batch form of a continuous
+    aggregate hierarchy; each granularity lands in its own partition
+    of a rollup lake."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias(
+            "bucket_hour"
+        ),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).cast("date").alias(
+            "bucket_day"
+        ),
+        "user_id",
+    )
+    return (
+        ev.groupingSets(
+            [["bucket_hour"], ["bucket_day"], []],
+            "bucket_hour",
+            "bucket_day",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query("ann_ivf_topk")  # centroid assignment is engine-side: rows-only
+def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (the 100 TB ANN path): coarse
+    cells from deterministic seed vectors, n_probe=4 of 8 cells
+    searched per query.  Recall vs the exact brute-force baseline is
+    property-tested (tests/test_operators.py)."""
+    from ..operators.similarity import ivf_topk, train_centroids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(e, n_cells=8)
+    return ivf_topk(
+        e, e.filter(F.col("vec_id") < 5), cents, k=10, n_probe=4
+    )
+
+
 @query("approx_sketch_stats")  # sketch outputs are engine-specific: rows-only
 def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates for the 100 TB path: HyperLogLog++
