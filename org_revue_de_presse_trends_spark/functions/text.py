@@ -132,15 +132,20 @@ def shingle_hashes(text: Column, k: int = 3) -> Column:
 def shingles(text: Column, k: int = 3) -> Column:
     """k-word shingles (array<string>), distinct.
 
-    Built by slicing the token array — JVM-side, no UDF.
+    Built by zip_with over k shifted slices of the token array —
+    linear work (slicing inside a per-element lambda re-evaluates the
+    array per element: O(n²) per document).
     """
     toks = tokens(text)
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    win = F.greatest(n - F.lit(k - 1), F.lit(1))
+    combined = F.slice(toks, 1, win)
+    for j in range(1, k):
+        combined = F.zip_with(
+            combined,
+            F.slice(toks, j + 1, win),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     return F.when(
         n < F.lit(k), F.array(F.concat_ws(" ", toks))
-    ).otherwise(
-        F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-        )
-    )
+    ).otherwise(F.array_distinct(combined))

@@ -266,10 +266,13 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     (Kiveris et al., "Connected Components in MapReduce") — same
     join-per-round shape, provably fewer rounds on adversarial graphs.
     """
+    # materialize the edge list once — its lineage is typically an
+    # expensive candidate-pair join that must NOT re-execute every
+    # propagation round
     edges = pairs.select(
         F.col("id_a").cast("long").alias("a"),
         F.col("id_b").cast("long").alias("b"),
-    )
+    ).localCheckpoint()
     nodes = (
         edges.select(F.col("a").alias("id"))
         .union(edges.select(F.col("b").alias("id")))

@@ -37,17 +37,33 @@ def brute_force_topk(
     by neighbor id ascending.  ``exact=True`` uses decimal-exact
     summation (oracle-comparable across engines).
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    # norms precomputed per vector (once), not per pair — cuts the
+    # vector math by 2/3; the division sequence dot/qnorm/cnorm is
+    # kept identical to cosine_exact's for bit-equal results
+    dot_fn = V.dot_scaled if exact else V.dot
+    norm_of = (
+        (lambda v: F.sqrt(V.dot_scaled(v, v).cast("double")))
+        if exact
+        else (lambda v: F.sqrt(V.dot(v, v)))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    cos_fn = V.cosine_exact if exact else V.cosine
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_of(F.col(vec_col)).alias("qnorm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm_of(F.col(vec_col)).alias("cnorm"),
+    )
+    dot = dot_fn(F.col("qv"), F.col("cv"))
+    dot = dot.cast("double") if exact else dot
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cos_fn(F.col("qv"), F.col("cv")).alias("cos"),
+            (dot / F.col("qnorm") / F.col("cnorm")).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -267,9 +267,22 @@ _DOT = (
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs blocked by label (the IVF-cell
     stand-in), decimal-exact dot products for cross-engine equality."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        # per-vector norm computed once (division sequence below stays
+        # identical to cosine_exact's, so values are bit-equal)
+        F.sqrt(V.dot_scaled(F.col("embedding"), F.col("embedding"))
+               .cast("double")).alias("nrm"),
+    )
     a = e.alias("a")
     b = e.alias("b")
+    cos = (
+        V.dot_scaled(F.col("a.embedding"), F.col("b.embedding")).cast("double")
+        / F.col("a.nrm")
+        / F.col("b.nrm")
+    )
     return (
         a.join(
             b,
@@ -279,7 +292,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            V.cosine_exact(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+            cos.alias("cos"),
         )
         .filter(F.col("cos") >= 0.2)
     )
