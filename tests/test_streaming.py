@@ -148,6 +148,69 @@ def test_session_window_runs_streaming(spark, events_stream_dir, tmp_path):
     assert n > 0
 
 
+def test_incremental_trends_matches_batch(spark, tmp_path):
+    """End-to-end incremental mode for the ACTUAL trends pipeline:
+    highlight rows arrive as a stream; each micro-batch recomputes the
+    affected civil days' status variant and overwrites those lake
+    partitions; the final lake equals per-day batch runs."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fixtures.gen import DAYS, DEPRECATED_LIST, TARGET_LIST, generate
+
+    from org_revue_de_presse_trends_spark.plans.trends import (
+        TrendsParams,
+        TrendsPipeline,
+        TrendsTables,
+    )
+
+    domain = str(tmp_path / "domain")
+    generate(domain)
+    load = lambda n: spark.read.parquet(f"{domain}/{n}.parquet")
+    tables = TrendsTables(
+        load("highlight"), load("weaving_status"), load("publishers_list"),
+        load("status_popularity"), load("weaving_user"),
+    )
+
+    def recompute_day(day: str):
+        params = TrendsParams(
+            (TARGET_LIST, DEPRECATED_LIST), since_date=day, limit=10
+        )
+        return TrendsPipeline(tables, params).variant("status")
+
+    # stream the highlight table in two chunks
+    stream_in = str(tmp_path / "hl_stream")
+    hl = load("highlight")
+    hl.filter(F.col("status_id") % 2 == 0).write.parquet(stream_in, mode="append")
+    hl.filter(F.col("status_id") % 2 == 1).write.parquet(stream_in, mode="append")
+    lake = str(tmp_path / "lake")
+    stream = spark.readStream.schema(hl.schema).parquet(stream_in)
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_day_overwrite(recompute_day, lake)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_trends"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(lake)
+    for day in DAYS:
+        batch = {
+            tuple(r)
+            for r in recompute_day(day).collect()
+        }
+        streamed = {
+            tuple(r)[:-1]  # drop the day partition column
+            for r in got.filter(F.col("day") == day).collect()
+        }
+        assert streamed == batch, f"day {day} mismatch"
+    # late-data day also present: fixtures shift some publications +2d
+    days_in_lake = {str(r[0]) for r in got.select("day").distinct().collect()}
+    assert set(DAYS) <= days_in_lake
+
+
 def test_running_user_peaks_stateful(spark, events_stream_dir, tmp_path):
     ev_batch = spark.read.parquet(events_stream_dir)
     stream = spark.readStream.schema(ev_batch.schema).parquet(events_stream_dir)
