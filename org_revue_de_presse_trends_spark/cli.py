@@ -81,6 +81,15 @@ def load_domain_tables(spark: SparkSession, source_dir: str) -> TrendsTables:
 
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.tz is not None:
+        # validate eagerly: Spark only checks zone ids at execution,
+        # which --dry-mode never reaches
+        import zoneinfo
+
+        try:
+            zoneinfo.ZoneInfo(args.tz)
+        except (zoneinfo.ZoneInfoNotFoundError, ValueError):
+            build_parser().error(f"unknown timezone: {args.tz!r}")
     if spark is None:
         from .session import get_spark
 

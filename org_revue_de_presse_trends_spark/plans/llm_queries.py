@@ -383,6 +383,43 @@ def corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_embedding_join",
+    f"""
+    SELECT e.label,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(d.n_chars AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_chars,
+           MIN(d.lang) AS min_lang,
+           CAST(AVG(CAST(({_QUALITY_EXPR.replace('text', 'd.text')})
+                         >= 0.5 AS INTEGER)) AS DOUBLE) AS high_quality_frac
+    FROM documents d
+    JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY e.label
+    """,
+)
+def doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join: text documents ⋈ their embedding rows
+    (doc_id = vec_id), aggregated per embedding-cluster label — the
+    shape of 'summarize corpus quality per semantic cluster'."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.expr("CAST(n_chars AS DECIMAL(18,2))"))
+            .cast("double")
+            .alias("total_chars"),
+            F.min("lang").alias("min_lang"),
+            F.avg(
+                (T.quality_score(F.col("text")) >= 0.5).cast("int")
+            ).cast("double").alias("high_quality_frac"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (ANN)
 # ---------------------------------------------------------------------------

@@ -137,6 +137,59 @@ def test_lake_rerun_identical(spark, tmp_path):
     assert first == second
 
 
+def test_firebase_rest_store_requests(spark, sample_df):
+    """Drive the Firebase REST client against a live local HTTP server
+    and assert the request shapes (PATCH leaf paths, DELETE subtree)."""
+    import http.server
+    import threading
+
+    requests = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _h(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(n) if n else b""
+            requests.append((self.command, self.path, body))
+            self.send_response(200)
+            self.send_header("Content-Length", "2")
+            self.end_headers()
+            self.wfile.write(b"{}")
+
+        do_PATCH = do_DELETE = do_PUT = _h
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+
+        def factory(url=base):
+            from org_revue_de_presse_trends_spark.sources.document_sink import (
+                FirebaseRESTStore,
+            )
+
+            return FirebaseRESTStore(url, auth_token="tok")
+
+        write_highlights(sample_df, factory, "list-1", "2024-03-02")
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    deletes = [p for (m, p, _) in requests if m == "DELETE"]
+    patches = [(p, b) for (m, p, b) in requests if m == "PATCH"]
+    assert any("highlights/list-1/2024-03-02/status.json" in p for p in deletes)
+    assert all("auth=tok" in p for p, _ in patches)
+    leaf_paths = {p.split("?")[0] for p, _ in patches}
+    assert "/highlights/list-1/2024-03-02/status/100.json" in leaf_paths
+    # invalid-JSON record skipped → its leaf never written
+    assert not any("/300.json" in p for p in leaf_paths)
+    body = json.loads(patches[0][1])
+    assert set(body) >= {"id", "twitterId", "username", "totalRetweets"}
+
+
 def test_jdbc_options_table_partitioned():
     cfg = PostgresConfig("db", 5432, "weaving", "u", "secret")
     opts = reader_options(

@@ -327,6 +327,35 @@ def test_last_week_statuses_corrected(spark, domain_tables, domain_duck):
     assert got.count() == expected and expected > 0
 
 
+def test_bug_compat_reproduces_favorites_bug(spark, domain_tables, domain_duck):
+    """bug_compat=True reproduces trends.go:344 exactly: the distinct
+    favorites cascade falls back to h.total_RETWEETS."""
+    pipe = TrendsPipeline(domain_tables, _params(bug_compat=True))
+    sql = distinct_oracle(DAY, include_retweets=False).replace(
+        "COALESCE(p.total_favorites, h.total_favorites,",
+        "COALESCE(p.total_favorites, h.total_retweets,",
+    )
+    _compare(pipe.variant("statusFromDistinctSources"), domain_duck, sql)
+    # and the buggy output differs from the corrected default somewhere
+    corrected = TrendsPipeline(domain_tables, _params()).variant(
+        "statusFromDistinctSources"
+    )
+    a = {(r["id"], r["totalFavorites"]) for r in corrected.collect()}
+    b = {(r["id"], r["totalFavorites"])
+         for r in pipe.variant("statusFromDistinctSources").collect()}
+    assert a != b
+
+
+def test_curated_retweet_extension(spark, domain_tables):
+    """Engine extension: curated(include_retweets=True) has no kind
+    filter (reference semantics for includeRetweets on the curated
+    path) — a superset of the status variant."""
+    pipe = TrendsPipeline(domain_tables, _params(limit=0))
+    no_rt = {r["id"] for r in pipe.curated(False).collect()}
+    all_kinds = {r["id"] for r in pipe.curated(True).collect()}
+    assert no_rt < all_kinds
+
+
 def test_argmax_one_row_per_source(spark, domain_tables):
     pipe = TrendsPipeline(domain_tables, _params(limit=0))
     out = pipe.distinct_sources(include_retweets=False).collect()
