@@ -1,0 +1,70 @@
+"""Plan-shape regression tests: the physical-plan properties
+ARCHITECTURE.md claims are pinned here so they cannot silently regress
+(a correct-but-shuffling plan is a perf bug at 100 TB).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from org_revue_de_presse_trends_spark.plans.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # filter reaches the scan
+    # column pruning: only the 7 needed columns in ReadSchema
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read
+
+
+def test_q3_take_ordered_and_broadcast(spark):
+    plan = plan_of(spark, "q3_top_revenue_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_all_dims_broadcast(spark):
+    plan = plan_of(spark, "q5_supplier_nation_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_pagination_take_ordered(spark):
+    plan = plan_of(spark, "topk_orders_paginated")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_anti_join_broadcast(spark):
+    plan = plan_of(spark, "orders_excluding_building_anti")
+    assert "LeftAnti" in plan
+
+
+def test_no_cartesian_anywhere(spark):
+    """No query may compile to an unconstrained CartesianProduct; the
+    only nested-loop allowed is broadcast-side (J4/banded joins)."""
+    for name in sorted(QUERIES):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_argmax_single_aggregate_no_window(spark):
+    """A4 via max_by must stay a hash aggregate (map-side partial), not
+    a sort-window plan."""
+    plan = plan_of(spark, "argmax_event_per_user")
+    assert "Window" not in plan
+    assert "Aggregate" in plan
