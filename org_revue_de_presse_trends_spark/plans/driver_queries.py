@@ -219,7 +219,7 @@ def daily_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
     )
     w = Window.partitionBy("day").orderBy(F.desc("value"), F.asc("event_id"))
-    return ranked.withColumn("rank", F.row_number().over(w)).select(
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "day", "event_id", "user_id", "event_type", "value", "rank"
     )
 

@@ -27,10 +27,10 @@ from .registry import query
         FROM events
     )
     SELECT event_id, user_id,
-           SUM(new_session) OVER (
+           CAST(SUM(new_session) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS session_id
+           ) AS BIGINT) AS session_id
     FROM gaps
     """,
 )
@@ -63,7 +63,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM (
         SELECT o_orderkey, o_custkey, o_totalprice,
-               AVG(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey) AS DOUBLE)
+                 / CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS DOUBLE)
+                 AS cust_avg,
                COUNT(*) OVER (PARTITION BY o_custkey) AS cust_n
         FROM orders
     )
@@ -74,19 +77,23 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-aggregate filter (the decorrelated form of TPC-H
     Q17/Q22's scalar subqueries): windowed avg instead of a self-join.
 
-    Determinism note: AVG over doubles inside a window is computed in
-    partition-sorted order by both engines only if the frame is the
-    whole partition — which makes the sum order engine-defined; the
-    1.5x threshold keeps results away from FP-boundary flips (verified
-    by the contract test)."""
+    The mean is computed as decimal-exact sum / count (a plain double
+    AVG's value depends on summation order, which is engine-defined —
+    a row sitting near the 1.5x threshold could then flip between
+    engines)."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))")).over(w)
+        .cast("double")
+        / F.count(F.lit(1)).over(w).cast("double")
+    )
     return (
         o.select(
             "o_orderkey",
             "o_custkey",
             "o_totalprice",
-            F.avg("o_totalprice").over(w).alias("cust_avg"),
+            cust_avg.alias("cust_avg"),
             F.count(F.lit(1)).over(w).alias("cust_n"),
         )
         .filter((F.col("cust_n") >= 2)
@@ -99,11 +106,11 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_type_pivot",
     """
     SELECT CAST(ts - INTERVAL 1 HOUR AS DATE) AS day,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
     FROM events
     GROUP BY day
     """,

@@ -44,6 +44,32 @@ def test_query_matches_oracle(spark, duck, name, fn, oracle):
     assert sorted(cols) == sorted(duck_cols), (
         f"{name}: column mismatch spark={sorted(cols)} duck={sorted(duck_cols)}"
     )
+    # type correspondence: a strict driver-side schema compare must not
+    # trip over e.g. DuckDB SUM(int)->HUGEINT vs Spark long
+    # DuckDB TIMESTAMP is naive; Spark reads naive parquet timestamps
+    # as timestamp_ntz (inferTimestampNTZ) but produces LTZ timestamps
+    # from timestamp_micros() — both are faithful counterparts
+    DUCK_TO_SPARK = {
+        "BIGINT": ("bigint",), "INTEGER": ("int",), "DOUBLE": ("double",),
+        "VARCHAR": ("string",), "DATE": ("date",),
+        "TIMESTAMP": ("timestamp", "timestamp_ntz"),
+        "BOOLEAN": ("boolean",), "FLOAT": ("float",),
+    }
+    spark_types = dict(zip(df.columns, [f.dataType.simpleString()
+                                        for f in df.schema.fields]))
+    duck_types = {
+        r[0]: r[1] for r in duck.execute(f"DESCRIBE {oracle}").fetchall()
+    }
+    for col in cols:
+        dt = duck_types[col]
+        expected = DUCK_TO_SPARK.get(dt)
+        assert expected is not None, (
+            f"{name}.{col}: oracle type {dt} has no clean Spark "
+            f"equivalent — add explicit casts"
+        )
+        assert spark_types[col] in expected, (
+            f"{name}.{col}: spark {spark_types[col]} vs duck {dt}"
+        )
     s = canon([tuple(r) for r in spark_rows], cols)
     d = canon(duck_rows, duck_cols)
     assert len(s) == len(d), f"{name}: row count spark={len(s)} duck={len(d)}"
