@@ -3,6 +3,11 @@
 Built on ``xxhash64`` (JVM-side, codegen'd) with per-permutation seeds.
 These back the near-duplicate operators in ``operators.dedup``.
 
+Literature: MinHash — Broder, "On the resemblance and containment of
+documents" (SEQUENCES 1997); LSH banding — Leskovec/Rajaraman/Ullman,
+Mining of Massive Datasets ch.3; SimHash — Charikar, "Similarity
+estimation techniques from rounding algorithms" (STOC 2002).
+
 Scale design: a MinHash signature is computed per-row with zero shuffle;
 LSH banding turns near-dup detection into an equi-join on (band,
 band_hash) — the shuffle key is small and uniformly distributed, so the

@@ -1,5 +1,10 @@
 """Incremental (Structured Streaming) mode — SURVEY §2.9 / stage 5.
 
+Model follows "Structured Streaming: A Declarative API for Real-Time
+Applications in Apache Spark" (SIGMOD 2018): the same DataFrame
+transformations run batch or streaming; watermarks bound state;
+idempotent sinks give end-to-end exactly-once.
+
 The reference is a batch job rerun per civil day with full recompute +
 partition overwrite (trends.go:656-662).  The streaming analogue keeps
 the same *semantics* with late-data tolerance:
