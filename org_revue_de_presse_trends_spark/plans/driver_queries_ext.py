@@ -272,6 +272,86 @@ def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "order_rank_features",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(rank() OVER w AS BIGINT) AS price_rank,
+           CAST(dense_rank() OVER w AS BIGINT) AS price_dense_rank,
+           CAST(ntile(4) OVER w AS BIGINT) AS price_quartile,
+           lag(o_orderkey) OVER w AS prev_orderkey,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           first_value(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS top_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def order_rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-window family (rank/dense_rank/ntile/lag/lead/
+    first_value) over a total order — one shuffle serves all six."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).cast("long").alias("price_rank"),
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.first("o_orderkey").over(w_full).alias("top_orderkey"),
+    )
+
+
+@query(
+    "large_volume_customers",
+    """
+    SELECT c_custkey, o_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+    GROUP BY c_custkey, o_orderkey
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over a grouped HAVING — the
+    subquery becomes a semi-join against the pre-aggregated key set
+    (aggregate shrinks before the join, decimal-exact threshold)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big_keys = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.expr("CAST(l_quantity AS DECIMAL(18,2))")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(big_keys, F.col("o_orderkey") == F.col("big_orderkey"),
+              "left_semi")
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(
+            F.sum(F.expr("CAST(l_quantity AS DECIMAL(18,2))"))
+            .cast("double")
+            .alias("total_qty")
+        )
+    )
+
+
 @query("approx_sketch_stats")  # sketch outputs are engine-specific: rows-only
 def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates for the 100 TB path: HyperLogLog++
