@@ -352,6 +352,38 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "user_value_zscores",
+    """
+    SELECT event_id, user_id,
+           (value - _mean) / sqrt(_var) AS z
+    FROM (
+        SELECT event_id, user_id, value, _mean, _n,
+               CAST(SUM(CAST((value - _mean) * (value - _mean)
+                             AS DECIMAL(24,6)))
+                    OVER (PARTITION BY user_id) AS DOUBLE) / _n AS _var
+        FROM (
+            SELECT event_id, user_id, value,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        OVER (PARTITION BY user_id) AS DOUBLE)
+                     / CAST(COUNT(*) OVER (PARTITION BY user_id) AS DOUBLE)
+                     AS _mean,
+                   CAST(COUNT(*) OVER (PARTITION BY user_id) AS DOUBLE) AS _n
+            FROM events
+        )
+    )
+    WHERE _var > 0
+    """,
+)
+def user_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score normalization (population variance) — the JVM
+    window formulation; the applyInPandas grouped-map twin
+    (operators/grouped.py) is equivalence-tested against it."""
+    from ..operators.grouped import zscore_jvm
+
+    return zscore_jvm(load_table(spark, sf_dir, "events"))
+
+
 @query("approx_sketch_stats")  # sketch outputs are engine-specific: rows-only
 def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates for the 100 TB path: HyperLogLog++

@@ -117,6 +117,23 @@ class SinkStats:
     skipped_invalid_json: int = 0
 
 
+def _with_retries(fn, attempts: int = 3, base_delay: float = 0.1):
+    """Call fn() with bounded exponential backoff — transient sink
+    errors (HTTP 5xx, connection resets) shouldn't fail the Spark task;
+    persistent ones still raise after the last attempt."""
+    import time
+
+    last = None
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as exc:  # noqa: BLE001 — sink clients raise varied types
+            last = exc
+            if i < attempts - 1:
+                time.sleep(base_delay * (2**i))
+    raise last
+
+
 def _record_of(row: Row) -> dict:
     rec = row.asDict()
     # quirk parity (trends.go:722,726): both twitterId and twitter_id
@@ -143,6 +160,7 @@ def write_highlights(
     max_in_flight: int = 100,
     parallel: bool = True,
     truncate_first: bool = True,
+    retry_attempts: int = 3,
 ) -> None:
     """Write a (possibly multi-variant) highlights DataFrame to the
     document store under ``highlights/{list}/{date}/{type}/{id}``.
@@ -181,7 +199,13 @@ def write_highlights(
                         f"highlights/{list_id}/{since_date}/"
                         f"{row[type_col]}/{rec['twitterId']}"
                     )
-                    futures.append(pool.submit(store.update, path, rec))
+                    futures.append(
+                        pool.submit(
+                            _with_retries,
+                            lambda p=path, r=rec: store.update(p, r),
+                            retry_attempts,
+                        )
+                    )
                 for fut in futures:
                     fut.result()
                     stats.written += 1

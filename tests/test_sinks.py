@@ -190,6 +190,54 @@ def test_firebase_rest_store_requests(spark, sample_df):
     assert set(body) >= {"id", "twitterId", "username", "totalRetweets"}
 
 
+def test_rest_store_retries_transient_failures(spark, sample_df):
+    """First attempt per path gets HTTP 500; the sink's bounded retry
+    must recover and land every valid record."""
+    import http.server
+    import threading
+
+    seen: dict[str, int] = {}
+    lock = threading.Lock()
+
+    class Flaky(http.server.BaseHTTPRequestHandler):
+        def _h(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            if n:
+                self.rfile.read(n)
+            with lock:
+                seen[self.path] = seen.get(self.path, 0) + 1
+                fail = self.command == "PATCH" and seen[self.path] == 1
+            self.send_response(500 if fail else 200)
+            self.send_header("Content-Length", "2")
+            self.end_headers()
+            self.wfile.write(b"{}")
+
+        do_PATCH = do_DELETE = do_PUT = _h
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Flaky)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+        def factory(url=base):
+            from org_revue_de_presse_trends_spark.sources.document_sink import (
+                FirebaseRESTStore,
+            )
+
+            return FirebaseRESTStore(url)
+
+        write_highlights(sample_df, factory, "list-1", "2024-03-02")
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    patched = {p for p, c in seen.items() if c >= 2 and p.endswith(".json")}
+    assert any("/status/100.json" in p for p in patched)
+    assert any("/status/200.json" in p for p in patched)
+
+
 def test_jdbc_options_table_partitioned():
     cfg = PostgresConfig("db", 5432, "weaving", "u", "secret")
     opts = reader_options(

@@ -52,6 +52,20 @@ def test_token_count_pandas_matches_jvm(spark):
     assert all(r["jvm"] == r["py"] for r in out)
 
 
+def test_zscore_apply_in_pandas_matches_jvm(spark):
+    from org_revue_de_presse_trends_spark.operators.grouped import (
+        zscore_apply_in_pandas,
+        zscore_jvm,
+    )
+
+    ev = load_table(spark, SF, "events")
+    jvm = {r["event_id"]: r["z"] for r in zscore_jvm(ev).collect()}
+    py = {r["event_id"]: r["z"] for r in zscore_apply_in_pandas(ev).collect()}
+    assert set(jvm) == set(py) and len(jvm) > 900
+    for k in jvm:
+        assert math.isclose(jvm[k], py[k], rel_tol=1e-9, abs_tol=1e-12), k
+
+
 def test_lake_partition_pruning(spark, tmp_path):
     """Scale evidence: a day-partitioned lake turns the F1 day filter
     into partition pruning (plan shows the partition filter and no
