@@ -29,8 +29,12 @@ HEADLINE = [
     "asof_click_before_purchase",
     "orders_excluding_building_anti",
     "running_total_per_customer",
+    "sessionize_events",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "corpus_selection",
     "ann_cosine_topk",
 ]
 
