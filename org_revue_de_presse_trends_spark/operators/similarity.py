@@ -92,6 +92,40 @@ def train_centroids(
     )
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: list[Row],
+    iters: int = 2,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[Row]:
+    """Lloyd refinement of the coarse centroids: assign → per-cell
+    elementwise mean → repeat.  One shuffle per iteration (groupBy
+    cell with 'dim' avg aggregates); empty cells keep their previous
+    centroid.  Returns rows shaped like train_centroids output."""
+    current = centroids
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, current, vec_col, n_probe=1)
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.avg(F.col(vec_col).getItem(i)).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        by_cell = {
+            r["cell"]: [r[f"m{i}"] for i in range(dim)] for r in means
+        }
+        current = [
+            Row(cid=r["cid"], centroid=by_cell.get(r["cid"], r["centroid"]))
+            for r in current
+        ]
+    return current
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: list[Row],

@@ -118,6 +118,16 @@ def test_ivf_recall_vs_brute_force(spark, embeddings_df):
     got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(got & truth) / len(truth)
     assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+    # Lloyd-refined centroids must stay a usable index
+    from org_revue_de_presse_trends_spark.operators.similarity import (
+        kmeans_refine,
+    )
+
+    refined = kmeans_refine(embeddings_df, cents, iters=2)
+    approx2 = ivf_topk(embeddings_df, queries, refined, k=10, n_probe=4)
+    got2 = {(r["query_id"], r["neighbor_id"]) for r in approx2.collect()}
+    recall2 = len(got2 & truth) / len(truth)
+    assert recall2 >= 0.5, f"refined IVF recall too low: {recall2:.2f}"
     # exact path: every query returns exactly k ranked 1..k
     by_q = {}
     for r in exact.collect():

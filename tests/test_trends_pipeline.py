@@ -218,26 +218,32 @@ def _compare(df, duck, sql, min_rows=1):
     assert len(s) >= min_rows
 
 
-def test_status_variant(spark, domain_tables, domain_duck):
-    pipe = TrendsPipeline(domain_tables, _params())
-    _compare(pipe.variant("status"), domain_duck, curated_oracle(DAY))
+from fixtures.gen import DAYS
 
 
-def test_status_from_distinct_sources(spark, domain_tables, domain_duck):
-    pipe = TrendsPipeline(domain_tables, _params())
+@pytest.mark.parametrize("day", DAYS)
+def test_status_variant(spark, domain_tables, domain_duck, day):
+    pipe = TrendsPipeline(domain_tables, _params(since_date=day))
+    _compare(pipe.variant("status"), domain_duck, curated_oracle(day))
+
+
+@pytest.mark.parametrize("day", DAYS)
+def test_status_from_distinct_sources(spark, domain_tables, domain_duck, day):
+    pipe = TrendsPipeline(domain_tables, _params(since_date=day))
     _compare(
         pipe.variant("statusFromDistinctSources"),
         domain_duck,
-        distinct_oracle(DAY, include_retweets=False),
+        distinct_oracle(day, include_retweets=False),
     )
 
 
-def test_retweet_from_distinct_sources(spark, domain_tables, domain_duck):
-    pipe = TrendsPipeline(domain_tables, _params())
+@pytest.mark.parametrize("day", DAYS)
+def test_retweet_from_distinct_sources(spark, domain_tables, domain_duck, day):
+    pipe = TrendsPipeline(domain_tables, _params(since_date=day))
     _compare(
         pipe.variant("retweetFromDistinctSources"),
         domain_duck,
-        distinct_oracle(DAY, include_retweets=True),
+        distinct_oracle(day, include_retweets=True),
     )
 
 
