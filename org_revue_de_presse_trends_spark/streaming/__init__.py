@@ -1,1 +1,1 @@
-from . import incremental  # noqa: F401
+from . import incremental, jdbc_sync  # noqa: F401

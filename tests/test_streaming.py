@@ -211,6 +211,79 @@ def test_incremental_trends_matches_batch(spark, tmp_path):
     assert set(DAYS) <= days_in_lake
 
 
+def test_jdbc_incremental_sync_protocol(spark, tmp_path):
+    """Bookmark protocol: successive polls read disjoint increments;
+    the union of processed batches equals the source table; empty poll
+    stops the loop."""
+    from org_revue_de_presse_trends_spark.streaming.jdbc_sync import (
+        IncrementalSync,
+        run_sync,
+    )
+
+    ev = load_table(spark, SF, "events").select("event_id", "ts", "value")
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+    full = spark.read.parquet(src)
+
+    # stand-in for the JDBC pushdown reader: WHERE event_id > bookmark,
+    # capped so each poll sees a finite chunk (simulates arrival)
+    polled_upper = {"n": 0}
+    chunk = 400
+
+    def read_increment(lower):
+        polled_upper["n"] += chunk
+        df = full.filter(F.col("event_id") <= polled_upper["n"])
+        if lower is not None:
+            df = df.filter(F.col("event_id") > lower)
+        return df
+
+    sync = IncrementalSync(read_increment, "event_id")
+    seen: list[set] = []
+
+    def process(df, batch_id):
+        seen.append({r["event_id"] for r in df.collect()})
+
+    n = run_sync(sync, process, max_polls=10)
+    assert n == 3  # 1000 events / 400 per poll
+    all_ids = set().union(*seen)
+    assert all_ids == {r["event_id"] for r in full.collect()}
+    # increments are disjoint (each id delivered exactly once)
+    assert sum(len(s) for s in seen) == len(all_ids)
+    assert sync.bookmark == max(all_ids)
+
+
+def test_jdbc_increment_reader_builds_pushdown_query():
+    from org_revue_de_presse_trends_spark.streaming.jdbc_sync import (
+        jdbc_increment_reader,
+    )
+
+    captured = {}
+
+    class FakeSpark:
+        pass
+
+    import org_revue_de_presse_trends_spark.streaming.jdbc_sync as mod
+    import org_revue_de_presse_trends_spark.sources.jdbc as jdbc_mod
+
+    orig = jdbc_mod.read_jdbc
+    try:
+        def fake_read(spark, opts):
+            captured.update(opts)
+            return None
+
+        jdbc_mod.read_jdbc = fake_read
+        # reader imports read_jdbc inside the closure module — patch and call
+        reader = jdbc_increment_reader(
+            FakeSpark(), {"url": "jdbc:postgresql://db/x", "user": "u",
+                          "password": "p"},
+            "weaving_status", "ust_id",
+        )
+        reader(12345)
+    finally:
+        jdbc_mod.read_jdbc = orig
+    assert captured["query"] == "SELECT * FROM weaving_status WHERE ust_id > 12345"
+
+
 def test_running_user_peaks_stateful(spark, events_stream_dir, tmp_path):
     ev_batch = spark.read.parquet(events_stream_dir)
     stream = spark.readStream.schema(ev_batch.schema).parquet(events_stream_dir)
