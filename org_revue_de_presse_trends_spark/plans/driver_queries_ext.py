@@ -384,6 +384,34 @@ def user_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_jvm(load_table(spark, sf_dir, "events"))
 
 
+@query(
+    "value_percentiles_exact",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99,
+           MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles — Spark's percentile() and
+    DuckDB's quantile_cont use the same linear interpolation, verified
+    bit-equal.  The constant-memory sketch counterpart is
+    approx_sketch_stats."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+
+
 @query("approx_sketch_stats")  # sketch outputs are engine-specific: rows-only
 def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates for the 100 TB path: HyperLogLog++
