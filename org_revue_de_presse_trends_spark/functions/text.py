@@ -129,6 +129,38 @@ def shingle_hashes(text: Column, k: int = 3) -> Column:
     ).otherwise(F.array_distinct(combined))
 
 
+def chunks_from_tokens(
+    toks_attr: Column, size: int = 50, overlap: int = 10
+) -> Column:
+    """Overlapping token-window chunks for LLM training data:
+    array<struct<chunk_id:int, chunk:string, n_tokens:int>>.
+
+    ``toks_attr`` MUST be a materialized column attribute (not an
+    inline split() expression) so the lambda's reference doesn't
+    re-evaluate tokenization per chunk.  Chunk i covers tokens
+    [i*step, i*step+size), step = size - overlap; the last chunk may be
+    short; every token belongs to ≥1 chunk.
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be smaller than size")
+    step = size - overlap
+    n = F.size(toks_attr)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(step)).cast("int"),
+        F.lit(1),
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(toks_attr, i * step + 1, size)).alias(
+                "chunk"
+            ),
+            F.least(n - i * step, F.lit(size)).cast("int").alias("n_tokens"),
+        ),
+    )
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """k-word shingles (array<string>), distinct.
 

@@ -110,6 +110,129 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", T.lang_id(F.col("text")).alias("lang_guess"))
 
 
+@query(
+    "doc_chunks",
+    """
+    SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+           array_to_string(list_slice(toks, chunk_id * 40 + 1,
+                                      chunk_id * 40 + 50), ' ') AS chunk,
+           CAST(least(len(toks) - chunk_id * 40, 50) AS INTEGER)
+             AS n_tokens
+    FROM (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               unnest(range(0, greatest(CAST(ceil(
+                   CAST(len(string_split(text,' ')) - 10 AS DOUBLE) / 40.0
+               ) AS INTEGER), 1))) AS chunk_id
+        FROM documents
+    )
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for LLM training: 50-token windows with
+    10-token overlap (step 40), one output row per chunk.  The token
+    array is materialized once per row before the window transform
+    (inline expressions inside the lambda would re-tokenize per
+    chunk)."""
+    from ..functions.text import chunks_from_tokens
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "__toks", T.tokens(F.col("text"))
+    )
+    return d.select(
+        "doc_id",
+        F.explode(
+            chunks_from_tokens(F.col("__toks"), size=50, overlap=10)
+        ).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk").alias("chunk"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
+
+
+@query(
+    "vocab_top_tokens",
+    """
+    SELECT token, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    )
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 50
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top-50 tokens by occurrence
+    (deterministic tiebreak), with document frequency."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+    agg = ex.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return agg.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(50)
+
+
+@query(
+    "doc_top_tfidf_terms",
+    """
+    WITH ex AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM ex GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               CAST(tf.tf AS DOUBLE)
+                 * ln((CAST(n.n_docs AS DOUBLE) + 1.0)
+                      / (CAST(df.df AS DOUBLE) + 1.0)) AS tfidf
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token
+        ) AS rn
+        FROM scored
+    )
+    WHERE rn <= 3
+    """,
+)
+def doc_top_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms: tf joined with broadcast
+    document frequencies, smoothed idf = ln((N+1)/(df+1)).  Both
+    engines compute the identical double (ln is correctly rounded)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    ex = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+    tf = ex.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = ex.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "token").select(
+        "doc_id",
+        "token",
+        (
+            F.col("tf").cast("double")
+            * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df").cast("double") + 1.0))
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
