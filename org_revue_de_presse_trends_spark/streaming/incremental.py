@@ -125,6 +125,22 @@ def session_stats(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: drop repeated keys arriving
+    within the watermark horizon (state is bounded — keys older than
+    the watermark are evicted, unlike an unbounded dropDuplicates).
+    The streaming member of the operators.dedup family: at-least-once
+    upstream delivery becomes exactly-once records downstream."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def running_user_peaks(
     events: DataFrame,
     ts_col: str = "ts",

@@ -211,6 +211,39 @@ def test_incremental_trends_matches_batch(spark, tmp_path):
     assert set(DAYS) <= days_in_lake
 
 
+def test_dedup_stream_drops_redelivered_events(spark, tmp_path):
+    """Simulated at-least-once source (every event delivered twice,
+    in separate files) → dropDuplicatesWithinWatermark emits each key
+    once."""
+    from org_revue_de_presse_trends_spark.streaming.incremental import (
+        dedup_stream,
+    )
+
+    d = str(tmp_path / "dup_stream")
+    ev = load_table(spark, SF, "events").select("event_id", "ts", "value")
+    ev.write.parquet(d, mode="append")
+    ev.write.parquet(d, mode="append")  # full redelivery
+    assert spark.read.parquet(d).count() == 2000
+    stream = spark.readStream.schema(
+        spark.read.parquet(d).schema
+    ).parquet(d)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("deduped_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS d "
+        "FROM deduped_stream"
+    ).collect()[0]
+    assert rows["n"] == rows["d"] == 1000
+
+
 def test_jdbc_incremental_sync_protocol(spark, tmp_path):
     """Bookmark protocol: successive polls read disjoint increments;
     the union of processed batches equals the source table; empty poll
