@@ -132,7 +132,6 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         return 0
 
     if args.lake_dir:
-        from .functions.expressions import civil_day  # noqa: F401
         from .sources.lake import write_partitioned
         from pyspark.sql import functions as F
 

@@ -40,9 +40,14 @@ def asof_join(
     ts: tuple[str, str],
     payload: list[str],
     tolerance: str | None = None,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """For each left row: the right row with the greatest ``ts`` that is
     <= left ts (optionally within ``tolerance``, e.g. '7 days').
+
+    ``tiebreak`` names a unique right column used to break equal-ts
+    matches deterministically (max wins); without it, ties are
+    implementation-defined.
 
     Implementation: inner equi-join on key (hash-partitioned shuffle),
     range filter in the join condition, then argmax collapse per left
@@ -51,16 +56,26 @@ def asof_join(
     """
     lk, rk = key
     lts, rts = ts
-    cond = (left[lk] == right[rk]) & (right[rts] <= left[lts])
+    # alias both sides: left/right often share lineage (self as-of
+    # joins, e.g. purchases vs clicks from one events table), which
+    # makes bare column references ambiguous
+    la, ra = left.alias("__asof_l"), right.alias("__asof_r")
+    L = lambda c: F.col(f"__asof_l.{c}")
+    R = lambda c: F.col(f"__asof_r.{c}")
+    cond = (L(lk) == R(rk)) & (R(rts) <= L(lts))
     if tolerance is not None:
-        cond = cond & (right[rts] >= left[lts] - F.expr(f"INTERVAL {tolerance}"))
-    lcols = [left[c] for c in left.columns]
+        cond = cond & (R(rts) >= L(lts) - F.expr(f"INTERVAL {tolerance}"))
+    order_key = (
+        F.struct(R(rts), R(tiebreak))
+        if tiebreak is not None
+        else F.struct(R(rts))
+    )
     matched = (
-        left.join(right, cond, "inner")
-        .groupBy(*lcols)
+        la.join(ra, cond, "inner")
+        .groupBy(*[L(c).alias(c) for c in left.columns])
         .agg(
             *[
-                F.max_by(right[p], F.struct(right[rts])).alias(f"asof_{p}")
+                F.max_by(R(p), order_key).alias(f"asof_{p}")
                 for p in payload
             ]
         )

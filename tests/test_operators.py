@@ -180,6 +180,19 @@ def test_asof_join_picks_latest_at_or_before(spark):
     assert out[1] == 200.0   # latest at-or-before 12:30
     assert out[2] is None    # nothing at-or-before 12:05... except t(10)>t(5): None
     assert out[3] is None    # no rows for key v
+    # tiebreak: two right rows at the same ts → max tiebreak value wins
+    right_ties = spark.createDataFrame(
+        [("u", t(10), 100.0, 1), ("u", t(10), 999.0, 2)],
+        ["key", "rts", "val", "seq"],
+    )
+    out2 = {
+        r["lid"]: r["asof_val"]
+        for r in asof_join(
+            left, right_ties, key=("key", "key"), ts=("lts", "rts"),
+            payload=["val"], tiebreak="seq",
+        ).collect()
+    }
+    assert out2[1] == 999.0
 
 
 def test_civil_day_shift_and_tz(spark):
