@@ -253,6 +253,20 @@ def simhash_pairs(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic stratified sampling for training-data mixtures:
+    keep a per-stratum fraction (e.g. downsample dominant languages).
+    Uses sampleBy (per-row Bernoulli on a seeded hash) — exact-size
+    guarantees need a window-rank variant; this is the scan-only
+    scale path."""
+    return df.sampleBy(strata_col, fractions, seed)
+
+
 def cluster_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster) with
     cluster = min id of the component (the canonical survivor).

@@ -281,6 +281,60 @@ def test_approx_sketches_within_bounds(spark):
         assert exact[t]["lo"] <= q50 <= q90 <= q99 <= exact[t]["hi"]
 
 
+def test_chunks_edge_cases(spark):
+    from org_revue_de_presse_trends_spark.functions.text import (
+        chunks_from_tokens,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(5))),    # shorter than size
+            (2, " ".join(f"w{i}" for i in range(50))),   # exactly one chunk
+            (3, " ".join(f"w{i}" for i in range(51))),   # needs 2 chunks
+            (4, " ".join(f"w{i}" for i in range(130))),  # 3 chunks
+        ],
+        ["doc_id", "text"],
+    ).withColumn("__toks", tokens(F.col("text")))
+    out = df.select(
+        "doc_id",
+        F.explode(chunks_from_tokens(F.col("__toks"), 50, 10)).alias("c"),
+    ).select("doc_id", "c.chunk_id", "c.n_tokens")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(r["n_tokens"])
+    assert got[1] == [5]
+    assert got[2] == [50]
+    assert sorted(got[3], reverse=True) == [50, 11]   # overlap keeps last 11
+    assert sorted(got[4], reverse=True) == [50, 50, 50]
+    # overlap >= size rejected
+    with pytest.raises(ValueError):
+        chunks_from_tokens(F.col("__toks"), 10, 10)
+
+
+def test_stratified_sample_fractions(spark):
+    from org_revue_de_presse_trends_spark.catalog import load_table
+    from org_revue_de_presse_trends_spark.operators.dedup import (
+        stratified_sample,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fractions = {"en": 0.5, "fr": 1.0, "es": 0.1, "de": 1.0, "zh": 0.0}
+    s = stratified_sample(d, "lang", fractions)
+    base = {r["lang"]: r["n"] for r in
+            d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in
+           s.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got.get("zh", 0) == 0
+    assert got["fr"] == base["fr"] and got["de"] == base["de"]
+    assert 0 < got["en"] < base["en"]
+    # deterministic under a fixed seed
+    again = {r["lang"]: r["n"] for r in
+             stratified_sample(d, "lang", fractions)
+             .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == got
+
+
 def test_lang_id_markers(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the dog of a house"),
