@@ -23,6 +23,39 @@ from pyspark.sql import Row
 from ..functions import vectors as V
 
 
+def grouped_topk(
+    scored: DataFrame,
+    k: int,
+    group_col: str = "query_id",
+    order_cols: tuple = ("cos",),
+    tiebreak_col: str = "neighbor_id",
+) -> DataFrame:
+    """Two-phase grouped top-k, the scale-safe replacement for a bare
+    ``row_number() OVER (PARTITION BY query_id)``.
+
+    With a handful of query ids, a single window would shuffle EVERY
+    scored row into |queries| reducers — one reducer per query holds a
+    corpus-sized partition at 100×.  Phase 1 ranks within
+    ``(group, input-partition)`` — keys are uniform because
+    ``spark_partition_id()`` spreads each group over all input
+    partitions — and keeps k rows per pair, so the phase-2 window sees
+    at most k × num_partitions rows per group regardless of corpus
+    size.  Ties broken by ``tiebreak_col`` ascending in both phases for
+    determinism.
+    """
+    order = [F.desc(c) for c in order_cols] + [F.asc(tiebreak_col)]
+    partial_w = Window.partitionBy(group_col, "_part").orderBy(*order)
+    final_w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        scored.withColumn("_part", F.spark_partition_id())
+        .withColumn("_pr", F.row_number().over(partial_w))
+        .filter(F.col("_pr") <= k)
+        .drop("_part", "_pr")
+        .withColumn("rank", F.row_number().over(final_w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -66,13 +99,7 @@ def brute_force_topk(
             (dot / F.col("qnorm") / F.col("cnorm")).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return grouped_topk(scored, k)
 
 
 def train_centroids(
@@ -179,7 +206,4 @@ def ivf_topk(
             "query_id", "neighbor_id", V.cosine(F.col("qv"), F.col("cv")).alias("cos")
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
-        F.col("rank") <= k
-    )
+    return grouped_topk(scored, k)

@@ -418,13 +418,15 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct counts and approximate quantiles per event type — the
     constant-memory substitutes for exact distinct/percentile at scale.
     No DuckDB oracle (sketch estimates are engine-specific); bounds are
-    asserted in tests/test_operators.py instead."""
+    asserted in tests/test_operators.py instead.  Quantiles are emitted
+    as three scalar columns (not an array) so downstream row
+    canonicalization stays hashable."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias(
-            "value_quantiles"
-        ),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("approx_p50"),
+        F.percentile_approx("value", F.lit(0.9), F.lit(10000)).alias("approx_p90"),
+        F.percentile_approx("value", F.lit(0.99), F.lit(10000)).alias("approx_p99"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

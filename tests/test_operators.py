@@ -277,7 +277,7 @@ def test_approx_sketches_within_bounds(spark):
         assert abs(row["approx_users"] - exact[t]["users"]) <= max(
             3, 0.1 * exact[t]["users"]
         )
-        q50, q90, q99 = row["value_quantiles"]
+        q50, q90, q99 = row["approx_p50"], row["approx_p90"], row["approx_p99"]
         assert exact[t]["lo"] <= q50 <= q90 <= q99 <= exact[t]["hi"]
 
 

@@ -62,6 +62,17 @@ def test_no_cartesian_anywhere(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_ann_two_phase_topk(spark):
+    """ANN ranking must be two-phase: a partial top-k keyed by
+    (query_id, spark_partition_id) before the final per-query window —
+    otherwise every scored row shuffles into |queries| reducers and one
+    reducer holds a corpus-sized partition at 100×."""
+    for name in ("ann_cosine_topk", "ann_ivf_topk"):
+        plan = plan_of(spark, name)
+        assert plan.count("Window") >= 2, name
+        assert "SPARK_PARTITION_ID" in plan.upper(), name
+
+
 def test_argmax_single_aggregate_no_window(spark):
     """A4 via max_by must stay a hash aggregate (map-side partial), not
     a sort-window plan."""
