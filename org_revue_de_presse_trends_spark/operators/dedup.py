@@ -18,7 +18,7 @@ bucket key):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
@@ -51,6 +51,7 @@ def shingle_pairs_jaccard(
     block_cols: list[str] | None = None,
     k: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs within blocking groups.
 
@@ -59,15 +60,39 @@ def shingle_pairs_jaccard(
     columns bound the candidate set; at 100 TB use an LSH band key as
     the block (see ``minhash_lsh_pairs``) — the join stays equi-shaped
     either way.
+
+    ``max_shingle_df`` (default on) drops stop-shingles — shingles whose
+    document frequency within a block exceeds the cap — from the
+    representation BEFORE the self-join: a shingle present in 10⁴ docs
+    of one block would otherwise emit ~10⁸/2 candidate rows on its own.
+    Jaccard is then computed over the filtered shingle sets (both the
+    intersection and the set sizes exclude capped shingles), keeping it
+    a true Jaccard of the stop-filtered representation.  Pass ``None``
+    to disable.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     block_cols = block_cols or []
-    base = df.select(
+    ex = df.select(
         F.col(id_col).cast("long").alias("id"),
-        T.shingles(F.col(text_col), k).alias("sh"),
         *[F.col(c) for c in block_cols],
-    ).withColumn("n_sh", F.size("sh"))
-    ex = base.select("id", "n_sh", *block_cols, F.explode("sh").alias("shingle"))
+        F.explode(T.shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    if max_shingle_df is not None:
+        # df-count via window on the join key itself: the shuffle it
+        # introduces produces exactly the (block, shingle) partitioning
+        # the self-join below needs, and a stop-shingle's window
+        # partition is df rows — linear, unlike the df² join output
+        w_df = Window.partitionBy(*block_cols, "shingle")
+        ex = (
+            ex.withColumn("_df", F.count(F.lit(1)).over(w_df))
+            .filter(F.col("_df") <= max_shingle_df)
+            .drop("_df")
+        )
+    # per-doc size of the (possibly filtered) shingle set; shingles are
+    # distinct per doc so a row count is the set size
+    ex = ex.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    )
     a, b = ex.alias("a"), ex.alias("b")
     join_cond = F.col("a.shingle") == F.col("b.shingle")
     for c in block_cols:

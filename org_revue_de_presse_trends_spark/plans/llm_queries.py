@@ -237,6 +237,43 @@ def doc_top_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deduplication
 # ---------------------------------------------------------------------------
 
+# Shared oracle CTE block mirroring operators.dedup.shingle_pairs_jaccard
+# (block=source, k=3, max_shingle_df=1000): distinct 3-shingles, drop
+# stop-shingles above the per-block document-frequency cap, set sizes
+# over the FILTERED sets, then pair intersection counts.
+_SHINGLE_PAIRS_CTES = """base AS (
+        SELECT doc_id AS id, source,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+                   i -> string_split(text,' ')[i] || ' ' ||
+                        string_split(text,' ')[i+1] || ' ' ||
+                        string_split(text,' ')[i+2]
+               )) AS sh
+        FROM documents
+    ),
+    ex0 AS (
+        SELECT id, source, unnest(sh) AS shingle FROM base
+    ),
+    exf AS (
+        SELECT id, source, shingle
+        FROM (SELECT id, source, shingle,
+                     COUNT(*) OVER (PARTITION BY source, shingle) AS df
+              FROM ex0)
+        WHERE df <= 1000
+    ),
+    ex AS (
+        SELECT id, source, shingle,
+               COUNT(*) OVER (PARTITION BY id) AS n_sh
+        FROM exf
+    ),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+               COUNT(*) AS n_inter
+        FROM ex a JOIN ex b
+          ON a.shingle = b.shingle AND a.source = b.source AND a.id < b.id
+        GROUP BY a.id, b.id, a.n_sh, b.n_sh
+    )"""
+
 @query(
     "dedup_exact_docs",
     """
@@ -254,27 +291,8 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
-    """
-    WITH base AS (
-        SELECT doc_id AS id, source,
-               list_distinct(list_transform(
-                   range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
-                   i -> string_split(text,' ')[i] || ' ' ||
-                        string_split(text,' ')[i+1] || ' ' ||
-                        string_split(text,' ')[i+2]
-               )) AS sh
-        FROM documents
-    ),
-    ex AS (
-        SELECT id, source, len(sh) AS n_sh, unnest(sh) AS shingle FROM base
-    ),
-    inter AS (
-        SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
-               COUNT(*) AS n_inter
-        FROM ex a JOIN ex b
-          ON a.shingle = b.shingle AND a.source = b.source AND a.id < b.id
-        GROUP BY a.id, b.id, a.n_sh, b.n_sh
-    )
+    f"""
+    WITH {_SHINGLE_PAIRS_CTES}
     SELECT id_a, id_b,
            CAST(n_inter AS DOUBLE)
              / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
@@ -295,27 +313,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_clusters",
-    """
-    WITH RECURSIVE base AS (
-        SELECT doc_id AS id, source,
-               list_distinct(list_transform(
-                   range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
-                   i -> string_split(text,' ')[i] || ' ' ||
-                        string_split(text,' ')[i+1] || ' ' ||
-                        string_split(text,' ')[i+2]
-               )) AS sh
-        FROM documents
-    ),
-    ex AS (
-        SELECT id, source, len(sh) AS n_sh, unnest(sh) AS shingle FROM base
-    ),
-    inter AS (
-        SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
-               COUNT(*) AS n_inter
-        FROM ex a JOIN ex b
-          ON a.shingle = b.shingle AND a.source = b.source AND a.id < b.id
-        GROUP BY a.id, b.id, a.n_sh, b.n_sh
-    ),
+    f"""
+    WITH RECURSIVE {_SHINGLE_PAIRS_CTES},
     pairs AS (
         SELECT id_a, id_b FROM inter
         WHERE CAST(n_inter AS DOUBLE)
@@ -438,26 +437,7 @@ _QUALITY_EXPR = """
 @query(
     "corpus_selection",
     f"""
-    WITH RECURSIVE base AS (
-        SELECT doc_id AS id, source,
-               list_distinct(list_transform(
-                   range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
-                   i -> string_split(text,' ')[i] || ' ' ||
-                        string_split(text,' ')[i+1] || ' ' ||
-                        string_split(text,' ')[i+2]
-               )) AS sh
-        FROM documents
-    ),
-    ex AS (
-        SELECT id, source, len(sh) AS n_sh, unnest(sh) AS shingle FROM base
-    ),
-    inter AS (
-        SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
-               COUNT(*) AS n_inter
-        FROM ex a JOIN ex b
-          ON a.shingle = b.shingle AND a.source = b.source AND a.id < b.id
-        GROUP BY a.id, b.id, a.n_sh, b.n_sh
-    ),
+    WITH RECURSIVE {_SHINGLE_PAIRS_CTES},
     pairs AS (
         SELECT id_a, id_b FROM inter
         WHERE CAST(n_inter AS DOUBLE)

@@ -80,6 +80,36 @@ def test_minhash_estimate_tracks_exact_jaccard(spark, near_dup_docs):
             assert abs(e - exact[pair]) < 0.25, (pair, e, exact[pair])
 
 
+def test_max_shingle_df_bounds_stop_shingle_candidates(spark):
+    """A stop-shingle shared by every doc must not generate O(n²)
+    candidate pairs: with the df cap on (default), spurious pairs
+    disappear while a planted near-dup (sharing many RARE shingles) is
+    still found with high jaccard."""
+    stop = "common stop phrase"
+    rows = [
+        (i, f"{stop} " + " ".join(f"u{i}w{j}" for j in range(10)))
+        for i in range(30)
+    ]
+    planted = " ".join(f"shared{j}" for j in range(40))
+    rows.append((1000, f"{stop} {planted}"))
+    rows.append((1001, f"{stop} {planted.replace('shared20', 'MUT')}"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = shingle_pairs_jaccard(
+        docs, threshold=0.0, max_shingle_df=None
+    ).collect()
+    capped = shingle_pairs_jaccard(
+        docs, threshold=0.0, max_shingle_df=5
+    ).collect()
+    # uncapped: every pair of the 32 docs shares the stop shingle
+    assert len(uncapped) >= 30 * 29 // 2
+    # capped: only pairs sharing rare shingles survive — bounded, and
+    # the planted dup is among them with high jaccard
+    assert len(capped) < 30
+    by_pair = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped}
+    assert by_pair.get((1000, 1001), 0.0) > 0.8
+
+
 def test_simhash_near_dups_have_small_hamming(spark, near_dup_docs):
     """Deterministic data + deterministic hash → fixed outcome: one
     word changed in 40 flips only the bits where that word's ±1 vote
