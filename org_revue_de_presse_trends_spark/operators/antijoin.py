@@ -28,13 +28,23 @@ def anti_join(
             "left_anti",
         )
     # NOT IN semantics: if the key set contains any NULL, nothing passes.
-    left.sparkSession.conf.get("spark.sql.adaptive.enabled")  # touch session
-    lv, kv = "__aj_left", "__aj_keys"
+    # View names are uuid-suffixed: two concurrent null-aware anti-joins
+    # in one session must not clobber each other's views, and sql()
+    # resolves eagerly so the views can be dropped right away.
+    import uuid
+
+    tag = uuid.uuid4().hex
+    lv, kv = f"__aj_left_{tag}", f"__aj_keys_{tag}"
+    spark = left.sparkSession
     left.createOrReplaceTempView(lv)
     keys.select(F.col(rk)).createOrReplaceTempView(kv)
-    return left.sparkSession.sql(
-        f"SELECT * FROM {lv} WHERE {lk} NOT IN (SELECT {rk} FROM {kv})"
-    )
+    try:
+        return spark.sql(
+            f"SELECT * FROM {lv} WHERE {lk} NOT IN (SELECT {rk} FROM {kv})"
+        )
+    finally:
+        spark.catalog.dropTempView(lv)
+        spark.catalog.dropTempView(kv)
 
 
 def semi_join(left: DataFrame, keys: DataFrame, on: tuple[str, str]) -> DataFrame:

@@ -41,6 +41,7 @@ def asof_join(
     payload: list[str],
     tolerance: str | None = None,
     tiebreak: str | None = None,
+    left_id: str | None = None,
 ) -> DataFrame:
     """For each left row: the right row with the greatest ``ts`` that is
     <= left ts (optionally within ``tolerance``, e.g. '7 days').
@@ -49,17 +50,37 @@ def asof_join(
     matches deterministically (max wins); without it, ties are
     implementation-defined.
 
-    Implementation: inner equi-join on key (hash-partitioned shuffle),
-    range filter in the join condition, then argmax collapse per left
-    row — one shuffle + one partial-aggregating shuffle.  Left rows with
-    no match are preserved via a final left join back.
+    ``left_id`` names a unique left column: the argmax collapse then
+    groups by that id ALONE — grouping by every left column would hash
+    and serialize whole row payloads per matched row, and the rejoin
+    would re-shuffle on the same wide key.  Without it a synthetic id
+    is derived; the id'd left is lazily localCheckpointed because
+    ``monotonically_increasing_id`` is nondeterministic under
+    recomputation and the probe and rejoin branches must see identical
+    ids.  At scale, pass a real key column to skip that materialization.
+
+    Implementation: inner equi-join on key over an (id, key, ts)-slim
+    probe side (hash-partitioned shuffle), range filter in the join
+    condition, argmax collapse per left id — one shuffle + one
+    partial-aggregating shuffle on the narrow id.  Left rows with no
+    match are preserved via a final left join back on the id.
     """
     lk, rk = key
     lts, rts = ts
+    derived = left_id is None
+    if derived:
+        lid = "__asof_lid"
+        base = left.withColumn(
+            lid, F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
+    else:
+        lid, base = left_id, left
     # alias both sides: left/right often share lineage (self as-of
     # joins, e.g. purchases vs clicks from one events table), which
     # makes bare column references ambiguous
-    la, ra = left.alias("__asof_l"), right.alias("__asof_r")
+    probe_cols = list(dict.fromkeys([lid, lk, lts]))
+    la = base.select(*probe_cols).alias("__asof_l")
+    ra = right.alias("__asof_r")
     L = lambda c: F.col(f"__asof_l.{c}")
     R = lambda c: F.col(f"__asof_r.{c}")
     cond = (L(lk) == R(rk)) & (R(rts) <= L(lts))
@@ -72,7 +93,7 @@ def asof_join(
     )
     matched = (
         la.join(ra, cond, "inner")
-        .groupBy(*[L(c).alias(c) for c in left.columns])
+        .groupBy(L(lid).alias(lid))
         .agg(
             *[
                 F.max_by(R(p), order_key).alias(f"asof_{p}")
@@ -80,4 +101,5 @@ def asof_join(
             ]
         )
     )
-    return left.join(matched, on=left.columns, how="left")
+    out = base.join(matched, on=lid, how="left")
+    return out.drop(lid) if derived else out

@@ -187,6 +187,23 @@ def test_anti_join_null_aware_vs_default(spark):
     assert got_na2 == {1}  # null-key left row excluded by NOT IN
 
 
+def test_anti_join_null_aware_concurrent_independent(spark):
+    """Two null-aware anti-joins built before either is collected must
+    not share state (uuid-suffixed views; fixed names silently collide)."""
+    left1 = spark.createDataFrame([(1, 10), (2, 20)], ["id", "k"])
+    keys1 = spark.createDataFrame([(20,)], ["k2"])
+    left2 = spark.createDataFrame([(7, 70), (8, 80)], ["id", "k"])
+    keys2 = spark.createDataFrame([(70,)], ["k2"])
+    aj1 = anti_join(left1, keys1, on=("k", "k2"), null_aware=True)
+    aj2 = anti_join(left2, keys2, on=("k", "k2"), null_aware=True)
+    assert {r["id"] for r in aj1.collect()} == {1}
+    assert {r["id"] for r in aj2.collect()} == {8}
+    # views are cleaned up after plan resolution
+    assert not [
+        t.name for t in spark.catalog.listTables() if t.name.startswith("__aj_")
+    ]
+
+
 def test_asof_join_picks_latest_at_or_before(spark):
     import datetime as dt
 
@@ -223,6 +240,34 @@ def test_asof_join_picks_latest_at_or_before(spark):
         ).collect()
     }
     assert out2[1] == 999.0
+
+
+def test_asof_join_aggregates_on_narrow_id(spark):
+    """The argmax collapse must group by the unique left id alone —
+    never by every left column (wide-key hashing at scale)."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 12, m)
+    left = spark.createDataFrame(
+        [(1, "u", t(30), "x" * 50), (2, "u", t(5), "y" * 50)],
+        ["lid", "key", "lts", "big_payload"],
+    )
+    right = spark.createDataFrame(
+        [("u", t(10), 100.0)], ["key", "rts", "val"]
+    )
+    out = asof_join(
+        left, right, key=("key", "key"), ts=("lts", "rts"),
+        payload=["val"], left_id="lid",
+    )
+    assert {r["lid"]: r["asof_val"] for r in out.collect()} == {
+        1: 100.0, 2: None
+    }
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    agg_lines = [l for l in plan.splitlines() if "Aggregate [" in l]
+    assert agg_lines
+    for l in agg_lines:
+        group_keys = l.split("], [")[0]
+        assert "big_payload" not in group_keys and "lts" not in group_keys, l
 
 
 def test_civil_day_shift_and_tz(spark):
