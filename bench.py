@@ -28,14 +28,20 @@ HEADLINE = [
     "argmax_event_per_user",
     "asof_click_before_purchase",
     "orders_excluding_building_anti",
+    "orders_left_join_big_lines",
     "running_total_per_customer",
+    "user_value_zscores",
     "sessionize_events",
+    "events_time_rollup",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
     "dedup_clusters",
     "corpus_selection",
+    "doc_top_tfidf_terms",
     "ann_cosine_topk",
+    "ann_ivf_topk",
 ]
 
 

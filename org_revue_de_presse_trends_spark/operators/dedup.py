@@ -318,6 +318,16 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
     )
     labels = nodes.withColumn("cluster", F.col("id")).localCheckpoint()
+    # Convergence check: labels only ever DECREASE (the new label is a
+    # min over the old label and incoming messages), so the label sum is
+    # strictly decreasing until the fixpoint — comparing sums detects
+    # convergence with one aggregate over the just-checkpointed labels,
+    # no join against the previous round needed.  decimal(38,0) keeps
+    # the sum exact for long ids at any node count.
+    _sum = lambda df: df.agg(
+        F.sum(F.col("cluster").cast("decimal(38,0)"))
+    ).collect()[0][0]
+    prev_sum = _sum(labels)
     for _ in range(max_iter):
         msgs = (
             edges.join(labels, edges.a == labels.id)
@@ -327,22 +337,17 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 .select(F.col("a").alias("id"), "cluster")
             )
         )
-        new_labels = (
+        labels = (
             labels.select("id", "cluster")
             .union(msgs)
             .groupBy("id")
             .agg(F.min("cluster").alias("cluster"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = _sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
