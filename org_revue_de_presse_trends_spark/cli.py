@@ -10,6 +10,11 @@ Reference flags → here:
                                    physical plans — the Catalyst
                                    analogue of printing the SQL string,
                                    trends.go:408-412)
+Ops parity:
+  config.json / config.firebase.json (trends.go:241-254, 225-239)
+                                 → --config / --firebase-config
+  -since-last-week (dead in ref: emits invalid SQL, trends.go:531-534)
+                                 → --since-last-week (corrected mode)
 Engine additions: --source-dir (parquet domain tables), --sink-dir
 (local document store root), --lake-dir (partitioned parquet sink),
 --bug-compat, --tz for the corrected civil-day mode.
@@ -40,7 +45,26 @@ def build_parser() -> argparse.ArgumentParser:
         description="Daily-highlights engine (PySpark re-implementation "
         "of revuedepresse/org.revue-de-presse.trends)",
     )
-    p.add_argument("--publishers-list-id", required=True)
+    p.add_argument(
+        "--publishers-list-id", default=None,
+        help="required unless the --config file carries List_Id",
+    )
+    p.add_argument(
+        "--config", default=None,
+        help="config.json (reference dist format: Read_* DSN parts, "
+        "Firebase_url, List_Id)",
+    )
+    p.add_argument(
+        "--firebase-config", default=None,
+        help="config.firebase.json (Google service-account key) — with "
+        "--config's Firebase_url, routes the sink to Firebase REST "
+        "with OAuth2 tokens",
+    )
+    p.add_argument(
+        "--since-last-week", action="store_true",
+        help="corrected 7-day lookback mode (the reference flag is "
+        "dead: its SQL is invalid, trends.go:531-534)",
+    )
     p.add_argument(
         "--deprecated-list-id", default=DEPRECATED_LIST_DEFAULT,
         help="second public_id matched by the IN-list (trends.go:39)",
@@ -81,6 +105,18 @@ def load_domain_tables(spark: SparkSession, source_dir: str) -> TrendsTables:
 
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
     args = build_parser().parse_args(argv)
+    cfg = None
+    if args.config is not None:
+        from .sources.config import load_app_config
+
+        cfg = load_app_config(args.config)
+    if args.publishers_list_id is None:
+        if cfg is not None and cfg.list_id:
+            args.publishers_list_id = cfg.list_id
+        else:
+            build_parser().error(
+                "--publishers-list-id is required (or List_Id in --config)"
+            )
     if args.tz is not None:
         # validate eagerly: Spark only checks zone ids at execution,
         # which --dry-mode never reaches
@@ -104,6 +140,29 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         bug_compat=args.bug_compat,
     )
     pipe = TrendsPipeline(load_domain_tables(spark, args.source_dir), params)
+
+    if args.since_last_week:
+        from pyspark.sql import functions as F
+
+        df = pipe.last_week_statuses(now=args.since_date)
+        if args.dry_mode:
+            df.explain("formatted")
+            return 0
+        if args.lake_dir:
+            from .sources.lake import write_partitioned
+
+            day = F.to_date(
+                F.col("ust_created_at")
+                - F.expr(f"INTERVAL {params.shift_hours} HOUR")
+            ).cast("string")
+            write_partitioned(
+                df.withColumn("day", day), args.lake_dir,
+                partition_by=("day",),
+            )
+        else:
+            for row in df.collect():
+                print(row)
+        return 0
 
     if not args.quiet:
         # ops parity: the reference's count log line (trends.go:522);
@@ -140,6 +199,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             args.lake_dir,
             partition_by=("day", "statusType"),
         )
+    use_firebase = (
+        not args.sink_dir
+        and cfg is not None
+        and cfg.firebase_url
+        and args.firebase_config
+    )
     if args.sink_dir:
         from .sources.document_sink import (
             LocalFSDocumentStore,
@@ -154,7 +219,28 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             since_date=args.since_date,
             parallel=args.in_parallel,
         )
-    if not (args.sink_dir or args.lake_dir):
+    elif use_firebase:
+        from .sources.document_sink import write_highlights
+
+        fb_url, fb_cfg = cfg.firebase_url, args.firebase_config
+
+        def firebase_factory(url=fb_url, key_path=fb_cfg):
+            # built per-partition on the executor: the token provider
+            # holds a lock and must not be pickled from the driver
+            from .sources.config import token_provider_from_firebase_config
+            from .sources.document_sink import FirebaseRESTStore
+
+            provider = token_provider_from_firebase_config(key_path)
+            return FirebaseRESTStore(url, token_provider=provider.token)
+
+        write_highlights(
+            result,
+            firebase_factory,
+            list_id=args.publishers_list_id,
+            since_date=args.since_date,
+            parallel=args.in_parallel,
+        )
+    if not (args.sink_dir or args.lake_dir or use_firebase):
         for row in result.collect():
             print(row)
     return 0

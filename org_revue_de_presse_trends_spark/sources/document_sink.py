@@ -79,18 +79,31 @@ class LocalFSDocumentStore(DocumentStore):
 class FirebaseRESTStore(DocumentStore):
     """Firebase RTDB REST client (PUT/DELETE on ``{base}/{path}.json``)
     — the production sink (reference uses the firego client,
-    trends.go:686-745).  Auth token supplied externally; network I/O
-    is urllib-only so no extra deps."""
+    trends.go:686-745).  Network I/O is urllib-only so no extra deps.
+
+    Auth, in precedence order:
+
+    - ``token_provider`` — a zero-arg callable returning a fresh OAuth2
+      access token (e.g. ``ServiceAccountTokenProvider.token`` from
+      ``sources.gauth``, the reference's service-account flow,
+      trends.go:225-239); sent as ``?access_token=`` per the Firebase
+      REST docs, re-evaluated per request so refresh just works.
+    - ``auth_token`` — a static legacy database secret (``?auth=``).
+    """
 
     def __init__(self, base_url: str, auth_token: str | None = None,
-                 timeout: float = 10.0):
+                 timeout: float = 10.0,
+                 token_provider: "Callable[[], str] | None" = None):
         self.base_url = base_url.rstrip("/")
         self.auth_token = auth_token
+        self.token_provider = token_provider
         self.timeout = timeout
 
     def _url(self, path: str) -> str:
         url = f"{self.base_url}/{path.strip('/')}.json"
-        if self.auth_token:
+        if self.token_provider is not None:
+            url += f"?access_token={self.token_provider()}"
+        elif self.auth_token:
             url += f"?auth={self.auth_token}"
         return url
 

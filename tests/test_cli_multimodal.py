@@ -124,3 +124,136 @@ def test_video_frame_sampling(spark, media_df):
     assert {r["media_id"] for r in frames} == {2}
     assert sorted(r["frame_ts_ms"] for r in frames) == [0, 1000, 2000]
     assert len({r["frame_hash"] for r in frames}) >= 1
+
+
+def test_cli_since_last_week_prints_window(spark, domain_dir, capsys):
+    """Corrected -since-last-week mode: statuses whose shifted creation
+    time falls in the 7 days before --since-date."""
+    rc = main(
+        [
+            "--publishers-list-id", TARGET_LIST,
+            "--since-date", "2024-03-05",
+            "--source-dir", domain_dir,
+            "--since-last-week",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ust_created_at" in out  # rows printed
+    # a run anchored before the fixture window prints nothing
+    rc2 = main(
+        [
+            "--publishers-list-id", TARGET_LIST,
+            "--since-date", "2024-02-01",
+            "--source-dir", domain_dir,
+            "--since-last-week",
+        ],
+        spark=spark,
+    )
+    assert rc2 == 0
+    assert "ust_created_at" not in capsys.readouterr().out
+
+
+def test_cli_since_last_week_lake_partitioned_by_day(
+    spark, domain_dir, tmp_path
+):
+    lake = str(tmp_path / "lake")
+    rc = main(
+        [
+            "--publishers-list-id", TARGET_LIST,
+            "--since-date", "2024-03-05",
+            "--source-dir", domain_dir,
+            "--since-last-week",
+            "--lake-dir", lake,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    days = sorted(d for d in os.listdir(lake) if d.startswith("day="))
+    assert days  # one partition dir per civil day in the window
+    assert all(d.split("=")[1].startswith("2024-0") for d in days)
+
+
+def test_cli_config_file_routes_firebase_sink(spark, domain_dir, tmp_path):
+    """Dist-style config.json + config.firebase.json drive the full
+    OAuth2 sink path: list id from config, token minted from the fake
+    token endpoint, writes carry ?access_token=."""
+    import http.server
+    import threading
+
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+
+    requests = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _h(self, body=b"{}"):
+            n = int(self.headers.get("Content-Length") or 0)
+            payload = self.rfile.read(n) if n else b""
+            requests.append((self.command, self.path, payload))
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):  # the OAuth token endpoint
+            self._h(b'{"access_token": "cli-tok", "expires_in": 3600}')
+
+        do_PATCH = do_DELETE = do_PUT = _h
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+        pem = key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.PKCS8,
+            serialization.NoEncryption(),
+        ).decode()
+        cfg_path = str(tmp_path / "config.json")
+        fb_path = str(tmp_path / "config.firebase.json")
+        with open(cfg_path, "w") as f:
+            json.dump(
+                {
+                    "List_Id": TARGET_LIST,
+                    "Firebase_url": base,
+                    "Read_user": "reader",
+                    "Read_password": "secret",
+                    "Read_database": "trends",
+                    "Read_protocol_host_port": "db.internal:5432",
+                },
+                f,
+            )
+        with open(fb_path, "w") as f:
+            json.dump(
+                {
+                    "type": "service_account",
+                    "client_email": "sink@example.iam.gserviceaccount.com",
+                    "private_key": pem,
+                    "token_uri": f"{base}/token",
+                },
+                f,
+            )
+        rc = main(
+            [
+                "--since-date", "2024-03-02",
+                "--source-dir", domain_dir,
+                "--config", cfg_path,
+                "--firebase-config", fb_path,
+            ],
+            spark=spark,
+        )
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    assert rc == 0
+    token_posts = [r for r in requests if r[0] == "POST"]
+    assert token_posts and all("/token" in p for _, p, _ in token_posts)
+    patches = [p for (m, p, _) in requests if m == "PATCH"]
+    assert patches and all("access_token=cli-tok" in p for p in patches)
+    assert any(f"highlights/{TARGET_LIST}/2024-03-02/" in p for p in patches)
