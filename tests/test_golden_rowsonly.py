@@ -1,0 +1,112 @@
+"""CI-side correctness gates for the three driver queries that have no
+DuckDB oracle (xxhash64-based signatures / centroid assignment have no
+DuckDB equivalent, so the driver records `no_oracle` rows-only checks).
+
+They ARE deterministic — fixed hash seeds, deterministic tiebreaks — so
+this file pins them two independent ways:
+
+1. golden result hashes at sf0.01 (same canonicalization as the
+   driver: sorted columns, stable float rendering, sorted rows) — any
+   semantic drift breaks CI even though the driver can't see it;
+2. semantic cross-checks against the ORACLED exact paths: LSH pairs
+   must sit inside the verified-similar set and recall every
+   high-Jaccard pair; IVF top-k must overlap brute-force cosine top-k.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from conftest import canon
+
+from org_revue_de_presse_trends_spark.catalog import load_table
+from org_revue_de_presse_trends_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    shingle_pairs_jaccard,
+)
+from org_revue_de_presse_trends_spark.plans.registry import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+GOLDEN_SHA256 = {
+    "dedup_minhash_lsh": (
+        25, "3913a5492b538bffe344901407a76c9061fcb78833be125f9a89d4df3e53f62e"
+    ),
+    "dedup_simhash": (
+        17, "098437abe006f380d7fbd5eefd2381058ec7c029e2b402c83a19c1ff092283e7"
+    ),
+    "ann_ivf_topk": (
+        50, "099acf68e2581a6ac6f26f933b27a005d6ca52203cec5c2680088ffdf27cba6a"
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN_SHA256))
+def test_rows_only_query_matches_golden_hash(spark, name):
+    df = QUERIES[name](spark, SF)
+    rows = df.collect()
+    c = canon([tuple(r) for r in rows], df.columns)
+    digest = hashlib.sha256(repr(c).encode()).hexdigest()
+    want_rows, want_hash = GOLDEN_SHA256[name]
+    assert len(rows) == want_rows, f"{name}: row count drifted"
+    assert digest == want_hash, (
+        f"{name}: result drifted from pinned golden (if the change is "
+        f"intentional, re-pin: {len(rows)} rows, {digest})"
+    )
+
+
+def test_lsh_pairs_subset_of_verified_similar(spark):
+    """Every LSH candidate (est >= 0.35) must be genuinely similar:
+    exact Jaccard >= 0.15 (est error ~ sqrt(J(1-J)/64) ~ 0.06, slack
+    doubled).  No blocking on the exact side so cross-source LSH pairs
+    would be caught too."""
+    docs = load_table(spark, SF, "documents")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in shingle_pairs_jaccard(docs, threshold=0.0).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.35).collect()
+    }
+    assert lsh, "LSH produced no pairs — fixture drifted"
+    for pair, est in lsh.items():
+        assert exact.get(pair, 0.0) >= 0.15, (pair, est, exact.get(pair))
+
+
+def test_lsh_recalls_every_high_jaccard_pair(spark):
+    """(16 bands x 4 rows) S-curve: detection probability at J=0.8 is
+    1-(1-0.8^4)^16 > 0.999 — every exact pair with J >= 0.8 must be an
+    LSH candidate.  Deterministic hashes make this exact, not flaky."""
+    docs = load_table(spark, SF, "documents")
+    high = {
+        (r["id_a"], r["id_b"])
+        for r in shingle_pairs_jaccard(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.35).collect()
+    }
+    assert high, "no high-Jaccard pairs in fixture — weak test"
+    missed = high - lsh
+    assert not missed, f"LSH missed high-Jaccard pairs: {sorted(missed)}"
+
+
+def test_ivf_topk_overlaps_brute_force(spark):
+    """IVF (n_probe cells) vs the ORACLED brute-force cosine top-k:
+    recall floor 0.5 (measured 0.6 at sf0.01 with deterministic
+    centroid seeding — drops below the floor only on a real geometry
+    or assignment regression)."""
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["ann_ivf_topk"](spark, SF).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["ann_cosine_topk"](spark, SF).collect()
+    }
+    assert exact and ivf
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.5, f"IVF recall regressed: {recall:.2f}"
