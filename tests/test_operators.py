@@ -421,3 +421,44 @@ def test_lang_id_markers(spark):
     got = {r["id"]: r["g"] for r in
            df.select("id", T.lang_id(F.col("text")).alias("g")).collect()}
     assert got == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """Large-star/small-star CC must produce identical clusters to
+    min-label propagation — including on a 100-node CHAIN, the
+    adversarial case: label propagation needs ~n rounds there, the star
+    algorithm must finish within 15 (O(log² n))."""
+    from org_revue_de_presse_trends_spark.operators.dedup import (
+        cluster_pairs,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], ["id_a", "id_b"]
+    )
+    star = {
+        (r["id"], r["cluster"])
+        for r in cluster_pairs(chain, max_iter=15, algorithm="star").collect()
+    }
+    label = {
+        (r["id"], r["cluster"])
+        for r in cluster_pairs(chain, max_iter=200).collect()
+    }
+    assert star == label
+    assert len(star) == 101 and all(c == 0 for _, c in star)
+
+    import random
+
+    rng = random.Random(7)
+    raw = [(rng.randrange(500), rng.randrange(500)) for _ in range(300)]
+    pdf = spark.createDataFrame(
+        [(a, b) for a, b in raw if a != b], ["id_a", "id_b"]
+    )
+    s2 = {
+        (r["id"], r["cluster"])
+        for r in cluster_pairs(pdf, max_iter=30, algorithm="star").collect()
+    }
+    l2 = {
+        (r["id"], r["cluster"])
+        for r in cluster_pairs(pdf, max_iter=200).collect()
+    }
+    assert s2 == l2
