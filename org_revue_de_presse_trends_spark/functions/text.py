@@ -99,23 +99,19 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.trim(text)))
 
 
-def shingle_hashes(text: Column, k: int = 3) -> Column:
-    """Distinct 64-bit fingerprints of k-word shingles (array<long>)
-    WITHOUT materializing shingle strings: hash each token once, then
-    combine k consecutive token hashes with rotate-xor (position-
-    dependent, overflow-free under ANSI mode).  ~3× cheaper than
-    building shingle strings; used by MinHash where only a fingerprint
-    is needed (exact-Jaccard keeps real strings)."""
-    toks = tokens(text)
+def _rolling_kgram_hashes(toks: Column, k: int) -> Column:
+    """ORDERED rolling hashes of k-token windows (array<long>, one per
+    window position): hash each token once, then combine k consecutive
+    token hashes with rotate-xor (position-dependent, overflow-free
+    under ANSI mode).  zip_with over k shifted slices — linear work;
+    referencing the whole array inside a per-element lambda would
+    re-evaluate it per element (O(n²) per document)."""
     th = F.transform(toks, lambda t: F.xxhash64(t))
     n = F.size(th)
 
     def rot(c: Column, r: int) -> Column:
         return F.shiftrightunsigned(c, r).bitwiseOR(F.shiftleft(c, 64 - r))
 
-    # zip_with over k shifted slices — linear work; referencing the
-    # whole array inside a per-element lambda would re-evaluate it per
-    # element (O(n^2) per document)
     win = F.greatest(n - F.lit(k - 1), F.lit(1))
     combined = F.slice(th, 1, win)
     for j in range(1, k):
@@ -124,9 +120,49 @@ def shingle_hashes(text: Column, k: int = 3) -> Column:
             F.slice(th, j + 1, win),
             lambda a, b: rot(a, 7).bitwiseXOR(b),
         )
+    return combined
+
+
+def shingle_hashes(text: Column, k: int = 3) -> Column:
+    """Distinct 64-bit fingerprints of k-word shingles (array<long>)
+    WITHOUT materializing shingle strings — ~3× cheaper; used by
+    MinHash where only a fingerprint is needed (exact-Jaccard keeps
+    real strings)."""
+    toks = tokens(text)
+    n = F.size(toks)
     return F.when(
         n < F.lit(k), F.array(F.xxhash64(F.concat_ws(" ", toks)))
-    ).otherwise(F.array_distinct(combined))
+    ).otherwise(F.array_distinct(_rolling_kgram_hashes(toks, k)))
+
+
+def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03 — public algorithm): the min of every ``w``-window of the
+    rolling k-gram hash sequence, distinct (array<long>).
+
+    Guarantee: two documents sharing a token run of length
+    >= w + k - 1 share at least one fingerprint, while only
+    ~2/(w+1) of all k-gram hashes are kept — a tunable-density
+    candidate-blocking key for near-dup detection (explode + equi-join
+    on fingerprint, the same scale shape as every other dedup path).
+    The sliding min is w-1 zip_with(least) passes over shifted slices —
+    linear, no per-element slicing."""
+    toks = tokens(text)
+    hs = _rolling_kgram_hashes(toks, k)
+    n_h = F.size(hs)
+    win = F.greatest(n_h - F.lit(w - 1), F.lit(1))
+    # zip_with pads the shorter (shifted) side with null; least()
+    # ignores nulls, so short tails still produce a valid window min
+    mins = F.slice(hs, 1, win)
+    for j in range(1, w):
+        mins = F.zip_with(
+            mins, F.slice(hs, j + 1, win), lambda a, b: F.least(a, b)
+        )
+    return F.when(
+        F.size(tokens(text)) < F.lit(k),
+        F.array(F.xxhash64(F.concat_ws(" ", toks))),
+    ).otherwise(F.array_distinct(mins))
 
 
 def chunks_from_tokens(

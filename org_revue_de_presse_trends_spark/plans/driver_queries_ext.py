@@ -456,3 +456,67 @@ def first_last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("event_type", "ts").alias("last_type"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operations beyond UNION (SURVEY §2.7 widening: the reference only
+# unions variant runs; INTERSECT / EXCEPT / EXCEPT ALL are the missing
+# members of the family and compile to distinct plan shapes in Spark —
+# aggregate-then-join for distinct set ops, a left-anti-with-counts
+# shape for EXCEPT ALL)
+# ---------------------------------------------------------------------------
+
+@query(
+    "intersect_repeat_customers",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def intersect_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): customers active in both 1995 and 1996.
+    Spark plans this as a distinct aggregate on each side + semi join —
+    both sides shrink before the shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
+
+
+@query(
+    "except_big_only_parts",
+    """
+    SELECT l_partkey FROM lineitem WHERE l_quantity >= 45
+    EXCEPT
+    SELECT l_partkey FROM lineitem WHERE l_quantity <= 10
+    """,
+)
+def except_big_only_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): parts that ever shipped in bulk (>=45) but
+    never in small quantities — an anti-join over pre-distincted sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") >= 45).select("l_partkey")
+    small = li.filter(F.col("l_quantity") <= 10).select("l_partkey")
+    return big.subtract(small)
+
+
+@query(
+    "except_all_returned_not_finished",
+    """
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+    """,
+)
+def except_all_returned_not_finished(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXCEPT ALL (multiset): per-key multiplicities subtract instead of
+    collapsing — the duplicate-preserving variant the distinct set ops
+    can't express.  Spark compiles this to a count-aggregate + generate
+    (replicate surviving multiplicities), one shuffle per side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    finished = li.filter(F.col("l_linestatus") == "F").select("l_orderkey")
+    return returned.exceptAll(finished)

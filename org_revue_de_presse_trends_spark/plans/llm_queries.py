@@ -557,3 +557,21 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(
         e, e.filter(F.col("vec_id") < 5), k=10, exact=True
     )
+
+
+@query("doc_winnow_fingerprints")  # xxhash64-based: no DuckDB oracle
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) document fingerprints, k=5-gram hashes
+    winnowed with w=4 windows — the document-fingerprinting surface of
+    the text-analysis suite.  Scalar summary per doc (the fingerprint
+    array itself is an internal blocking key): count + extremes.
+    Guarantee and density are property-tested in
+    tests/test_operators.py; golden-hashed at sf0.01."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = T.winnow_fingerprints(F.col("text"), k=5, w=4)
+    return docs.select(
+        "doc_id",
+        F.size(fps).cast("long").alias("n_fps"),
+        F.array_min(fps).alias("min_fp"),
+        F.array_max(fps).alias("max_fp"),
+    )

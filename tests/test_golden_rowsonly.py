@@ -40,6 +40,9 @@ GOLDEN_SHA256 = {
     "ann_ivf_topk": (
         50, "099acf68e2581a6ac6f26f933b27a005d6ca52203cec5c2680088ffdf27cba6a"
     ),
+    "doc_winnow_fingerprints": (
+        500, "21294e9af73329325649ea357cb48d766ddf28a57df57b10c86f785827cc91fb"
+    ),
 }
 
 

@@ -462,3 +462,33 @@ def test_star_cc_matches_label_propagation(spark):
         for r in cluster_pairs(pdf, max_iter=200).collect()
     }
     assert s2 == l2
+
+
+def test_winnow_fingerprint_guarantee_and_density(spark):
+    """Winnowing guarantee (SIGMOD'03): docs sharing a token run of
+    length >= w + k - 1 (= 8 for k=5, w=4) share >= 1 fingerprint;
+    density stays well below the full k-gram count."""
+    shared_run = " ".join(f"plag{j}" for j in range(12))  # 12 > 8
+    rows = [
+        (1, "aaa bbb ccc " + shared_run + " ddd eee fff"),
+        (2, "xxx yyy " + shared_run + " zzz www qqq rrr"),
+        (3, " ".join(f"other{j}" for j in range(30))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select(
+            "doc_id", T.winnow_fingerprints(F.col("text"), k=5, w=4).alias("fps")
+        ).collect()
+    }
+    assert out[1] & out[2], "shared 12-token run must share a fingerprint"
+    assert not (out[1] & out[3]) and not (out[2] & out[3])
+    # density: fingerprints are a strict subset of the k-gram positions
+    n_tokens = 30
+    assert 1 <= len(out[3]) < n_tokens - 5 + 1
+    # short-doc path: fewer than k tokens still yields one fingerprint
+    tiny = spark.createDataFrame([(9, "two words")], ["doc_id", "text"])
+    got = tiny.select(
+        T.winnow_fingerprints(F.col("text"), k=5, w=4).alias("fps")
+    ).collect()[0]["fps"]
+    assert len(got) == 1
