@@ -100,3 +100,68 @@ def simhash64(token_arr: Column) -> Column:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit hashes (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def _splitmix64(x: int) -> int:
+    """Deterministic 64-bit integer mix (splitmix64 finalizer — public
+    PRNG construction) used to derive reproducible hyperplane signs
+    without any runtime hashing."""
+    mask = (1 << 64) - 1
+    x = (x + 0x9E3779B97F4A7C15) & mask
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & mask
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & mask
+    return x ^ (x >> 31)
+
+
+def srp_signs(n_bits: int, dim: int, seed: int = 0x5EED) -> list[list[float]]:
+    """±1 Rademacher hyperplane matrix for signed random projection,
+    derived deterministically from ``seed`` (Charikar STOC'02 rounding
+    scheme; Rademacher entries are a standard substitute for Gaussian —
+    Achlioptas, JCSS 2003)."""
+    return [
+        [
+            1.0 if _splitmix64(seed + i * dim + j) & 1 else -1.0
+            for j in range(dim)
+        ]
+        for i in range(n_bits)
+    ]
+
+
+def srp_band_keys(
+    vec: Column,
+    dim: int,
+    n_bits: int = 16,
+    bands: int = 8,
+    seed: int = 0x5EED,
+) -> Column:
+    """array<struct<band:int, key:long>> — SRP-LSH bucket keys for a
+    cosine metric over an ``array<float/double>`` column.
+
+    Bit i = sign(v · r_i) for fixed ±1 hyperplanes r_i baked into the
+    plan as literal arrays (zero runtime hashing, zero shuffle);
+    P[bit agrees] = 1 - θ/π.  Bits are grouped into ``bands`` keys so
+    near vectors collide in ≥1 band with high probability — the same
+    banding amplification as MinHash-LSH, making embedding near-dup an
+    equi-join on (band, key)."""
+    if n_bits % bands:
+        raise ValueError("n_bits must divide evenly into bands")
+    signs = srp_signs(n_bits, dim, seed)
+    bits = []
+    for i in range(n_bits):
+        plane = F.array(*[F.lit(x) for x in signs[i]])
+        dot = F.aggregate(
+            F.zip_with(vec, plane, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
+    rows_per_band = n_bits // bands
+    keys = []
+    for b in range(bands):
+        key = F.lit(0)
+        for r in range(rows_per_band):
+            key = F.shiftleft(key, 1).bitwiseOR(bits[b * rows_per_band + r])
+        keys.append(
+            F.struct(F.lit(b).alias("band"), key.cast("long").alias("key"))
+        )
+    return F.array(*keys)

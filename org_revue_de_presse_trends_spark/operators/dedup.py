@@ -465,6 +465,64 @@ def dedup_assignments(
     )
 
 
+def embedding_lsh_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    threshold: float = 0.8,
+    n_bits: int = 64,
+    bands: int = 8,
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """SRP-LSH bucketed cosine near-dup pairs — the no-external-blocking
+    scale path for embedding dedup (``embedding_near_dup_pairs`` needs a
+    caller-supplied block column or degrades to brute force).
+
+    Defaults target real near-dup corpora: 64 bits in 8 bands of 8 →
+    256 buckets per band (selective), band-collision probability at
+    cos 0.9 ≈ 0.29, amplified recall across 8 bands ≈ 0.94.  For
+    low-similarity regimes shrink bits-per-band (recall rises,
+    selectivity drops) — the S-curve trade is the caller's knob.
+
+    Pipeline: per-row SRP band keys (literal hyperplanes, zero shuffle)
+    → explode → self-equi-join on (band, key) → dedup candidate pairs →
+    verify with EXACT cosine ≥ threshold.  Precision is exact by
+    construction (every emitted pair is verified); only recall is
+    probabilistic, amplified by the band count — gated in tests against
+    the oracled brute-force pairs.
+    Returns (id_a, id_b, cos) with id_a < id_b.
+    """
+    banded = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(
+            H.srp_band_keys(F.col(vec_col), dim, n_bits, bands, seed)
+        ).alias("bk"),
+    ).select("id", "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        V.cosine(F.col("va"), F.col("vb")).alias("cos"),
+    ).filter(F.col("cos") >= threshold)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -575,3 +575,18 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(fps).alias("min_fp"),
         F.array_max(fps).alias("max_fp"),
     )
+
+
+@query("embedding_lsh_near_dup")  # SRP buckets: rows-only (golden-hashed)
+def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed embedding near-dup — the no-external-blocking
+    scale path (vs embedding_near_dup's label blocking): sign-random-
+    projection band keys, self-equi-join on (band, key), exact-cosine
+    verification.  The synthetic fixture has no high-cosine dups, so
+    the toy parameters (16 bits / 8 bands, threshold 0.4) target its
+    similarity range; recall against planted dups and the brute-force
+    subset property are pinned in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_lsh_pairs(
+        emb, threshold=0.4, n_bits=16, bands=8
+    )

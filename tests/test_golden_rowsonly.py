@@ -43,6 +43,9 @@ GOLDEN_SHA256 = {
     "doc_winnow_fingerprints": (
         500, "21294e9af73329325649ea357cb48d766ddf28a57df57b10c86f785827cc91fb"
     ),
+    "embedding_lsh_near_dup": (
+        57, "ca2c8eb418db4038f86375abfb0c1c96d149c720b7bccb5e7897d2c32960033e"
+    ),
 }
 
 
@@ -113,3 +116,30 @@ def test_ivf_topk_overlaps_brute_force(spark):
     assert exact and ivf
     recall = len(ivf & exact) / len(exact)
     assert recall >= 0.5, f"IVF recall regressed: {recall:.2f}"
+
+
+def test_srp_lsh_subset_and_recall_vs_brute_force(spark):
+    """SRP-LSH pairs must be a SUBSET of brute-force pairs at the same
+    threshold (precision exact by construction: every candidate is
+    cosine-verified) with recall >= 0.9 at the query's toy parameters
+    (measured 57/59 with the fixed hyperplane seed)."""
+    from org_revue_de_presse_trends_spark.operators.dedup import (
+        embedding_lsh_pairs,
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_lsh_pairs(
+            emb, threshold=0.4, n_bits=16, bands=8
+        ).collect()
+    }
+    assert truth
+    assert lsh <= truth, f"false positives: {sorted(lsh - truth)[:5]}"
+    recall = len(lsh & truth) / len(truth)
+    assert recall >= 0.9, f"SRP-LSH recall regressed: {recall:.2f}"

@@ -492,3 +492,35 @@ def test_winnow_fingerprint_guarantee_and_density(spark):
         T.winnow_fingerprints(F.col("text"), k=5, w=4).alias("fps")
     ).collect()[0]["fps"]
     assert len(got) == 1
+
+
+def test_srp_lsh_recalls_planted_near_dup_vectors(spark):
+    """Planted near-duplicate embeddings (copy + small perturbation,
+    cos > 0.99) must collide in >= 1 SRP band and be emitted; random
+    orthogonal-ish vectors must not pair at threshold 0.9."""
+    import math
+    import random
+
+    from org_revue_de_presse_trends_spark.operators.dedup import (
+        embedding_lsh_pairs,
+    )
+
+    rng = random.Random(3)
+    dim = 64
+    rows = []
+    for i in range(20):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        v = [x / n for x in v]
+        rows.append((i * 10, v))
+        rows.append((i * 10 + 1, [x + rng.gauss(0, 0.02) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_lsh_pairs(df, threshold=0.9, dim=dim).collect()
+    }
+    for base in range(0, 200, 10):
+        assert (base, base + 1) in pairs, f"planted pair {base} missed"
+        assert pairs[(base, base + 1)] > 0.98
+    # nothing else pairs: independent gaussians are near-orthogonal
+    assert set(pairs) == {(b, b + 1) for b in range(0, 200, 10)}
