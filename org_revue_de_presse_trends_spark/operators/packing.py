@@ -1,0 +1,81 @@
+"""Token-budget sequence packing for LLM training data.
+
+Training pipelines concatenate variable-length chunks into fixed-budget
+sequences (e.g. 512 or 4096 tokens) to minimize padding waste.  Packing
+is inherently sequential, so the distributed shape is:
+
+1. deterministically bin chunks into ``num_bins`` groups (hash of the
+   chunk identity — NOT ``spark_partition_id``, which would make results
+   depend on input layout);
+2. pack each bin independently with best-fit-decreasing
+   (``applyInPandas``, one Arrow batch per bin — the documented Python
+   escape hatch: bin packing is not expressible as window/aggregate);
+3. emit a globally unique ``seq_id = bin << 32 | local_seq``.
+
+Waste is bounded per bin, not globally — with chunk sizes ≤ budget/2,
+best-fit-decreasing fills ≥ ~5/6 of each closed sequence (classic BFD
+bound), independent of bin count, so sharding does not degrade packing
+quality materially.  Determinism: bins are hash-derived, each bin's
+input is sorted, and best-fit ties break on the lowest sequence id.
+"""
+
+from __future__ import annotations
+
+import bisect
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    budget: int = 512,
+    doc_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+    num_bins: int = 32,
+) -> DataFrame:
+    """Assign every chunk to a training sequence of total length ≤
+    ``budget`` tokens (a chunk longer than the budget gets a sequence of
+    its own).  Returns (doc_col, chunk_col, tokens_col, seq_id).
+    """
+
+    def pack_bin(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            [tokens_col, doc_col, chunk_col], ascending=[False, True, True]
+        ).reset_index(drop=True)
+        bin_key = int(pdf["_bin"].iloc[0])
+        # sorted list of (remaining_capacity, seq_id): best-fit =
+        # leftmost capacity >= tok; ties resolve to the lowest seq_id
+        # because tuples sort lexicographically
+        open_seqs: list[tuple[int, int]] = []
+        next_seq = 0
+        assigned = []
+        for tok in pdf[tokens_col].astype(int):
+            i = bisect.bisect_left(open_seqs, (tok, -1))
+            if i < len(open_seqs):
+                cap, sid = open_seqs.pop(i)
+                bisect.insort(open_seqs, (cap - tok, sid))
+                assigned.append(sid)
+            else:
+                # no open sequence fits (covers tok > budget too)
+                bisect.insort(open_seqs, (max(budget - tok, 0), next_seq))
+                assigned.append(next_seq)
+                next_seq += 1
+        out = pdf[[doc_col, chunk_col, tokens_col]].copy()
+        out["seq_id"] = [(bin_key << 32) | s for s in assigned]
+        return out
+
+    binned = chunks.select(
+        doc_col,
+        chunk_col,
+        tokens_col,
+        F.pmod(
+            F.xxhash64(F.col(doc_col), F.col(chunk_col)), F.lit(num_bins)
+        ).alias("_bin"),
+    )
+    schema = (
+        f"{doc_col} long, {chunk_col} int, {tokens_col} int, seq_id long"
+    )
+    return binned.groupBy("_bin").applyInPandas(pack_bin, schema=schema)

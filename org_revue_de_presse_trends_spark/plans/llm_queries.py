@@ -590,3 +590,29 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_lsh_pairs(
         emb, threshold=0.4, n_bits=16, bands=8
     )
+
+
+@query("packed_sequences")  # procedural bin packing: no SQL oracle
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing over the chunked corpus: the
+    training-data step after chunking — best-fit-decreasing within
+    deterministic hash bins (operators/packing.py), budget 128.
+    Invariants (exactly-once chunk assignment, budget ceiling, packing
+    efficiency, determinism) are property-tested; golden-hashed at
+    sf0.01."""
+    from ..operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__toks", T.tokens(F.col("text"))
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            T.chunks_from_tokens(F.col("__toks"), size=50, overlap=10)
+        ).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
+    return pack_sequences(chunks, budget=128)

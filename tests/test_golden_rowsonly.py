@@ -46,6 +46,9 @@ GOLDEN_SHA256 = {
     "embedding_lsh_near_dup": (
         57, "ca2c8eb418db4038f86375abfb0c1c96d149c720b7bccb5e7897d2c32960033e"
     ),
+    "packed_sequences": (
+        816, "9e8e7000b3c04f77cfadb97474466427a11f209e237fda1e2e4a19ad26d8abb3"
+    ),
 }
 
 

@@ -524,3 +524,46 @@ def test_srp_lsh_recalls_planted_near_dup_vectors(spark):
         assert pairs[(base, base + 1)] > 0.98
     # nothing else pairs: independent gaussians are near-orthogonal
     assert set(pairs) == {(b, b + 1) for b in range(0, 200, 10)}
+
+
+def test_pack_sequences_invariants(spark):
+    """Sequence packing: every chunk assigned exactly once, no sequence
+    exceeds the budget (oversize chunks get singleton sequences),
+    efficiency stays high, and results are layout-independent
+    (hash bins, not spark partitions)."""
+    from org_revue_de_presse_trends_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (d, c, rng.randint(5, 60))
+        for d in range(40)
+        for c in range(rng.randint(1, 6))
+    ]
+    rows.append((999, 0, 200))  # oversize chunk > budget
+    df = spark.createDataFrame(rows, ["doc_id", "chunk_id", "n_tokens"])
+    packed = pack_sequences(df, budget=128, num_bins=8)
+    out = packed.collect()
+    assert len(out) == len(rows)
+    assert {(r["doc_id"], r["chunk_id"]) for r in out} == {
+        (d, c) for d, c, _ in rows
+    }
+    totals: dict[int, int] = {}
+    members: dict[int, list] = {}
+    for r in out:
+        totals[r["seq_id"]] = totals.get(r["seq_id"], 0) + r["n_tokens"]
+        members.setdefault(r["seq_id"], []).append(r)
+    for sid, t in totals.items():
+        if t > 128:
+            assert len(members[sid]) == 1  # only a lone oversize chunk
+    small_total = sum(t for t in totals.values() if t <= 128)
+    n_small = sum(1 for t in totals.values() if t <= 128)
+    assert small_total / (n_small * 128) >= 0.5
+    # layout independence: different input partitioning, same packing
+    repacked = pack_sequences(df.repartition(13), budget=128, num_bins=8)
+    a = sorted(map(tuple, out))
+    b = sorted(map(tuple, repacked.collect()))
+    assert a == b
