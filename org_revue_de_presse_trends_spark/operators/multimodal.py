@@ -116,6 +116,62 @@ def extract_media_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_images(
+    media: DataFrame,
+    width: int = 16,
+    height: int = 16,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Image-resize plumbing: media-in → media-out (same MEDIA_SCHEMA),
+    so it composes with ``extract_media_features`` / dedup downstream.
+
+    Image rows get their payload replaced by the resized encoding and
+    meta width/height updated; non-image rows pass through unchanged.
+    The fake path resamples payload bytes at even strides to exactly
+    width×height bytes — deterministic, so goldens hold; a real
+    PIL decode→resize→encode plugs into the codec boundary."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                meta = dict(row["meta"]) if row["meta"] is not None else {
+                    "mime": None, "width": None, "height": None,
+                    "duration_ms": None,
+                }
+                payload = (
+                    bytes(row["payload"]) if row["payload"] is not None else b""
+                )
+                if row["kind"] == "image":
+                    if decoder == "stub":
+                        raise NotImplementedError(
+                            "image resize requires codec libraries not "
+                            "present in this environment"
+                        )
+                    if decoder != "fake":
+                        raise ValueError(f"unknown decoder {decoder!r}")
+                    target = width * height
+                    if payload:
+                        n = len(payload)
+                        payload = bytes(
+                            payload[(i * n) // target] for i in range(target)
+                        )
+                    meta["width"], meta["height"] = width, height
+                rows.append(
+                    {
+                        "media_id": row["media_id"],
+                        "kind": row["kind"],
+                        "payload": payload,
+                        "meta": meta,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def sample_video_frames(
     media: DataFrame, every_ms: int = 1000, decoder: str = "fake"
 ) -> DataFrame:

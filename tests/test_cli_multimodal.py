@@ -257,3 +257,38 @@ def test_cli_config_file_routes_firebase_sink(spark, domain_dir, tmp_path):
     patches = [p for (m, p, _) in requests if m == "PATCH"]
     assert patches and all("access_token=cli-tok" in p for p in patches)
     assert any(f"highlights/{TARGET_LIST}/2024-03-02/" in p for p in patches)
+
+
+def test_resize_images_composes_with_features(spark, media_df):
+    from org_revue_de_presse_trends_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    resized = resize_images(media_df, width=8, height=8)
+    rows = {r["media_id"]: r for r in resized.collect()}
+    # image rows: payload resampled to exactly w*h bytes, meta updated
+    img = rows[1]
+    assert img["kind"] == "image"
+    assert len(img["payload"]) == 64
+    assert img["meta"]["width"] == 8 and img["meta"]["height"] == 8
+    # non-image rows pass through untouched
+    for r in rows.values():
+        if r["kind"] != "image":
+            orig = {x["media_id"]: x for x in media_df.collect()}[r["media_id"]]
+            assert bytes(r["payload"]) == bytes(orig["payload"])
+    # composes: features over the resized stream keep the schema
+    feats = extract_media_features(resized).collect()
+    assert {f["media_id"] for f in feats} == set(rows)
+    # deterministic: same input -> same resized hash
+    again = {r["media_id"]: bytes(r["payload"])
+             for r in resize_images(media_df, width=8, height=8).collect()}
+    assert again[1] == bytes(img["payload"])
+
+
+def test_resize_images_stub_raises(spark, media_df):
+    from org_revue_de_presse_trends_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        resize_images(media_df, decoder="stub").collect()
