@@ -61,3 +61,33 @@ def test_salted_join_10m(spark):
     )
     n = salted_join(df, dim, on="g", salt=8).count()
     assert n == N
+
+
+def test_grouped_topk_10m_few_groups(spark):
+    """Two-phase grouped top-k with only 4 groups over 10M rows — the
+    shape that motivates it: a bare PARTITION BY window would drag
+    2.5M rows into each of 4 reducers.  Winners are closed-form."""
+    import heapq
+
+    from org_revue_de_presse_trends_spark.operators.similarity import (
+        grouped_topk,
+    )
+
+    df = spark.range(N).select(
+        (F.col("id") % 4).alias("query_id"),
+        F.col("id").alias("neighbor_id"),
+        ((F.col("id") * 37) % 1_000_003).cast("double").alias("cos"),
+    )
+    out = grouped_topk(df, k=3)
+    got = {
+        (r["query_id"], r["rank"]): (r["cos"], r["neighbor_id"])
+        for r in out.collect()
+    }
+    assert len(got) == 12
+    for q in range(4):
+        want = heapq.nlargest(
+            3,
+            (((i * 37) % 1_000_003, -i) for i in range(q, N, 4)),
+        )
+        for rank, (v, neg_i) in enumerate(want, start=1):
+            assert got[(q, rank)] == (float(v), -neg_i)
