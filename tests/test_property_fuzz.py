@@ -98,3 +98,67 @@ def test_chunk_coverage_invariants(spark, docs, size, overlap):
         for c in chunks[1:]:
             rebuilt.extend(c.split(" ")[overlap:])
         assert rebuilt == d.split(" "), (d, chunks)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.lists(token_st, min_size=1, max_size=40), min_size=2,
+             max_size=8),
+    st.integers(min_value=0, max_value=10**6),
+)
+def test_winnow_guarantee_fuzz(spark, token_lists, salt):
+    """Winnowing guarantee on arbitrary docs: plant one shared
+    (w + k - 1)-token run into every doc — all pairs must share a
+    fingerprint.  Tokens are salted so runs don't collide with the
+    random content by construction."""
+    k, w = 5, 4
+    shared = [f"__run{salt}_{j}" for j in range(w + k - 1)]
+    docs = [
+        " ".join(toks[: len(toks) // 2] + shared + toks[len(toks) // 2 :])
+        for toks in token_lists
+    ]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], ["id", "text"]
+    )
+    rows = df.select(
+        "id", T.winnow_fingerprints(F.col("text"), k=k, w=w).alias("fps")
+    ).collect()
+    fps = {r["id"]: set(r["fps"]) for r in rows}
+    base = fps[0]
+    for i in range(1, len(docs)):
+        assert fps[i] & base, (docs[0], docs[i])
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=1, max_value=200),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    st.integers(min_value=16, max_value=128),
+)
+def test_pack_sequences_fuzz(spark, chunks, budget):
+    """Packing invariants under arbitrary chunk sets: exactly-once
+    assignment; any sequence over budget is a singleton oversize chunk."""
+    from org_revue_de_presse_trends_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(chunks, ["doc_id", "chunk_id", "n_tokens"])
+    out = pack_sequences(df, budget=budget, num_bins=4).collect()
+    assert {(r["doc_id"], r["chunk_id"]) for r in out} == {
+        (d, c) for d, c, _ in chunks
+    }
+    assert len(out) == len(chunks)
+    seqs: dict[int, list] = {}
+    for r in out:
+        seqs.setdefault(r["seq_id"], []).append(r["n_tokens"])
+    for members in seqs.values():
+        if sum(members) > budget:
+            assert len(members) == 1 and members[0] > budget
