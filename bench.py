@@ -45,6 +45,18 @@ HEADLINE = [
 ]
 
 
+def _cpu_calibration() -> float:
+    """Fixed pure-Python workload timed before the suite: the host is a
+    shared VM with visible steal time (identical runs vary ±50%), so
+    absolute query timings are only comparable across rounds after
+    normalizing by this number."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(10_000_000):
+        s += i * i
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -83,6 +95,7 @@ def main() -> None:
                 "queries": warm,
                 "queries_cold_first_run": cold,
                 "cold_total": round(sum(cold.values()), 3),
+                "cpu_calib_sec": _cpu_calibration(),
                 "sf": sf,
             }
         )

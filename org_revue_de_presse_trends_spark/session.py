@@ -36,6 +36,12 @@ DEFAULT_CONF: dict[str, str] = {
     # local-mode niceties; harmless on a cluster
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # whole-stage codegen compiles one class per stage; a long-lived
+    # session running the full 50-query suite fills the JVM's default
+    # 240 MB code cache, after which the JIT silently disables and
+    # EVERY subsequent query runs interpreted (uniform ~30-40%
+    # slowdown on untouched queries was the symptom)
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
 }
 
 
