@@ -520,3 +520,113 @@ def except_all_returned_not_finished(
     returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
     finished = li.filter(F.col("l_linestatus") == "F").select("l_orderkey")
     return returned.exceptAll(finished)
+
+
+@query(
+    "grouping_sets_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (A6 family, completing rollup/cube): two
+    independent one-dimension aggregates plus the grand total in ONE
+    pass — Spark expands the sets and map-side-combines per grouping id,
+    one shuffle total vs three separate groupBys."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@query(
+    "lateral_top2_orders_per_customer",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t ON true
+    """,
+)
+def lateral_top2_orders_per_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — the
+    decorrelation family: Catalyst rewrites the per-row subquery into a
+    join + windowed rank, so the plan is one shuffle, not |customer|
+    subquery executions.  Temp views are query-local names."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "__lateral_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "__lateral_orders"
+    )
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM __lateral_customer c JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM __lateral_orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        """
+    )
+
+
+@query(
+    "qty_price_correlation",
+    """
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+    FROM s
+    """,
+)
+def qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family (corr) made cross-engine
+    deterministic: the five moment sums are decimal-EXACT (order-
+    independent), and both engines then evaluate the identical double
+    expression on identical inputs — bit-equal correlations without
+    trusting each engine's corr() accumulation order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.expr(f"CAST({c} AS DECIMAL(18,2))")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec("l_quantity")).cast("double").alias("sx"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sy"),
+        F.sum(dec("l_quantity") * dec("l_extendedprice")).cast("double").alias("sxy"),
+        F.sum(dec("l_quantity") * dec("l_quantity")).cast("double").alias("sxx"),
+        F.sum(dec("l_extendedprice") * dec("l_extendedprice")).cast("double").alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select("l_returnflag", corr.alias("corr_qty_price"))
