@@ -568,23 +568,29 @@ def lateral_top2_orders_per_customer(
     """Correlated LATERAL subquery with ORDER BY + LIMIT — the
     decorrelation family: Catalyst rewrites the per-row subquery into a
     join + windowed rank, so the plan is one shuffle, not |customer|
-    subquery executions.  Temp views are query-local names."""
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
-        "__lateral_customer"
-    )
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
-        "__lateral_orders"
-    )
-    return spark.sql(
-        """
-        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
-        FROM __lateral_customer c JOIN LATERAL (
-            SELECT o_orderkey, o_totalprice FROM __lateral_orders o
-            WHERE o.o_custkey = c.c_custkey
-            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
-        ) t
-        """
-    )
+    subquery executions.  Temp views are uuid-suffixed and dropped
+    after eager resolution (same concurrency discipline as the
+    null-aware anti-join)."""
+    import uuid
+
+    tag = uuid.uuid4().hex
+    cv, ov = f"__lateral_customer_{tag}", f"__lateral_orders_{tag}"
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(cv)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(ov)
+    try:
+        return spark.sql(
+            f"""
+            SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+            FROM {cv} c JOIN LATERAL (
+                SELECT o_orderkey, o_totalprice FROM {ov} o
+                WHERE o.o_custkey = c.c_custkey
+                ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+            ) t
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(cv)
+        spark.catalog.dropTempView(ov)
 
 
 @query(
