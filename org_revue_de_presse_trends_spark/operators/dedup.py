@@ -117,6 +117,47 @@ def shingle_pairs_jaccard(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def winnow_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    max_fp_df: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs via shared winnowing fingerprints
+    (functions/text.winnow_fingerprints): explode fingerprints →
+    self-equi-join on the fingerprint → distinct pairs, with the same
+    document-frequency cap discipline as ``shingle_pairs_jaccard``
+    (a boilerplate fingerprint shared by 10⁴ docs must not emit 10⁸
+    candidate rows).  Guarantee inherited from winnowing: any pair
+    sharing a token run of length >= w + k - 1 is a candidate.
+    Returns (id_a, id_b, n_shared_fps); verify with exact Jaccard or
+    embedding cosine downstream.
+    """
+    ex = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(T.winnow_fingerprints(F.col(text_col), k, w)).alias("fp"),
+    )
+    if max_fp_df is not None:
+        w_df = Window.partitionBy("fp")
+        ex = (
+            ex.withColumn("_df", F.count(F.lit(1)).over(w_df))
+            .filter(F.col("_df") <= max_fp_df)
+            .drop("_df")
+        )
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -461,11 +502,13 @@ def dedup_assignments(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    algorithm: str = "label",
 ) -> DataFrame:
     """Full dedup verdict per document: (id, cluster, keep) where
     keep=true for the canonical (min-id) member of each near-dup
-    cluster and for all unpaired documents."""
-    clusters = cluster_pairs(pairs)
+    cluster and for all unpaired documents.  ``algorithm`` passes
+    through to ``cluster_pairs`` (label | star)."""
+    clusters = cluster_pairs(pairs, algorithm=algorithm)
     ids = df.select(F.col(id_col).cast("long").alias("id"))
     joined = ids.join(clusters, "id", "left")
     return joined.select(

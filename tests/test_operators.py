@@ -567,3 +567,38 @@ def test_pack_sequences_invariants(spark):
     a = sorted(map(tuple, out))
     b = sorted(map(tuple, repacked.collect()))
     assert a == b
+
+
+def test_winnow_candidate_pairs_detects_shared_runs(spark):
+    """Pairs sharing a >= (w+k-1)-token run are candidates; unrelated
+    docs are not; a boilerplate fingerprint above the df cap stops
+    generating candidates."""
+    from org_revue_de_presse_trends_spark.operators.dedup import (
+        winnow_candidate_pairs,
+    )
+
+    run = " ".join(f"quote{j}" for j in range(10))
+    rows = [
+        (1, f"alpha beta {run} gamma delta"),
+        (2, f"epsilon {run} zeta eta theta"),
+        (3, " ".join(f"noise{j}" for j in range(25))),
+    ]
+    boiler = " ".join(f"footer{j}" for j in range(10))
+    rows += [(100 + i, f"body{i}a body{i}b body{i}c {boiler}")
+             for i in range(12)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_candidate_pairs(docs, max_fp_df=None).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+    # boilerplate: all 12 footer docs pair without a cap...
+    assert sum(1 for a, b in pairs if a >= 100 and b >= 100) == 66
+    # ...and stop pairing once the fingerprint df cap kicks in
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_candidate_pairs(docs, max_fp_df=5).collect()
+    }
+    assert (1, 2) in capped
+    assert not any(a >= 100 and b >= 100 for a, b in capped)

@@ -73,6 +73,15 @@ def test_ann_two_phase_topk(spark):
         assert "SPARK_PARTITION_ID" in plan.upper(), name
 
 
+def test_lateral_decorrelates_to_window(spark):
+    """The correlated LATERAL + LIMIT must decorrelate into a single
+    windowed-rank plan — per-customer subquery re-execution would be
+    |customer| jobs at scale."""
+    plan = plan_of(spark, "lateral_top2_orders_per_customer")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_argmax_single_aggregate_no_window(spark):
     """A4 via max_by must stay a hash aggregate (map-side partial), not
     a sort-window plan."""
