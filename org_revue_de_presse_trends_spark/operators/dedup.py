@@ -78,21 +78,23 @@ def shingle_pairs_jaccard(
         F.explode(T.shingles(F.col(text_col), k)).alias("shingle"),
     )
     if max_shingle_df is not None:
-        # df-count via window on the join key itself: the shuffle it
-        # introduces produces exactly the (block, shingle) partitioning
-        # the self-join below needs, and a stop-shingle's window
-        # partition is df rows — linear, unlike the df² join output
-        w_df = Window.partitionBy(*block_cols, "shingle")
+        # df-count via window on the join key itself, in the join's key
+        # ORDER so the exchange it introduces is the very partitioning
+        # the self-join consumes (exchange reuse across both sides);
+        # a stop-shingle's window partition is df rows — linear, unlike
+        # the df² join output
+        w_df = Window.partitionBy("shingle", *block_cols)
         ex = (
             ex.withColumn("_df", F.count(F.lit(1)).over(w_df))
             .filter(F.col("_df") <= max_shingle_df)
             .drop("_df")
         )
-    # per-doc size of the (possibly filtered) shingle set; shingles are
-    # distinct per doc so a row count is the set size
-    ex = ex.withColumn(
-        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))
-    )
+    # Pair intersection counts FIRST (the big shuffle, straight off the
+    # capped explode), set sizes attached AFTERWARDS onto the far
+    # smaller doc-level / pair-level tables — computing n_sh as an
+    # id-window before the join would re-partition the exploded rows by
+    # id and force both join sides to recompute everything.  Shingles
+    # are distinct per doc, so a row count is the set size.
     a, b = ex.alias("a"), ex.alias("b")
     join_cond = F.col("a.shingle") == F.col("b.shingle")
     for c in block_cols:
@@ -102,10 +104,15 @@ def shingle_pairs_jaccard(
         .groupBy(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        inter.join(sizes.select(F.col("id").alias("id_a"),
+                                F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"),
+                           F.col("n_sh").alias("n_b")), "id_b")
     )
     return inter.select(
         "id_a",
