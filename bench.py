@@ -29,6 +29,9 @@ HEADLINE = [
     "asof_click_before_purchase",
     "orders_excluding_building_anti",
     "orders_left_join_big_lines",
+    "lateral_top2_orders_per_customer",
+    "grouping_sets_order_stats",
+    "qty_price_correlation",
     "running_total_per_customer",
     "user_value_zscores",
     "sessionize_events",
@@ -40,6 +43,9 @@ HEADLINE = [
     "dedup_clusters",
     "corpus_selection",
     "doc_top_tfidf_terms",
+    "doc_winnow_fingerprints",
+    "packed_sequences",
+    "embedding_lsh_near_dup",
     "ann_cosine_topk",
     "ann_ivf_topk",
 ]
