@@ -602,3 +602,52 @@ def test_winnow_candidate_pairs_detects_shared_runs(spark):
     }
     assert (1, 2) in capped
     assert not any(a >= 100 and b >= 100 for a, b in capped)
+
+
+def test_asof_join_tolerance_window(spark):
+    """tolerance='15 minutes': matches older than the window are
+    rejected even when they would otherwise be the latest."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 12, m)
+    left = spark.createDataFrame([(1, "u", t(30))], ["lid", "key", "lts"])
+    right = spark.createDataFrame(
+        [("u", t(0), 1.0), ("u", t(20), 2.0)], ["key", "rts", "val"]
+    )
+    no_tol = asof_join(
+        left, right, key=("key", "key"), ts=("lts", "rts"), payload=["val"]
+    ).collect()[0]["asof_val"]
+    tol = asof_join(
+        left, right, key=("key", "key"), ts=("lts", "rts"),
+        payload=["val"], tolerance="15 minutes",
+    ).collect()[0]["asof_val"]
+    tight = asof_join(
+        left, right, key=("key", "key"), ts=("lts", "rts"),
+        payload=["val"], tolerance="5 minutes",
+    ).collect()[0]["asof_val"]
+    assert no_tol == 2.0 and tol == 2.0 and tight is None
+
+
+def test_register_views_sql_parity(spark):
+    """register_views exposes every fixture table to raw spark.sql —
+    the SQL-first user path — including the TIMESTAMP(NANOS) handling
+    of events.ts."""
+    from org_revue_de_presse_trends_spark.catalog import (
+        load_table,
+        register_views,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    register_views(spark, sf)
+    got = spark.sql(
+        "SELECT COUNT(*) AS n, MAX(ts) AS mx FROM events"
+    ).collect()[0]
+    ev = load_table(spark, sf, "events")
+    want_n = ev.count()
+    want_mx = ev.agg(F.max("ts")).collect()[0][0]
+    assert (got["n"], got["mx"]) == (want_n, want_mx)
+    joined = spark.sql(
+        """SELECT COUNT(*) AS n FROM orders o
+           JOIN customer c ON o.o_custkey = c.c_custkey"""
+    ).collect()[0]["n"]
+    assert joined > 0
