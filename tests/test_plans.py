@@ -88,3 +88,16 @@ def test_argmax_single_aggregate_no_window(spark):
     plan = plan_of(spark, "argmax_event_per_user")
     assert "Window" not in plan
     assert "Aggregate" in plan
+
+
+def test_nation_pair_revenue_broadcasts_all_dims(spark):
+    """Q7 shape: supplier/customer/nation broadcast; the only
+    SortMergeJoin (if any) is the lineitem-orders fact join."""
+    plan = plan_of(spark, "nation_pair_revenue")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_late_lines_is_semi_join(spark):
+    plan = plan_of(spark, "orders_with_late_lines")
+    assert "LeftSemi" in plan
