@@ -60,6 +60,23 @@ def windowed_daily_counts(
     )
 
 
+def enrich_stream_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static equi-join: every micro-batch joins against the
+    static dimension snapshot — stateless (no watermark required), the
+    standard enrichment shape for joining a stream to a slowly-changing
+    dimension.  The dim side is broadcast by default: a shuffled
+    stream-static join would re-shuffle EVERY micro-batch; a broadcast
+    ships the dim once per executor."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)
+
+
 def foreach_batch_day_overwrite(
     recompute_day: Callable[[str], DataFrame],
     lake_path: str,

@@ -342,3 +342,41 @@ def test_running_user_peaks_stateful(spark, events_stream_dir, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_enrich_stream_with_static_dim(spark, events_stream_dir, tmp_path):
+    """Stream-static join: streaming events enriched with a static
+    user dimension; result equals the batch join."""
+    from org_revue_de_presse_trends_spark.streaming.incremental import (
+        enrich_stream_with_dim,
+    )
+
+    ev_batch = spark.read.parquet(events_stream_dir)
+    dim = (
+        ev_batch.select("user_id").distinct()
+        .withColumn("user_tier", (F.col("user_id") % 3).cast("int"))
+    )
+    stream = spark.readStream.schema(ev_batch.schema).parquet(events_stream_dir)
+    enriched = enrich_stream_with_dim(stream, dim, on="user_id")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_events")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        """SELECT user_tier, COUNT(*) AS n FROM enriched_events
+           GROUP BY user_tier"""
+    ).collect()
+    want = {
+        r["user_tier"]: r["n"]
+        for r in ev_batch.join(dim, "user_id")
+        .groupBy("user_tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r["user_tier"]: r["n"] for r in got} == want
+    assert sum(want.values()) == ev_batch.count()
