@@ -52,10 +52,10 @@ HEADLINE = [
 
 
 def _cpu_calibration() -> float:
-    """Fixed pure-Python workload timed before the suite: the host is a
-    shared VM with visible steal time (identical runs vary ±50%), so
-    absolute query timings are only comparable across rounds after
-    normalizing by this number."""
+    """Fixed pure-Python workload, timed immediately before AND after
+    the suite (both reported): the host is a shared VM with visible
+    steal time (identical runs vary ±50%), so absolute query timings
+    are only comparable across rounds after normalizing by these."""
     t0 = time.perf_counter()
     s = 0
     for i in range(10_000_000):
@@ -66,6 +66,7 @@ def _cpu_calibration() -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    calib_before = _cpu_calibration()
     spark = get_spark(app_name="trends-spark-bench")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -101,7 +102,10 @@ def main() -> None:
                 "queries": warm,
                 "queries_cold_first_run": cold,
                 "cold_total": round(sum(cold.values()), 3),
-                "cpu_calib_sec": _cpu_calibration(),
+                # host-noise normalizers: same fixed loop timed before
+                # and after the suite brackets the measured window
+                "cpu_calib_sec": calib_before,
+                "cpu_calib_sec_after": _cpu_calibration(),
                 "sf": sf,
             }
         )

@@ -144,6 +144,16 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     if args.since_last_week:
         from pyspark.sql import functions as F
 
+        if args.sink_dir:
+            # the document sink expects 12-field highlight records;
+            # raw statuses have no statusType/popularity — refuse
+            # loudly instead of printing to stdout with exit 0
+            build_parser().error(
+                "--since-last-week writes raw statuses: use --lake-dir "
+                "or stdout, not --sink-dir"
+            )
+        from .functions.expressions import civil_day
+
         df = pipe.last_week_statuses(now=args.since_date)
         if args.dry_mode:
             df.explain("formatted")
@@ -151,9 +161,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         if args.lake_dir:
             from .sources.lake import write_partitioned
 
-            day = F.to_date(
-                F.col("ust_created_at")
-                - F.expr(f"INTERVAL {params.shift_hours} HOUR")
+            # same civil-day semantics as every other path: fixed
+            # shift by default, DST-aware when --tz is given
+            day = civil_day(
+                F.col("ust_created_at"), params.shift_hours, params.tz
             ).cast("string")
             write_partitioned(
                 df.withColumn("day", day), args.lake_dir,
@@ -198,6 +209,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             result.withColumn("day", F.lit(args.since_date)),
             args.lake_dir,
             partition_by=("day", "statusType"),
+        )
+    if args.firebase_config and (cfg is None or not cfg.firebase_url):
+        build_parser().error(
+            "--firebase-config requires --config with a non-empty "
+            "Firebase_url (the sink flag would otherwise be silently "
+            "ignored)"
         )
     use_firebase = (
         not args.sink_dir

@@ -555,13 +555,17 @@ def embedding_lsh_pairs(
     the oracled brute-force pairs.
     Returns (id_a, id_b, cos) with id_a < id_b.
     """
+    # band keys carry IDS ONLY through the explode + self-join —
+    # shipping the vectors there would duplicate every embedding
+    # ``bands`` times through the shuffle; they are re-attached once
+    # per side AFTER the candidate pairs are deduped (pair table ≪
+    # banded table)
     banded = df.select(
         F.col(id_col).cast("long").alias("id"),
-        F.col(vec_col).alias("v"),
         F.explode(
             H.srp_band_keys(F.col(vec_col), dim, n_bits, bands, seed)
         ).alias("bk"),
-    ).select("id", "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -570,13 +574,16 @@ def embedding_lsh_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    )
+    cand = cand.join(
+        vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
+    ).join(
+        vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b"
     )
     return cand.select(
         "id_a",

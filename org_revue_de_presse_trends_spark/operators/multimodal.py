@@ -137,14 +137,15 @@ def resize_images(
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                meta = dict(row["meta"]) if row["meta"] is not None else {
-                    "mime": None, "width": None, "height": None,
-                    "duration_ms": None,
-                }
                 payload = (
-                    bytes(row["payload"]) if row["payload"] is not None else b""
+                    bytes(row["payload"]) if row["payload"] is not None else None
                 )
-                if row["kind"] == "image":
+                meta = dict(row["meta"]) if row["meta"] is not None else None
+                # only image rows WITH a payload are resized; everything
+                # else (non-images, null payloads, null meta) passes
+                # through byte-for-byte — a null payload must stay null,
+                # not become b'' with a claimed resize in meta
+                if row["kind"] == "image" and payload:
                     if decoder == "stub":
                         raise NotImplementedError(
                             "image resize requires codec libraries not "
@@ -153,11 +154,14 @@ def resize_images(
                     if decoder != "fake":
                         raise ValueError(f"unknown decoder {decoder!r}")
                     target = width * height
-                    if payload:
-                        n = len(payload)
-                        payload = bytes(
-                            payload[(i * n) // target] for i in range(target)
-                        )
+                    n = len(payload)
+                    payload = bytes(
+                        payload[(i * n) // target] for i in range(target)
+                    )
+                    meta = meta or {
+                        "mime": None, "width": None, "height": None,
+                        "duration_ms": None,
+                    }
                     meta["width"], meta["height"] = width, height
                 rows.append(
                     {

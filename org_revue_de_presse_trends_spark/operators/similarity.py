@@ -43,14 +43,20 @@ def grouped_topk(
     size.  Ties broken by ``tiebreak_col`` ascending in both phases for
     determinism.
     """
+    reserved = {"__tk_part", "__tk_pr"}
+    clash = reserved & set(scored.columns)
+    if clash:
+        raise ValueError(f"grouped_topk reserves columns {sorted(clash)}")
     order = [F.desc(c) for c in order_cols] + [F.asc(tiebreak_col)]
-    partial_w = Window.partitionBy(group_col, "_part").orderBy(*order)
+    partial_w = Window.partitionBy(group_col, "__tk_part").orderBy(*order)
     final_w = Window.partitionBy(group_col).orderBy(*order)
+    # note: an existing 'rank' column is replaced — it is the
+    # documented output column of this operator
     return (
-        scored.withColumn("_part", F.spark_partition_id())
-        .withColumn("_pr", F.row_number().over(partial_w))
-        .filter(F.col("_pr") <= k)
-        .drop("_part", "_pr")
+        scored.withColumn("__tk_part", F.spark_partition_id())
+        .withColumn("__tk_pr", F.row_number().over(partial_w))
+        .filter(F.col("__tk_pr") <= k)
+        .drop("__tk_part", "__tk_pr")
         .withColumn("rank", F.row_number().over(final_w).cast("long"))
         .filter(F.col("rank") <= k)
     )

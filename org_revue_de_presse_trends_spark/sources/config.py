@@ -40,9 +40,19 @@ def _postgres_from(raw: dict) -> PostgresConfig | None:
     if not hostport:
         return None
     host, _, port = hostport.partition(":")
+    if port:
+        try:
+            port_n = int(port)
+        except ValueError as exc:
+            raise ValueError(
+                f"config Read_protocol_host_port has a non-numeric port: "
+                f"{hostport!r}"
+            ) from exc
+    else:
+        port_n = 5432
     return PostgresConfig(
         host=host,
-        port=int(port) if port else 5432,
+        port=port_n,
         database=raw.get("Read_database", ""),
         user=raw.get("Read_user", ""),
         password=raw.get("Read_password", ""),

@@ -100,11 +100,15 @@ class FirebaseRESTStore(DocumentStore):
         self.timeout = timeout
 
     def _url(self, path: str) -> str:
+        from urllib.parse import quote
+
         url = f"{self.base_url}/{path.strip('/')}.json"
+        # tokens may carry '+', '/', '=' — unencoded they decode to
+        # different bytes server-side and auth fails intermittently
         if self.token_provider is not None:
-            url += f"?access_token={self.token_provider()}"
+            url += f"?access_token={quote(self.token_provider(), safe='')}"
         elif self.auth_token:
-            url += f"?auth={self.auth_token}"
+            url += f"?auth={quote(self.auth_token, safe='')}"
         return url
 
     def _request(self, method: str, path: str, body: bytes | None = None):

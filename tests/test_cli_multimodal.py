@@ -292,3 +292,53 @@ def test_resize_images_stub_raises(spark, media_df):
 
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         resize_images(media_df, decoder="stub").collect()
+
+
+def test_resize_preserves_null_payloads(spark):
+    from pyspark.sql import Row as R
+
+    from org_revue_de_presse_trends_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [
+            R(media_id=1, kind="image", payload=None, meta=None),
+            R(media_id=2, kind="audio", payload=None, meta=None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in resize_images(df, 8, 8).collect()}
+    # null payloads stay null; no resize is claimed in meta
+    assert rows[1]["payload"] is None and rows[1]["meta"] is None
+    assert rows[2]["payload"] is None and rows[2]["meta"] is None
+
+
+def test_cli_since_last_week_rejects_sink_dir(spark, domain_dir, tmp_path):
+    with pytest.raises(SystemExit):
+        main(
+            [
+                "--publishers-list-id", TARGET_LIST,
+                "--since-date", "2024-03-05",
+                "--source-dir", domain_dir,
+                "--since-last-week",
+                "--sink-dir", str(tmp_path / "s"),
+            ],
+            spark=spark,
+        )
+
+
+def test_cli_firebase_config_requires_config(spark, domain_dir, tmp_path):
+    fb = tmp_path / "fb.json"
+    fb.write_text("{}")
+    with pytest.raises(SystemExit):
+        main(
+            [
+                "--publishers-list-id", TARGET_LIST,
+                "--since-date", "2024-03-02",
+                "--source-dir", domain_dir,
+                "--firebase-config", str(fb),
+            ],
+            spark=spark,
+        )
