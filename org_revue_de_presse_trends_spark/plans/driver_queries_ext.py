@@ -748,3 +748,39 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("n_orders").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+@query(
+    "rolling_30d_customer_revenue",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+           ), 2) AS DOUBLE) AS rolling_30d
+    FROM orders
+    """,
+)
+def rolling_30d_customer_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-based RANGE window frame (vs the ROWS frames elsewhere):
+    per-customer 30-day rolling revenue.  The frame is value-bounded on
+    epoch seconds, so ties are frame-peers in both engines and the
+    decimal-exact sum is order-independent — no tiebreaker needed,
+    unlike ROWS frames."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(
+            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))")).over(w), 2
+        )
+        .cast("double")
+        .alias("rolling_30d"),
+    )
