@@ -99,14 +99,14 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.trim(text)))
 
 
-def _rolling_kgram_hashes(toks: Column, k: int) -> Column:
-    """ORDERED rolling hashes of k-token windows (array<long>, one per
-    window position): hash each token once, then combine k consecutive
-    token hashes with rotate-xor (position-dependent, overflow-free
-    under ANSI mode).  zip_with over k shifted slices — linear work;
-    referencing the whole array inside a per-element lambda would
-    re-evaluate it per element (O(n²) per document)."""
-    th = F.transform(toks, lambda t: F.xxhash64(t))
+def _combine_kgrams(th: Column, k: int) -> Column:
+    """Rotate-xor combination of k consecutive token hashes (position-
+    dependent, overflow-free under ANSI mode).  zip_with over k shifted
+    slices — linear work; referencing the whole array inside a
+    per-element lambda would re-evaluate it per element (O(n²) per
+    document).  ``th`` should be a column ATTRIBUTE when possible:
+    interpreted HOF eval recomputes a non-attribute subtree once per
+    slice reference (k times)."""
     n = F.size(th)
 
     def rot(c: Column, r: int) -> Column:
@@ -121,6 +121,12 @@ def _rolling_kgram_hashes(toks: Column, k: int) -> Column:
             lambda a, b: rot(a, 7).bitwiseXOR(b),
         )
     return combined
+
+
+def _rolling_kgram_hashes(toks: Column, k: int) -> Column:
+    """ORDERED rolling hashes of k-token windows (array<long>, one per
+    window position): hash each token once, then rotate-xor combine."""
+    return _combine_kgrams(F.transform(toks, lambda t: F.xxhash64(t)), k)
 
 
 def shingle_hashes(text: Column, k: int = 3) -> Column:
@@ -147,9 +153,28 @@ def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
     candidate-blocking key for near-dup detection (explode + equi-join
     on fingerprint, the same scale shape as every other dedup path).
     The sliding min is w-1 zip_with(least) passes over shifted slices —
-    linear, no per-element slicing."""
+    linear, no per-element slicing.
+
+    PERFORMANCE: higher-order functions are interpreted, and
+    interpreted eval re-evaluates a subtree once per REFERENCE — this
+    single-Column form references the rolling-hash tree w times and the
+    token tree k times within it (≈ k·w tokenizations per row,
+    measured ~10× slower).  Prefer ``with_winnow_fingerprints`` (the
+    DataFrame form used by the engine's own query/operator paths),
+    which stages each level as a column attribute so it is evaluated
+    exactly once per row; this Column form is kept for expression-only
+    contexts.
+    """
     toks = tokens(text)
     hs = _rolling_kgram_hashes(toks, k)
+    mins = _sliding_min(hs, w)
+    return F.when(
+        F.size(tokens(text)) < F.lit(k),
+        F.array(F.xxhash64(F.concat_ws(" ", toks))),
+    ).otherwise(F.array_distinct(mins))
+
+
+def _sliding_min(hs: Column, w: int) -> Column:
     n_h = F.size(hs)
     win = F.greatest(n_h - F.lit(w - 1), F.lit(1))
     # zip_with pads the shorter (shifted) side with null; least()
@@ -159,10 +184,48 @@ def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
         mins = F.zip_with(
             mins, F.slice(hs, j + 1, win), lambda a, b: F.least(a, b)
         )
-    return F.when(
-        F.size(tokens(text)) < F.lit(k),
-        F.array(F.xxhash64(F.concat_ws(" ", toks))),
-    ).otherwise(F.array_distinct(mins))
+    return mins
+
+
+def with_winnow_fingerprints(
+    df,
+    text_col: str = "text",
+    out_col: str = "fps",
+    k: int = 5,
+    w: int = 4,
+):
+    """DataFrame-level winnowing: identical values to
+    ``winnow_fingerprints`` (same expressions), but each level (tokens
+    → rolling k-gram hashes → sliding min) is materialized as a column
+    ATTRIBUTE behind a projection boundary, so interpreted HOF eval
+    computes it once per row instead of once per reference
+    (CollapseProject keeps the boundaries: the aliases are non-cheap
+    and referenced more than once).  Measured ~10× faster at sf0.1.
+    Returns df with ``out_col`` added and no other column changes."""
+    rest = [c for c in df.columns]
+    d1 = df.select(*rest, tokens(F.col(text_col)).alias("__wf_toks"))
+    d1b = d1.select(
+        *rest,
+        "__wf_toks",
+        F.transform(F.col("__wf_toks"), lambda t: F.xxhash64(t)).alias(
+            "__wf_th"
+        ),
+    )
+    d2 = d1b.select(
+        *rest,
+        "__wf_toks",
+        _combine_kgrams(F.col("__wf_th"), k).alias("__wf_hs"),
+    )
+    d3 = d2.select(
+        *rest,
+        "__wf_toks",
+        _sliding_min(F.col("__wf_hs"), w).alias("__wf_mins"),
+    )
+    fps = F.when(
+        F.size(F.col("__wf_toks")) < F.lit(k),
+        F.array(F.xxhash64(F.concat_ws(" ", F.col("__wf_toks")))),
+    ).otherwise(F.array_distinct(F.col("__wf_mins")))
+    return d3.select(*rest, fps.alias(out_col))
 
 
 def chunks_from_tokens(

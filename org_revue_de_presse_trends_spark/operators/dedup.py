@@ -142,10 +142,11 @@ def winnow_candidate_pairs(
     Returns (id_a, id_b, n_shared_fps); verify with exact Jaccard or
     embedding cosine downstream.
     """
-    ex = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.explode(T.winnow_fingerprints(F.col(text_col), k, w)).alias("fp"),
+    staged = T.with_winnow_fingerprints(
+        df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col)),
+        text_col, "__fps", k, w,
     )
+    ex = staged.select("id", F.explode("__fps").alias("fp"))
     if max_fp_df is not None:
         w_df = Window.partitionBy("fp")
         ex = (
@@ -560,12 +561,22 @@ def embedding_lsh_pairs(
     # ``bands`` times through the shuffle; they are re-attached once
     # per side AFTER the candidate pairs are deduped (pair table ≪
     # banded table)
-    banded = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.explode(
-            H.srp_band_keys(F.col(vec_col), dim, n_bits, bands, seed)
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # repartition barrier on the join key: without it each self-join
+    # side recomputes every SRP projection (n_bits aggregate-dots per
+    # row — expensive in interpreted HOF eval); the barrier shuffles
+    # only (id, band, key) triples and is reused by both sides
+    banded = (
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.explode(
+                H.srp_band_keys(F.col(vec_col), dim, n_bits, bands, seed)
+            ).alias("bk"),
+        )
+        .select(
+            "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        )
+        .repartition("band", "key")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -577,18 +588,35 @@ def embedding_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    vecs = df.select(
-        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    # pre-normalize ONCE per vector so the per-pair verification is a
+    # single dot product instead of dot + two norms (3× the HOF work,
+    # paid per candidate).  Norm is staged as an attribute before the
+    # transform: referencing it inside the per-element lambda would
+    # re-evaluate the norm reduction per element (O(dim²) per row).
+    vecs = (
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).alias("v"),
+            F.sqrt(V.dot(F.col(vec_col), F.col(vec_col))).alias("_nrm"),
+        )
+        .select(
+            "id",
+            F.transform(
+                F.col("v"), lambda x: x.cast("double") / F.col("_nrm")
+            ).alias("vhat"),
+        )
     )
     cand = cand.join(
-        vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
+        vecs.select(F.col("id").alias("id_a"), F.col("vhat").alias("va")),
+        "id_a",
     ).join(
-        vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b"
+        vecs.select(F.col("id").alias("id_b"), F.col("vhat").alias("vb")),
+        "id_b",
     )
     return cand.select(
         "id_a",
         "id_b",
-        V.cosine(F.col("va"), F.col("vb")).alias("cos"),
+        V.dot(F.col("va"), F.col("vb")).alias("cos"),
     ).filter(F.col("cos") >= threshold)
 
 

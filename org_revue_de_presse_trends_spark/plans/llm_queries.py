@@ -567,13 +567,13 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     array itself is an internal blocking key): count + extremes.
     Guarantee and density are property-tested in
     tests/test_operators.py; golden-hashed at sf0.01."""
-    docs = load_table(spark, sf_dir, "documents")
-    fps = T.winnow_fingerprints(F.col("text"), k=5, w=4)
-    return docs.select(
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = T.with_winnow_fingerprints(docs, "text", "fps", k=5, w=4)
+    return staged.select(
         "doc_id",
-        F.size(fps).cast("long").alias("n_fps"),
-        F.array_min(fps).alias("min_fp"),
-        F.array_max(fps).alias("max_fp"),
+        F.size("fps").cast("long").alias("n_fps"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
     )
 
 
