@@ -133,12 +133,65 @@ def shingle_hashes(text: Column, k: int = 3) -> Column:
     """Distinct 64-bit fingerprints of k-word shingles (array<long>)
     WITHOUT materializing shingle strings — ~3× cheaper; used by
     MinHash where only a fingerprint is needed (exact-Jaccard keeps
-    real strings)."""
+    real strings).  Prefer ``with_shingle_hashes`` in DataFrame
+    contexts (stages the token/hash levels as attributes; this Column
+    form re-tokenizes k+1 times per row under interpreted HOF eval)."""
     toks = tokens(text)
     n = F.size(toks)
     return F.when(
         n < F.lit(k), F.array(F.xxhash64(F.concat_ws(" ", toks)))
     ).otherwise(F.array_distinct(_rolling_kgram_hashes(toks, k)))
+
+
+def with_shingle_hashes(
+    df, text_col: str = "text", out_col: str = "sh", k: int = 3
+):
+    """DataFrame-level ``shingle_hashes`` with each level staged as a
+    column attribute (see ``with_winnow_fingerprints`` for why) —
+    identical values, tokenization/hashing evaluated once per row."""
+    rest = list(df.columns)
+    d1 = df.select(*rest, tokens(F.col(text_col)).alias("__sh_toks"))
+    d2 = d1.select(
+        *rest,
+        "__sh_toks",
+        F.transform(F.col("__sh_toks"), lambda t: F.xxhash64(t)).alias(
+            "__sh_th"
+        ),
+    )
+    d3 = d2.select(
+        *rest,
+        "__sh_toks",
+        _combine_kgrams(F.col("__sh_th"), k).alias("__sh_comb"),
+    )
+    out = F.when(
+        F.size(F.col("__sh_toks")) < F.lit(k),
+        F.array(F.xxhash64(F.concat_ws(" ", F.col("__sh_toks")))),
+    ).otherwise(F.array_distinct(F.col("__sh_comb")))
+    return d3.select(*rest, out.alias(out_col))
+
+
+def with_shingles(
+    df, text_col: str = "text", out_col: str = "sh", k: int = 3
+):
+    """DataFrame-level ``shingles`` (string k-grams) with the token
+    array staged as an attribute — identical values, one tokenization
+    per row instead of k+2."""
+    rest = list(df.columns)
+    d1 = df.select(*rest, tokens(F.col(text_col)).alias("__sg_toks"))
+    toks = F.col("__sg_toks")
+    n = F.size(toks)
+    win = F.greatest(n - F.lit(k - 1), F.lit(1))
+    combined = F.slice(toks, 1, win)
+    for j in range(1, k):
+        combined = F.zip_with(
+            combined,
+            F.slice(toks, j + 1, win),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    out = F.when(
+        n < F.lit(k), F.array(F.concat_ws(" ", toks))
+    ).otherwise(F.array_distinct(combined))
+    return d1.select(*rest, out.alias(out_col))
 
 
 def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:

@@ -72,10 +72,16 @@ def shingle_pairs_jaccard(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     block_cols = block_cols or []
-    ex = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        *[F.col(c) for c in block_cols],
-        F.explode(T.shingles(F.col(text_col), k)).alias("shingle"),
+    staged = T.with_shingles(
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            *[F.col(c) for c in block_cols],
+            F.col(text_col),
+        ),
+        text_col, "__sh", k,
+    )
+    ex = staged.select(
+        "id", *block_cols, F.explode("__sh").alias("shingle")
     )
     if max_shingle_df is not None:
         # df-count via window on the join key itself, in the join's key
@@ -191,10 +197,10 @@ def minhash_signatures(
             F.transform(F.col("sh"), lambda h: F.xxhash64(h, F.lit(i)))
         )
 
-    base = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        T.shingle_hashes(F.col(text_col), k).alias("sh"),
-    )
+    base = T.with_shingle_hashes(
+        df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col)),
+        text_col, "sh", k,
+    ).select("id", "sh")
     return base.select(
         "id", F.array(*[perm_min(i) for i in range(num_perm)]).alias("sig")
     )
