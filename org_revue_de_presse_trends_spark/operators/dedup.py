@@ -236,11 +236,15 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(df, text_col, id_col, k, num_perm).repartition(
         F.col("id")
     )
+    # band keys carry IDS ONLY through the explode + self-join (the
+    # 64-long signature would otherwise be duplicated ``bands`` times
+    # through the shuffle); signatures are re-attached once per side
+    # after the candidate pairs are deduped — the same discipline as
+    # embedding_lsh_pairs
     banded = sig.select(
         "id",
-        "sig",
         F.explode(H.lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk"),
-    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -249,13 +253,16 @@ def minhash_lsh_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .join(
+            sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
     )
     est = F.size(
         F.filter(
