@@ -60,6 +60,46 @@ def windowed_daily_counts(
     )
 
 
+def foreach_batch_document_sink(
+    store_factory,
+    list_id: str,
+    ts_col: str = "publishedAt",
+    shift_hours: int = 1,
+    **write_kwargs,
+):
+    """Build a foreachBatch function that fans each micro-batch's
+    highlight records out to the document store — the reference's
+    Firebase write (trends.go:656-745) run continuously.
+
+    Per micro-batch, records are grouped by their civil day and each
+    day's slice goes through ``write_highlights`` (delete-then-write
+    per (list, day, type) subtree → idempotent, so micro-batch retries
+    are exactly-once per subtree, matching the lake path's semantics).
+    """
+    from ..sources.document_sink import write_highlights
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        days = [
+            str(r[0])
+            for r in batch_df.select(
+                civil_day(F.col(ts_col).cast("timestamp"), shift_hours).alias("d")
+            )
+            .distinct()
+            .collect()
+        ]
+        for day in sorted(days):
+            slice_df = batch_df.filter(
+                civil_day(F.col(ts_col).cast("timestamp"), shift_hours)
+                == F.lit(day).cast("date")
+            )
+            write_highlights(
+                slice_df, store_factory, list_id=list_id, since_date=day,
+                **write_kwargs,
+            )
+
+    return run
+
+
 def enrich_stream_with_dim(
     stream: DataFrame,
     dim: DataFrame,

@@ -380,3 +380,46 @@ def test_enrich_stream_with_static_dim(spark, events_stream_dir, tmp_path):
     }
     assert {r["user_tier"]: r["n"] for r in got} == want
     assert sum(want.values()) == ev_batch.count()
+
+
+def test_foreach_batch_document_sink(spark, tmp_path):
+    """Streamed highlight records land in the document store with the
+    same tree layout as the batch sink, grouped by civil day."""
+    from org_revue_de_presse_trends_spark.sources.document_sink import (
+        LocalFSDocumentStore,
+    )
+    from org_revue_de_presse_trends_spark.streaming.incremental import (
+        foreach_batch_document_sink,
+    )
+
+    cols = [
+        "id", "twitterId", "username", "text", "url", "json",
+        "publishedAt", "checkedAt", "isRetweet",
+        "totalRetweets", "totalFavorites", "statusType",
+    ]
+    rows = [
+        (i, str(100 + i), f"u{i}", "t", "u", '{"ok":1}',
+         f"2024-03-0{1 + i % 2} 12:00:00", "2024-03-02 12:00:00",
+         False, 10 * i, i, "status")
+        for i in range(6)
+    ]
+    src = str(tmp_path / "hl_in")
+    spark.createDataFrame(rows, cols).write.parquet(src)
+    batch_df = spark.read.parquet(src)
+    root = str(tmp_path / "store")
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_document_sink(
+                lambda: LocalFSDocumentStore(root), list_id="list-1"
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_sink"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    d1 = os.path.join(root, "highlights", "list-1", "2024-03-01", "status")
+    d2 = os.path.join(root, "highlights", "list-1", "2024-03-02", "status")
+    assert sorted(os.listdir(d1)) == ["100.json", "102.json", "104.json"]
+    assert sorted(os.listdir(d2)) == ["101.json", "103.json", "105.json"]
