@@ -616,3 +616,30 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.n_tokens").alias("n_tokens"),
     )
     return pack_sequences(chunks, budget=128)
+
+
+@query("corpus_selection_lsh")  # MinHash candidates: rows-only
+def corpus_selection_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-selection composite on its 100 TB candidate path:
+    near-dup pairs from MinHash-LSH banding instead of the exact
+    shingle self-join, then the same clustering / quality / length
+    stages as q:corpus_selection.
+
+    Unlike the blocked exact pipeline (which only compares docs within
+    one source), LSH banding is global — at sf0.01 it recovers 24
+    cross-source duplicate pairs the source-blocked path cannot see,
+    while every LSH pair is verified to sit inside the UNBLOCKED
+    exact-Jaccard pair set.  Pinned invariants: LSH selection ⊇ the
+    unblocked-exact selection + sf0.01 golden hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.35)
+    keep = D.dedup_assignments(docs, pairs).filter(F.col("keep"))
+    return (
+        docs.join(keep, docs.doc_id == keep.id, "left_semi")
+        .withColumn("quality", T.quality_score(F.col("text")))
+        .filter(
+            (F.col("quality") >= 0.5)
+            & (F.size(T.tokens(F.col("text"))) >= 20)
+        )
+        .select("doc_id", "lang", "n_chars", "quality")
+    )

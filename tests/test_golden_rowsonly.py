@@ -49,6 +49,9 @@ GOLDEN_SHA256 = {
     "packed_sequences": (
         816, "9e8e7000b3c04f77cfadb97474466427a11f209e237fda1e2e4a19ad26d8abb3"
     ),
+    "corpus_selection_lsh": (
+        233, "11e81fffbbfb2ffa4dfcfe38a4c3f9b5611e94462f60f301426971e269ac8f7d"
+    ),
 }
 
 
@@ -146,3 +149,41 @@ def test_srp_lsh_subset_and_recall_vs_brute_force(spark):
     assert lsh <= truth, f"false positives: {sorted(lsh - truth)[:5]}"
     recall = len(lsh & truth) / len(truth)
     assert recall >= 0.9, f"SRP-LSH recall regressed: {recall:.2f}"
+
+
+def test_lsh_corpus_selection_covers_unblocked_exact(spark):
+    """The LSH corpus-selection composite must keep every doc the
+    UNBLOCKED exact-Jaccard pipeline keeps (LSH pairs ⊆ unblocked
+    exact pairs ⇒ sub-components ⇒ every exact keep survives), and it
+    sees cross-source duplicates the source-blocked q:corpus_selection
+    cannot."""
+    from pyspark.sql import functions as F
+
+    from org_revue_de_presse_trends_spark.functions import text as T
+    from org_revue_de_presse_trends_spark.operators import dedup as D
+
+    docs = load_table(spark, SF, "documents")
+    exact_pairs = D.shingle_pairs_jaccard(docs, k=3, threshold=0.1)
+    keep = D.dedup_assignments(docs, exact_pairs).filter(F.col("keep"))
+    sel_exact = {
+        r["doc_id"]
+        for r in docs.join(keep, docs.doc_id == keep.id, "left_semi")
+        .withColumn("quality", T.quality_score(F.col("text")))
+        .filter(
+            (F.col("quality") >= 0.5)
+            & (F.size(T.tokens(F.col("text"))) >= 20)
+        )
+        .select("doc_id")
+        .collect()
+    }
+    sel_lsh = {
+        r["doc_id"]
+        for r in QUERIES["corpus_selection_lsh"](spark, SF).collect()
+    }
+    assert sel_exact <= sel_lsh
+    # LSH finds cross-source dups the blocked pipeline misses, so it
+    # selects FEWER docs than q:corpus_selection (more dups removed)
+    sel_blocked = {
+        r["doc_id"] for r in QUERIES["corpus_selection"](spark, SF).collect()
+    }
+    assert len(sel_lsh) < len(sel_blocked)
