@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_clusters",
     "corpus_selection",
+    "corpus_selection_lsh",
     "doc_top_tfidf_terms",
     "doc_winnow_fingerprints",
     "packed_sequences",

@@ -1,6 +1,7 @@
-"""CI-side correctness gates for the three driver queries that have no
-DuckDB oracle (xxhash64-based signatures / centroid assignment have no
-DuckDB equivalent, so the driver records `no_oracle` rows-only checks).
+"""CI-side correctness gates for the driver queries that have no
+DuckDB oracle (xxhash64-based signatures / centroid assignment /
+procedural packing have no DuckDB equivalent, so the driver records
+`no_oracle` rows-only checks).
 
 They ARE deterministic — fixed hash seeds, deterministic tiebreaks — so
 this file pins them two independent ways:
