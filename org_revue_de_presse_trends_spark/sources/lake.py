@@ -33,3 +33,72 @@ def write_partitioned(
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def delete_matching(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    partition_by: tuple[str, ...] = ("day", "statusType"),
+) -> int:
+    """Delete every row matching ``predicate`` (a Column) from the
+    lake — the takedown / right-to-be-forgotten primitive a training-
+    data lake needs.  Returns the number of rows removed.
+
+    Shape: find the PARTITIONS that contain matching rows (a pruned
+    aggregation over the partition columns), then rewrite exactly those
+    partitions without the matching rows via dynamic partition
+    overwrite — untouched partitions are never read or written, so the
+    cost scales with the affected data, not the lake.  Idempotent: a
+    rerun matches nothing and rewrites nothing.
+
+    The rewrite slice is localCheckpointed before the overwrite because
+    its lineage READS the same files the overwrite replaces (the
+    classic self-overwrite hazard).
+    """
+    df = spark.read.parquet(path)
+    matches = df.filter(predicate)
+    affected = matches.select(*partition_by).distinct().collect()
+    if not affected:
+        return 0
+    from pyspark.sql import functions as F
+
+    part_filter = None
+    for row in affected:
+        clause = None
+        for c in partition_by:
+            eq = F.col(c) == F.lit(row[c])
+            clause = eq if clause is None else (clause & eq)
+        part_filter = clause if part_filter is None else (part_filter | clause)
+    slice_df = df.filter(part_filter)
+    n_removed = slice_df.filter(predicate).count()
+    keep = slice_df.filter(~predicate).localCheckpoint()
+    kept_parts = {
+        tuple(str(r[c]) for c in partition_by)
+        for r in keep.select(*partition_by).distinct().collect()
+    }
+    if kept_parts:
+        write_partitioned(keep, path, partition_by=partition_by)
+    # dynamic overwrite only replaces partitions PRESENT in the written
+    # data — a fully-emptied partition must be removed explicitly
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for row in affected:
+        key = tuple(str(row[c]) for c in partition_by)
+        if key in kept_parts:
+            continue
+        sub = "/".join(f"{c}={v}" for c, v in zip(partition_by, key))
+        hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
+        fs = hpath.getFileSystem(hconf)
+        fs.delete(hpath, True)
+        # prune now-empty parent partition directories up to the root
+        parent = hpath.getParent()
+        root = jvm.org.apache.hadoop.fs.Path(path)
+        while (
+            str(parent) != str(root)
+            and fs.exists(parent)
+            and len(fs.listStatus(parent)) == 0
+        ):
+            fs.delete(parent, True)
+            parent = parent.getParent()
+    return n_removed

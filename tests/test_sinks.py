@@ -406,3 +406,46 @@ def test_load_app_config_builds_postgres_dsn(tmp_path):
     q.write_text(json.dumps({"Firebase_url": ""}))
     empty = load_app_config(str(q))
     assert empty.postgres is None and empty.firebase_url is None
+
+
+def test_lake_delete_matching(spark, tmp_path):
+    """Takedown primitive: rows matching the predicate vanish, only
+    affected partitions are rewritten, fully-emptied partitions are
+    removed, untouched partitions keep their files, and a rerun is an
+    idempotent no-op."""
+    import pyspark.sql.functions as F
+
+    from org_revue_de_presse_trends_spark.sources.lake import (
+        delete_matching,
+        read_partitioned,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "lake")
+    rows = [
+        ("2024-03-01", "status", i, f"u{i}") for i in range(10)
+    ] + [
+        ("2024-03-02", "status", 100 + i, f"v{i}") for i in range(10)
+    ] + [
+        ("2024-03-03", "status", 200, "takedown-only")
+    ]
+    df = spark.createDataFrame(rows, ["day", "statusType", "id", "username"])
+    write_partitioned(df, path)
+    d1 = os.path.join(path, "day=2024-03-01", "statusType=status")
+    before_files = set(os.listdir(d1))
+
+    # delete two rows from day 2 and the only row of day 3
+    n = delete_matching(
+        spark, path, F.col("id").isin(100, 101, 200)
+    )
+    assert n == 3
+    out = read_partitioned(spark, path)
+    got = {r["id"] for r in out.collect()}
+    assert got == set(range(10)) | {102 + i for i in range(8)}
+    # untouched partition: same files on disk
+    assert set(os.listdir(d1)) == before_files
+    # fully-emptied partition directory is gone
+    assert not os.path.exists(os.path.join(path, "day=2024-03-03"))
+    # idempotent rerun
+    assert delete_matching(spark, path, F.col("id").isin(100, 200)) == 0
+    assert read_partitioned(spark, path).count() == 18
