@@ -784,3 +784,29 @@ def rolling_30d_customer_revenue(
         .cast("double")
         .alias("rolling_30d"),
     )
+
+
+@query(
+    "union_distinct_active_parties",
+    """
+    SELECT o_custkey AS party_key FROM orders WHERE year(o_orderdate) = 1995
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    """,
+)
+def union_distinct_active_parties(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UNION (distinct) — completing the set-op family alongside UNION
+    ALL (q:union_order_variants), INTERSECT, EXCEPT, EXCEPT ALL.  Spark
+    plans union().distinct() as one hash-aggregate over the
+    concatenated inputs (map-side partial on each leg)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    a = o.filter(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("party_key")
+    )
+    b = c.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("party_key")
+    )
+    return a.union(b).distinct()
