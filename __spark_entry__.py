@@ -26,7 +26,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(plans.QUERIES)
+    """Registered suite, oracled queries first.
+
+    The driver evaluates a bounded prefix of this dict (50 queries in
+    round 2).  Oracled queries carry the hard hash-vs-DuckDB signal, so
+    they are emitted ahead of rows-only ones; within each class the
+    registration order is preserved (stable sort).
+    """
+    ordered = sorted(
+        plans.QUERIES.items(), key=lambda kv: kv[0] not in plans.ORACLES
+    )
+    return dict(ordered)
 
 
 def oracle_sql() -> dict[str, str]:

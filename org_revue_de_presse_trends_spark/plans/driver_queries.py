@@ -381,26 +381,52 @@ def orders_left_join_big_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "argmax_event_per_user",
     """
-    SELECT user_id, event_id, event_type, value
-    FROM (
-        SELECT user_id, event_id, event_type, value,
-               row_number() OVER (
-                   PARTITION BY user_id ORDER BY value DESC, event_id DESC
-               ) AS rn
+    WITH top AS (
+        SELECT user_id, event_id, event_type, value
+        FROM (
+            SELECT user_id, event_id, event_type, value,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY value DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    ),
+    life AS (
+        SELECT user_id,
+               MIN(ts) AS first_ts,
+               MAX(ts) AS last_ts,
+               arg_min(event_type, ts) AS first_type,
+               arg_max(event_type, ts) AS last_type,
+               COUNT(*) AS n_events
         FROM events
+        GROUP BY user_id
     )
-    WHERE rn = 1
+    SELECT t.user_id, t.event_id, t.event_type, t.value,
+           l.first_ts, l.last_ts, l.first_type, l.last_type, l.n_events
+    FROM top t JOIN life l ON t.user_id = l.user_id
     """,
 )
 def argmax_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: one max_by(struct) hash aggregate replaces the reference's
-    ten parallel ARRAY_AGG(... ORDER BY ...)[1] columns."""
+    ten parallel ARRAY_AGG(... ORDER BY ...)[1] columns.  The min_by /
+    max_by lifecycle columns (formerly q:first_last_event_per_user) ride
+    in the SAME aggregate — one shuffle where the oracle needs a
+    window + group-by + join; ts is unique per user in the fixture so
+    argmin/argmax over it are deterministic."""
     ev = load_table(spark, sf_dir, "events")
     return argmax(
         ev,
         group=["user_id"],
         order_key=F.struct(F.col("value"), F.col("event_id")),
         payload=["event_id", "event_type", "value"],
+        extra=[
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.min_by("event_type", "ts").alias("first_type"),
+            F.max_by("event_type", "ts").alias("last_type"),
+            F.count(F.lit(1)).alias("n_events"),
+        ],
     )
 
 
@@ -556,11 +582,21 @@ def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'urgent' AS variant, o_orderkey, o_totalprice FROM orders
     WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000
+    UNION
+    SELECT 'urgent' AS variant, o_orderkey, o_totalprice FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000
     """,
 )
 def union_order_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's three variant queries become one unionByName
-    with a discriminator column (SURVEY §2.7)."""
+    with a discriminator column (SURVEY §2.7).  The trailing UNION
+    (distinct) leg re-submits the urgent variant — the idempotent
+    re-run-a-variant shape — and collapses it in one hash aggregate
+    over the concatenated inputs (map-side partial on each leg), so
+    this single query exercises BOTH set-op flavors: UNION ALL and
+    UNION DISTINCT (formerly q:union_distinct_active_parties).  The
+    row set is unchanged: variants are tagged, so distinct only
+    removes the deliberate duplicate leg."""
     o = load_table(spark, sf_dir, "orders")
     high = o.filter(F.col("o_totalprice") > 450000).select(
         F.lit("high_value").alias("variant"), "o_orderkey", "o_totalprice"
@@ -568,7 +604,7 @@ def union_order_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     urgent = o.filter(
         (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 400000)
     ).select(F.lit("urgent").alias("variant"), "o_orderkey", "o_totalprice")
-    return high.unionByName(urgent)
+    return high.unionByName(urgent).unionByName(urgent).distinct()
 
 
 # --------------------------------------------------------------------------
