@@ -55,24 +55,41 @@ def delete_matching(
     The rewrite slice is localCheckpointed before the overwrite because
     its lineage READS the same files the overwrite replaces (the
     classic self-overwrite hazard).
+
+    NULL semantics: under SQL three-valued logic a predicate can
+    evaluate to NULL (e.g. ``col('username') == 'bob'`` on a NULL
+    username), and such rows satisfy neither ``predicate`` nor
+    ``~predicate``.  A takedown must never silently drop them, so the
+    match condition is ``coalesce(predicate, false)`` — NULL means KEEP
+    — and match/keep partition the slice exactly (``n_removed`` counts
+    every row that disappears).
+
+    Partition selection is a broadcast left-semi join against the
+    distinct affected-partition frame, not a literal OR-chain: the plan
+    stays constant-size no matter how many partitions match, and
+    dynamic partition pruning still skips untouched partitions at
+    runtime.  NULL-valued partition KEYS are not supported (the hive
+    partition layout encodes them as a default-partition directory;
+    keep partition columns NOT NULL, as ``write_partitioned`` callers
+    do).
     """
-    df = spark.read.parquet(path)
-    matches = df.filter(predicate)
-    affected = matches.select(*partition_by).distinct().collect()
-    if not affected:
-        return 0
     from pyspark.sql import functions as F
 
-    part_filter = None
-    for row in affected:
-        clause = None
-        for c in partition_by:
-            eq = F.col(c) == F.lit(row[c])
-            clause = eq if clause is None else (clause & eq)
-        part_filter = clause if part_filter is None else (part_filter | clause)
-    slice_df = df.filter(part_filter)
-    n_removed = slice_df.filter(predicate).count()
-    keep = slice_df.filter(~predicate).localCheckpoint()
+    df = spark.read.parquet(path)
+    match = F.coalesce(predicate.cast("boolean"), F.lit(False))
+    affected_df = df.filter(match).select(*partition_by).distinct()
+    # O(#affected partitions) driver-side — needed anyway for the
+    # emptied-directory cleanup below; re-localized as a literal frame
+    # so the semi-join build side doesn't re-read the lake.
+    affected = affected_df.collect()
+    if not affected:
+        return 0
+    aff_local = spark.createDataFrame(affected, schema=affected_df.schema)
+    slice_df = df.join(
+        F.broadcast(aff_local), on=list(partition_by), how="left_semi"
+    )
+    n_removed = slice_df.filter(match).count()
+    keep = slice_df.filter(~match).localCheckpoint()
     kept_parts = {
         tuple(str(r[c]) for c in partition_by)
         for r in keep.select(*partition_by).distinct().collect()

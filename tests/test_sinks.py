@@ -449,3 +449,78 @@ def test_lake_delete_matching(spark, tmp_path):
     # idempotent rerun
     assert delete_matching(spark, path, F.col("id").isin(100, 200)) == 0
     assert read_partitioned(spark, path).count() == 18
+
+
+def test_lake_delete_matching_keeps_null_predicate_rows(spark, tmp_path):
+    """Three-valued logic: rows where the predicate evaluates to NULL
+    (NULL username vs username=='bob') must be KEPT and not counted —
+    the ADVICE-flagged silent-data-loss shape."""
+    import pyspark.sql.functions as F
+
+    from org_revue_de_presse_trends_spark.sources.lake import (
+        delete_matching,
+        read_partitioned,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "lake_nulls")
+    rows = [
+        ("2024-04-01", "status", 1, "bob"),
+        ("2024-04-01", "status", 2, None),  # same partition as the match
+        ("2024-04-01", "status", 3, "carol"),
+        ("2024-04-02", "status", 4, None),  # untouched partition
+    ]
+    df = spark.createDataFrame(rows, ["day", "statusType", "id", "username"])
+    write_partitioned(df, path)
+
+    n = delete_matching(spark, path, F.col("username") == "bob")
+    assert n == 1
+    got = {(r["id"], r["username"]) for r in read_partitioned(spark, path).collect()}
+    assert got == {(2, None), (3, "carol"), (4, None)}
+
+
+def test_lake_delete_matching_many_partitions_bounded_plan(spark, tmp_path):
+    """~100 affected partitions: the partition filter is a broadcast
+    semi-join, so the rewrite-slice plan must NOT grow a literal
+    disjunct per partition (the old OR-chain shape)."""
+    import pyspark.sql.functions as F
+
+    from org_revue_de_presse_trends_spark.sources.lake import (
+        delete_matching,
+        read_partitioned,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "lake_wide")
+    n_days = 100
+    rows = [
+        (f"2024-01-{d % 31 + 1:02d}x{d:03d}", "status", d * 10 + j, f"u{j}")
+        for d in range(n_days)
+        for j in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["day", "statusType", "id", "username"])
+    write_partitioned(df, path)
+
+    # u0 exists in every partition -> all 100 partitions affected
+    n = delete_matching(spark, path, F.col("username") == "u0")
+    assert n == n_days
+    out = read_partitioned(spark, path)
+    assert out.count() == n_days * 2
+    assert out.filter(F.col("username") == "u0").count() == 0
+
+    # plan-shape pin: reconstruct the slice the same way delete_matching
+    # does and assert the filter side carries no per-partition literals
+    aff = (
+        spark.read.parquet(path)
+        .select("day", "statusType")
+        .distinct()
+        .limit(n_days)
+    )
+    local = spark.createDataFrame(aff.collect(), schema=aff.schema)
+    sliced = spark.read.parquet(path).join(
+        F.broadcast(local), on=["day", "statusType"], how="left_semi"
+    )
+    plan = sliced._jdf.queryExecution().toString()
+    # a literal OR-chain would mention dozens of day values; the
+    # semi-join plan mentions none outside the (bounded) broadcast
+    assert plan.count("2024-01-") < 5
