@@ -152,6 +152,13 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 "--since-last-week writes raw statuses: use --lake-dir "
                 "or stdout, not --sink-dir"
             )
+        if args.firebase_config and cfg is not None and cfg.firebase_url:
+            # same rationale: a configured Firebase sink would otherwise
+            # be silently ignored while we print to stdout with exit 0
+            build_parser().error(
+                "--since-last-week writes raw statuses: use --lake-dir "
+                "or stdout, not the Firebase sink"
+            )
         from .functions.expressions import civil_day
 
         df = pipe.last_week_statuses(now=args.since_date)

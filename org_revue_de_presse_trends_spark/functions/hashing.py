@@ -145,6 +145,9 @@ def srp_band_keys(
     equi-join on (band, key)."""
     if n_bits % bands:
         raise ValueError("n_bits must divide evenly into bands")
+    if n_bits // bands > 63:
+        # the band key is packed into one signed 64-bit long
+        raise ValueError("rows_per_band (n_bits/bands) must be <= 63")
     signs = srp_signs(n_bits, dim, seed)
     bits = []
     for i in range(n_bits):
@@ -158,7 +161,9 @@ def srp_band_keys(
     rows_per_band = n_bits // bands
     keys = []
     for b in range(bands):
-        key = F.lit(0)
+        # long accumulator: an int literal would wrap at 32 bits once
+        # rows_per_band > 31, silently merging buckets
+        key = F.lit(0).cast("long")
         for r in range(rows_per_band):
             key = F.shiftleft(key, 1).bitwiseOR(bits[b * rows_per_band + r])
         keys.append(

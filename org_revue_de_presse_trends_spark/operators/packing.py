@@ -75,7 +75,11 @@ def pack_sequences(
             F.xxhash64(F.col(doc_col), F.col(chunk_col)), F.lit(num_bins)
         ).alias("_bin"),
     )
+    # carry the input column types through: hardcoding e.g. "int" for a
+    # long chunk_col would hit an Arrow downcast error/overflow at runtime
+    in_types = {f.name: f.dataType.simpleString() for f in chunks.schema}
     schema = (
-        f"{doc_col} long, {chunk_col} int, {tokens_col} int, seq_id long"
+        f"{doc_col} {in_types[doc_col]}, {chunk_col} {in_types[chunk_col]}, "
+        f"{tokens_col} {in_types[tokens_col]}, seq_id long"
     )
     return binned.groupBy("_bin").applyInPandas(pack_bin, schema=schema)

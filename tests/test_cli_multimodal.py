@@ -342,3 +342,30 @@ def test_cli_firebase_config_requires_config(spark, domain_dir, tmp_path):
             ],
             spark=spark,
         )
+
+
+def test_cli_since_last_week_rejects_firebase_sink(spark, domain_dir, tmp_path):
+    """--since-last-week must refuse a configured Firebase sink as
+    loudly as it refuses --sink-dir (not silently print to stdout)."""
+    cfg = tmp_path / "config.json"
+    cfg.write_text(json.dumps({
+        "List_Id": TARGET_LIST,
+        "Firebase_url": "http://127.0.0.1:9",
+        "Read_user": "reader",
+        "Read_password": "secret",
+        "Read_database": "trends",
+        "Read_protocol_host_port": "db.internal:5432",
+    }))
+    fb = tmp_path / "config.firebase.json"
+    fb.write_text("{}")
+    with pytest.raises(SystemExit):
+        main(
+            [
+                "--since-date", "2024-03-05",
+                "--source-dir", domain_dir,
+                "--since-last-week",
+                "--config", str(cfg),
+                "--firebase-config", str(fb),
+            ],
+            spark=spark,
+        )

@@ -651,3 +651,45 @@ def test_register_views_sql_parity(spark):
            JOIN customer c ON o.o_custkey = c.c_custkey"""
     ).collect()[0]["n"]
     assert joined > 0
+
+
+def test_srp_band_keys_are_long_beyond_31_rows_per_band(spark):
+    """Band keys accumulate in a 64-bit long: with 32 rows per band the
+    all-ones key is 2^32-1, which a 32-bit accumulator would wrap
+    (merging buckets).  A zero vector dots to 0 >= 0 on every
+    hyperplane, so every bit is 1."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from org_revue_de_presse_trends_spark.functions.hashing import (
+        srp_band_keys,
+    )
+
+    df = spark.range(1).select(
+        F.array_repeat(F.lit(0.0), 4).alias("v")
+    )
+    row = df.select(
+        srp_band_keys(F.col("v"), dim=4, n_bits=64, bands=2).alias("keys")
+    ).head()
+    assert [k["key"] for k in row["keys"]] == [(1 << 32) - 1] * 2
+    with _pytest.raises(ValueError, match="rows_per_band"):
+        srp_band_keys(F.col("v"), dim=4, n_bits=64, bands=1)
+
+
+def test_pack_sequences_carries_input_column_types(spark):
+    """Output schema mirrors the input's column types: 64-bit chunk ids
+    must survive (a hardcoded int chunk column would downcast/overflow
+    in Arrow)."""
+    from org_revue_de_presse_trends_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    big = 1 << 40  # does not fit in 32 bits
+    df = spark.createDataFrame(
+        [(1, big + 1, 10), (1, big + 2, 20), (2, big + 3, 500)],
+        "doc_id long, chunk_id long, n_tokens int",
+    )
+    packed = pack_sequences(df, budget=128, num_bins=4)
+    assert dict(packed.dtypes)["chunk_id"] == "bigint"
+    out = {r["chunk_id"] for r in packed.collect()}
+    assert out == {big + 1, big + 2, big + 3}
