@@ -47,17 +47,41 @@ def _nanos_ts_columns(path: str) -> list[str]:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table as a DataFrame (lazy parquet scan)."""
+    """Load one fixture table as a DataFrame (lazy parquet scan).
+
+    Timestamp normalization happens HERE, at the load boundary, so every
+    downstream plan sees session-tz (UTC) ``timestamp`` regardless of how
+    the fixture generator stored the column. The driver has regenerated
+    fixtures across rounds (TIMESTAMP(NANOS) → timestamp[us]); we stay
+    tolerant of both:
+
+    - naive micros (``timestamp[us]``, isAdjustedToUTC=false): Spark 4
+      reads these as TIMESTAMP_NTZ by default, which breaks long casts
+      and ``withWatermark``. Disabling ``inferTimestampNTZ`` restores the
+      LTZ read *at the scan* so ts predicates still push down to parquet
+      (a post-read cast would sit in a Project above the scan and block
+      pushdown).
+    - TIMESTAMP(NANOS): illegal for Spark's vectorized reader; read as
+      long and truncate to micros, matching DuckDB's ns→us scan.
+    """
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_ts_columns(path)
-    if not ns_cols:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(
             c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))")
         )
+    # Belt-and-suspenders: if a future Spark ignores the conf (or a new
+    # fixture type slips through), surface LTZ anyway. Session tz is
+    # pinned UTC so the cast is a pure type relabel, not a value shift.
+    ntz_cols = [
+        f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"
+    ]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

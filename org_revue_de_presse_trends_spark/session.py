@@ -32,6 +32,11 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # driver fixtures store naive micros timestamps; read them as LTZ
+    # (session tz UTC) engine-wide — NTZ breaks withWatermark and long
+    # casts, and catalog.load_table re-asserts this per-read for
+    # sessions built outside this factory
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.parquet.aggregatePushdown": "true",
     # local-mode niceties; harmless on a cluster
     "spark.ui.enabled": "false",

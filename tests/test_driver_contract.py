@@ -13,6 +13,105 @@ from conftest import SF_ORACLE, canon, register_duck_views
 import __spark_entry__ as entrymod
 
 
+# --- fixture-drift tripwire ------------------------------------------------
+# The driver regenerates /root/testdata between rounds and has already
+# changed a column's physical type once (events.ts TIMESTAMP(NANOS) →
+# timestamp[us] in r3), which surfaced as six scattered failures and a
+# dead bench instead of one diagnostic. This test pins the LOGICAL type
+# of every fixture column: timestamps may change unit (the loader
+# normalizes ns/us/ms to session-tz micros), anything else drifting
+# fails here first, naming the table+column.
+
+FIXTURE_SCHEMA = {
+    "region": {"r_regionkey": "int32", "r_name": "string"},
+    "nation": {"n_nationkey": "int32", "n_name": "string", "n_regionkey": "int32"},
+    "customer": {
+        "c_custkey": "int64", "c_name": "string", "c_nationkey": "int32",
+        "c_acctbal": "double", "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "int64", "s_name": "string", "s_nationkey": "int32",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "int64", "p_name": "string", "p_brand": "string",
+        "p_type": "string", "p_size": "int32", "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "int64", "o_custkey": "int64", "o_orderstatus": "string",
+        "o_totalprice": "double", "o_orderdate": "timestamp",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "int64", "l_partkey": "int64", "l_suppkey": "int64",
+        "l_linenumber": "int32", "l_quantity": "double",
+        "l_extendedprice": "double", "l_discount": "double", "l_tax": "double",
+        "l_returnflag": "string", "l_linestatus": "string",
+        "l_shipdate": "timestamp",
+    },
+    "events": {
+        "event_id": "int64", "ts": "timestamp", "user_id": "int64",
+        "event_type": "string", "value": "double", "props": "string",
+    },
+    "documents": {
+        "doc_id": "int64", "text": "string", "lang": "string",
+        "source": "string", "n_chars": "int64",
+    },
+    "embeddings": {
+        "vec_id": "int64", "embedding": "list<float>", "label": "int32",
+    },
+}
+
+
+def _logical_type(t) -> str:
+    import pyarrow.types as pat
+
+    if pat.is_timestamp(t):
+        return "timestamp"  # any unit; load_table normalizes
+    if pat.is_list(t):
+        return f"list<{_logical_type(t.value_type)}>"
+    if pat.is_float32(t):
+        return "float"
+    return str(t)
+
+
+@pytest.mark.parametrize("table", sorted(FIXTURE_SCHEMA))
+def test_fixture_schema_tripwire(table):
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(SF_ORACLE, f"{table}.parquet")
+    got = {f.name: _logical_type(f.type) for f in pq.read_schema(path)}
+    exp = FIXTURE_SCHEMA[table]
+    drift = {
+        c: (exp.get(c), got.get(c))
+        for c in set(exp) | set(got)
+        if exp.get(c) != got.get(c)
+    }
+    assert not drift, (
+        f"DRIVER FIXTURE DRIFT in {path}: {{col: (expected, actual)}} = "
+        f"{drift} — update catalog.load_table normalization and re-pin "
+        f"golden hashes before trusting any other failure this round"
+    )
+
+
+def test_load_table_normalizes_timestamps(spark):
+    """Whatever the parquet unit/annotation, plans must see session-tz
+    ``timestamp`` (LTZ) — NTZ breaks long casts and withWatermark."""
+    from org_revue_de_presse_trends_spark.catalog import load_table
+
+    for table, cols in FIXTURE_SCHEMA.items():
+        df = load_table(spark, SF_ORACLE, table)
+        got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        for c, t in cols.items():
+            if t == "timestamp":
+                assert got[c] == "timestamp", (
+                    f"{table}.{c}: load_table surfaced {got[c]}, "
+                    f"expected session-tz timestamp"
+                )
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
