@@ -127,6 +127,27 @@ def srp_signs(n_bits: int, dim: int, seed: int = 0x5EED) -> list[list[float]]:
     ]
 
 
+def srp_sign_masks(n_bits: int, dim: int, seed: int = 0x5EED) -> list[int]:
+    """Per-dimension packed sign masks for the explode+groupBy SRP
+    formulation: element j is a signed 64-bit long whose bit i is 1 iff
+    hyperplane i has a +1 entry at dimension j (same ``srp_signs``
+    matrix, transposed and bit-packed so one long literal carries all
+    ``n_bits`` signs for a dimension)."""
+    if n_bits > 64:
+        raise ValueError("sign masks pack into one long: n_bits <= 64")
+    signs = srp_signs(n_bits, dim, seed)
+    masks = []
+    for j in range(dim):
+        m = 0
+        for i in range(n_bits):
+            if signs[i][j] > 0:
+                m |= 1 << i
+        if m >= 1 << 63:  # two's-complement into a signed long literal
+            m -= 1 << 64
+        masks.append(m)
+    return masks
+
+
 def srp_band_keys(
     vec: Column,
     dim: int,
