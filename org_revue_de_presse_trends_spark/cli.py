@@ -95,6 +95,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tz name for corrected civil-day mode "
                    "(default: reference's fixed -1h shift)")
     p.add_argument("--master", default=None)
+    p.add_argument(
+        "--metrics", action="store_true",
+        help="emit one structured JSON metrics line per materialized "
+        "query on stderr (rows/bytes/tasks counters — the engine's "
+        "analogue of the reference's Datadog tracing, trends.go:14)",
+    )
     return p
 
 
@@ -141,6 +147,22 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     )
     pipe = TrendsPipeline(load_domain_tables(spark, args.source_dir), params)
 
+    # --metrics: bracket every materialization with the status-store
+    # collector and log one JSON line per query on stderr (ops parity
+    # with the reference's per-run Datadog spans)
+    collector = None
+    if args.metrics:
+        from .observability import MetricsCollector
+
+        collector = MetricsCollector(spark)
+
+    def materialize(name: str, df, action):
+        if collector is None:
+            return action(df)
+        result, qm = collector.measure(name, df, action)
+        print(qm.to_json(), file=sys.stderr)
+        return result
+
     if args.since_last_week:
         from pyspark.sql import functions as F
 
@@ -173,12 +195,17 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             day = civil_day(
                 F.col("ust_created_at"), params.shift_hours, params.tz
             ).cast("string")
-            write_partitioned(
-                df.withColumn("day", day), args.lake_dir,
-                partition_by=("day",),
+            materialize(
+                "last_week_statuses:lake",
+                df.withColumn("day", day),
+                lambda d: write_partitioned(
+                    d, args.lake_dir, partition_by=("day",)
+                ),
             )
         else:
-            for row in df.collect():
+            for row in materialize(
+                "last_week_statuses", df, lambda d: d.collect()
+            ):
                 print(row)
         return 0
 
@@ -212,10 +239,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         from .sources.lake import write_partitioned
         from pyspark.sql import functions as F
 
-        write_partitioned(
+        materialize(
+            "highlights:lake",
             result.withColumn("day", F.lit(args.since_date)),
-            args.lake_dir,
-            partition_by=("day", "statusType"),
+            lambda d: write_partitioned(
+                d, args.lake_dir, partition_by=("day", "statusType")
+            ),
         )
     if args.firebase_config and (cfg is None or not cfg.firebase_url):
         build_parser().error(
@@ -236,12 +265,16 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         )
 
         root = args.sink_dir
-        write_highlights(
+        materialize(
+            "highlights:document_sink",
             result,
-            lambda: LocalFSDocumentStore(root),
-            list_id=args.publishers_list_id,
-            since_date=args.since_date,
-            parallel=args.in_parallel,
+            lambda d: write_highlights(
+                d,
+                lambda: LocalFSDocumentStore(root),
+                list_id=args.publishers_list_id,
+                since_date=args.since_date,
+                parallel=args.in_parallel,
+            ),
         )
     elif use_firebase:
         from .sources.document_sink import write_highlights
@@ -257,15 +290,19 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             provider = token_provider_from_firebase_config(key_path)
             return FirebaseRESTStore(url, token_provider=provider.token)
 
-        write_highlights(
+        materialize(
+            "highlights:firebase_sink",
             result,
-            firebase_factory,
-            list_id=args.publishers_list_id,
-            since_date=args.since_date,
-            parallel=args.in_parallel,
+            lambda d: write_highlights(
+                d,
+                firebase_factory,
+                list_id=args.publishers_list_id,
+                since_date=args.since_date,
+                parallel=args.in_parallel,
+            ),
         )
     if not (args.sink_dir or args.lake_dir or use_firebase):
-        for row in result.collect():
+        for row in materialize("highlights", result, lambda d: d.collect()):
             print(row)
     return 0
 
