@@ -91,3 +91,78 @@ def test_grouped_topk_10m_few_groups(spark):
         )
         for rank, (v, neg_i) in enumerate(want, start=1):
             assert got[(q, rank)] == (float(v), -neg_i)
+
+
+# --- LSH composites at 10× (round-3 verdict item 7) ------------------------
+# Structural scaling check on the two LSH candidate generators: runtime
+# AND shuffle volume must grow ~linearly in corpus size (quadratic =
+# 100× at 10× data; the 30× ceilings leave 3× headroom over linear for
+# host steal-time noise).  Shuffle bytes come from the metrics
+# collector, so the bound is on actual exchange volume, not wall time.
+
+import time as _time
+
+from org_revue_de_presse_trends_spark.observability import MetricsCollector
+
+
+def _synthetic_embeddings(spark, n: int, dim: int = 16):
+    """Deterministic pseudo-random vectors in [-1,1]^dim (no RNG: the
+    value is a hash of (id, coordinate))."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(1, {dim}), "
+            "j -> cast(xxhash64(id, j) as double) / 9.223372036854776e18)"
+        ).alias("embedding"),
+    )
+
+
+def _synthetic_docs(spark, n: int, n_tokens: int = 30, vocab: int = 5000):
+    """n distinct documents of pseudo-random tokens (hash-derived, so
+    regeneration is exact)."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"array_join(transform(sequence(1, {n_tokens}), "
+            f"i -> concat('w', pmod(xxhash64(id, i), {vocab}))), ' ')"
+        ).alias("text"),
+    )
+
+
+def test_embedding_lsh_scales_linearly_10x(spark):
+    from org_revue_de_presse_trends_spark.operators.dedup import (
+        embedding_lsh_pairs,
+    )
+
+    mc = MetricsCollector(spark)
+    dim, results = 16, {}
+    for n in (2_000, 20_000):
+        pairs = embedding_lsh_pairs(
+            _synthetic_embeddings(spark, n, dim),
+            dim=dim, threshold=0.95, n_bits=32, bands=2,
+        )
+        t0 = _time.perf_counter()
+        _, qm = mc.measure(f"emb_lsh_{n}", pairs, action=lambda d: d.count())
+        results[n] = (_time.perf_counter() - t0, qm.shuffle_bytes_written)
+    t_ratio = results[20_000][0] / results[2_000][0]
+    s_ratio = results[20_000][1] / max(results[2_000][1], 1)
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× vectors"
+    assert s_ratio < 30, f"shuffle grew {s_ratio:.1f}× for 10× vectors"
+
+
+def test_minhash_lsh_scales_linearly_10x(spark):
+    from org_revue_de_presse_trends_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    mc = MetricsCollector(spark)
+    results = {}
+    for n in (500, 5_000):
+        pairs = minhash_lsh_pairs(_synthetic_docs(spark, n))
+        t0 = _time.perf_counter()
+        _, qm = mc.measure(f"mh_lsh_{n}", pairs, action=lambda d: d.count())
+        results[n] = (_time.perf_counter() - t0, qm.shuffle_bytes_written)
+    t_ratio = results[5_000][0] / results[500][0]
+    s_ratio = results[5_000][1] / max(results[500][1], 1)
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× docs"
+    assert s_ratio < 30, f"shuffle grew {s_ratio:.1f}× for 10× docs"
