@@ -49,6 +49,8 @@ HEADLINE = [
     "embedding_lsh_near_dup",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "doc_decontamination",
+    "doc_repetition_signals",
 ]
 
 

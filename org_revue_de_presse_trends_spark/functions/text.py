@@ -333,3 +333,79 @@ def shingles(text: Column, k: int = 3) -> Column:
     return F.when(
         n < F.lit(k), F.array(F.concat_ws(" ", toks))
     ).otherwise(F.array_distinct(combined))
+
+
+def with_repetition_signals(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1)
+    per document, added as columns:
+
+    - ``dup_line_frac``  — fraction of non-blank lines that are
+      repeats of an earlier line (0 for ≤1-line docs)
+    - ``dup_ngram_frac`` — fraction of token n-gram OCCURRENCES that
+      are repeats (1 - distinct/total; 0 when fewer than n tokens)
+    - ``top_ngram_frac`` — share of the single most frequent n-gram
+      among all n-gram occurrences
+
+    Lines are HOF work on a tiny per-row array; n-gram stats need the
+    occurrence multiset, so they go through ONE explode + two-level
+    aggregation (count per (doc, gram) map-side combines before the
+    shuffle — at 100 TB the exchange carries one row per DISTINCT gram
+    per doc, not per occurrence) and join back on ``id_col``.
+    Ordered (non-distinct) n-gram fingerprints reuse the staged
+    rolling-hash pipeline of ``with_shingle_hashes``.
+    """
+    rest = list(df.columns)
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda x: F.trim(x) != ""
+    )
+    d0 = df.select(*rest, lines.alias("__rl"))
+    n_lines = F.size("__rl")
+    dup_line = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(F.col("__rl"))))
+        .cast("double") / n_lines,
+    ).otherwise(F.lit(0.0))
+    with_lines = d0.select(*rest, dup_line.alias("dup_line_frac"))
+
+    # ordered n-gram fingerprints, each level staged as an attribute
+    d1 = with_lines.select(
+        *with_lines.columns, tokens(F.col(text_col)).alias("__rt")
+    )
+    d2 = d1.select(
+        *with_lines.columns,
+        "__rt",
+        F.transform(F.col("__rt"), lambda t: F.xxhash64(t)).alias("__rh"),
+    )
+    d3 = d2.select(
+        *with_lines.columns,
+        F.when(
+            F.size("__rt") < F.lit(n), F.array()
+        ).otherwise(_combine_kgrams(F.col("__rh"), n)).alias("__rng"),
+    )
+    occ = d3.select(
+        F.col(id_col).alias("__rid"), F.explode("__rng").alias("g")
+    )
+    per_gram = occ.groupBy("__rid", "g").agg(F.count("*").alias("c"))
+    stats = per_gram.groupBy("__rid").agg(
+        F.sum("c").alias("__tot"),
+        F.count("*").alias("__dis"),
+        F.max("c").alias("__mx"),
+    )
+    joined = d3.drop("__rng").join(
+        stats, d3[id_col] == stats["__rid"], "left"
+    )
+    tot = F.col("__tot")
+    return joined.select(
+        *with_lines.columns,
+        F.when(tot > 0, (tot - F.col("__dis")).cast("double") / tot)
+        .otherwise(F.lit(0.0))
+        .alias("dup_ngram_frac"),
+        F.when(tot > 0, F.col("__mx").cast("double") / tot)
+        .otherwise(F.lit(0.0))
+        .alias("top_ngram_frac"),
+    )

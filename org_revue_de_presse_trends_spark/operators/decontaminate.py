@@ -1,0 +1,103 @@
+"""Benchmark decontamination — flag/remove training documents that
+overlap an evaluation set (task brief: training-data pipeline surface).
+
+Method: n-gram collision, the published procedure used for GPT-3
+(Brown et al. 2020, appendix C: 13-gram overlap) and PaLM: a document
+is contaminated if it shares at least ``min_hits`` distinct token
+n-grams with any benchmark document.  N-grams travel as 64-bit
+fingerprints (``functions.text.with_shingle_hashes`` — tokens hashed
+once, rotate-xor rolling combine), never as strings.
+
+Scale design: the benchmark side is an eval suite — thousands of
+documents, millions of n-grams at most — so its distinct-hash set is
+broadcast by default and the probe is a map-side hash join over the
+corpus scan: zero shuffle of corpus data, linear in corpus size.  With
+``broadcast_benchmark=False`` the same plan degrades gracefully to a
+shuffled equi-join on the hash for oversized benchmark sets.
+
+Reference parity note: the reference worker (trends.go) has no
+decontamination concept; this is part of the engine-addition surface
+alongside dedup/ANN (SURVEY §north-star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def _ngram_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int, out_id: str
+) -> DataFrame:
+    """(out_id, h): exploded DISTINCT n-gram fingerprints per document,
+    tokenization staged once per row (interpreted-HOF invariant)."""
+    staged = T.with_shingle_hashes(
+        df.select(F.col(id_col).cast("long").alias(out_id), F.col(text_col)),
+        text_col,
+        "__ng",
+        n,
+    )
+    return staged.select(out_id, F.explode("__ng").alias("h"))
+
+
+def contamination_hits(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    doc_id_col: str = "doc_id",
+    doc_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    n: int = 13,
+    min_hits: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per-document contamination verdict against a benchmark corpus.
+
+    Returns one row per input document:
+    (doc_id, n_hits, n_benchmarks, contaminated) where ``n_hits`` is
+    the count of distinct shared n-gram fingerprints, ``n_benchmarks``
+    the count of distinct benchmark documents hit, and ``contaminated``
+    is ``n_hits >= min_hits``.  Clean documents appear with zeros, so
+    the output is a total verdict table (left join, not a hit list).
+    """
+    doc_ng = _ngram_hashes(docs, doc_id_col, doc_text_col, n, "id")
+    bench_ng = _ngram_hashes(
+        benchmark, bench_id_col, bench_text_col, n, "bid"
+    )
+    bench_side = (
+        F.broadcast(bench_ng) if broadcast_benchmark else bench_ng
+    )
+    hits = (
+        doc_ng.join(bench_side, "h")
+        .groupBy("id")
+        .agg(
+            F.countDistinct("h").alias("n_hits"),
+            F.countDistinct("bid").alias("n_benchmarks"),
+        )
+    )
+    ids = docs.select(F.col(doc_id_col).cast("long").alias("id"))
+    return ids.join(hits, "id", "left").select(
+        F.col("id").alias(doc_id_col),
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.coalesce(F.col("n_benchmarks"), F.lit(0)).alias("n_benchmarks"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias(
+            "contaminated"
+        ),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    doc_id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """The filter form: ``docs`` minus contaminated rows (all original
+    columns preserved).  Kwargs pass through to ``contamination_hits``."""
+    verdict = contamination_hits(
+        docs, benchmark, doc_id_col=doc_id_col, **kwargs
+    )
+    clean = verdict.filter(~F.col("contaminated")).select(doc_id_col)
+    return docs.join(clean, doc_id_col, "left_semi")

@@ -643,3 +643,32 @@ def corpus_selection_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "n_chars", "quality")
     )
+
+
+@query("doc_decontamination")  # xxhash64 n-grams: rows-only (golden)
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination verdict (GPT-3 appendix-C procedure:
+    13-gram collision): every 50th document plays the role of an eval
+    benchmark; those docs must flag themselves, and their near-dups
+    surface as collateral hits.  Broadcast benchmark side — the corpus
+    scan never shuffles (operators/decontaminate.py)."""
+    from ..operators.decontaminate import contamination_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return contamination_hits(docs, bench, n=13)
+
+
+@query("doc_repetition_signals")  # HOF/groupBy fractions: rows-only (golden)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1): duplicate-line fraction, duplicate-2-gram occurrence
+    fraction, top-2-gram share.  One explode + two-level aggregation
+    for the n-gram multiset (functions/text.with_repetition_signals)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = T.with_repetition_signals(docs, n=2)
+    return out.select(
+        "doc_id", "dup_line_frac", "dup_ngram_frac", "top_ngram_frac"
+    )

@@ -1,0 +1,113 @@
+"""Decontamination + repetition-signal semantics on planted fixtures
+(the sf0.01 golden hashes in test_golden_rowsonly.py pin determinism;
+these tests pin MEANING)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from org_revue_de_presse_trends_spark.functions.text import (
+    with_repetition_signals,
+)
+from org_revue_de_presse_trends_spark.operators.decontaminate import (
+    contamination_hits,
+    decontaminate,
+)
+
+BENCH_Q = (
+    "what is the capital city of the country of france "
+    "answer paris is the capital"
+)  # 14 tokens → contains 13-grams
+
+
+def _docs(spark):
+    filler = " ".join(f"tok{i}" for i in range(30))
+    return spark.createDataFrame(
+        [
+            # verbatim benchmark inclusion, surrounded by filler
+            (1, f"{filler} {BENCH_Q} {filler}"),
+            # clean doc, same vocabulary register but no shared 13-gram
+            (2, " ".join(f"word{i}" for i in range(40))),
+            # partial overlap below n (12 shared tokens only)
+            (3, " ".join(BENCH_Q.split()[:12]) + " " + filler),
+            # short doc (< 13 tokens, not equal to any benchmark)
+            (4, "tiny document"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def _bench(spark):
+    return spark.createDataFrame(
+        [(100, BENCH_Q), (101, "another benchmark question entirely")],
+        ["bench_id", "text"],
+    )
+
+
+def test_contamination_flags_verbatim_inclusion_only(spark):
+    out = {
+        r["doc_id"]: r
+        for r in contamination_hits(_docs(spark), _bench(spark)).collect()
+    }
+    assert len(out) == 4  # total verdict table: clean docs present
+    assert out[1]["contaminated"] and out[1]["n_hits"] >= 1
+    assert out[1]["n_benchmarks"] == 1
+    for clean_id in (2, 3, 4):
+        assert not out[clean_id]["contaminated"], clean_id
+        assert out[clean_id]["n_hits"] == 0
+
+
+def test_decontaminate_filters_and_preserves_columns(spark):
+    docs = _docs(spark).withColumn("extra", F.lit("x"))
+    kept = decontaminate(docs, _bench(spark))
+    assert kept.columns == ["doc_id", "text", "extra"]
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3, 4]
+
+
+def test_contamination_shuffled_join_agrees_with_broadcast(spark):
+    a = contamination_hits(
+        _docs(spark), _bench(spark), broadcast_benchmark=True
+    ).collect()
+    b = contamination_hits(
+        _docs(spark), _bench(spark), broadcast_benchmark=False
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_repetition_signals_planted(spark):
+    rep_line = "the same line again"
+    docs = spark.createDataFrame(
+        [
+            # 4 identical non-blank lines → dup_line_frac = 3/4; the
+            # 2-gram stream is maximally repetitive
+            (1, "\n".join([rep_line] * 4)),
+            # all-distinct tokens → zero repetition, top 2-gram 1/n
+            (2, " ".join(f"w{i}" for i in range(21))),
+            # "a b a b a b" → 2-grams: ab ba ab ba ab → top = ab 3/5
+            (3, "a b a b a b"),
+            # degenerate: one token (< n) and empty text
+            (4, "solo"),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in with_repetition_signals(docs, n=2).collect()
+    }
+    assert abs(out[1]["dup_line_frac"] - 3 / 4) < 1e-12
+    assert out[1]["dup_ngram_frac"] > 0.5
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["dup_ngram_frac"] == 0.0
+    assert abs(out[2]["top_ngram_frac"] - 1 / 20) < 1e-12
+    assert abs(out[3]["top_ngram_frac"] - 3 / 5) < 1e-12
+    assert abs(out[3]["dup_ngram_frac"] - 3 / 5) < 1e-12
+    for deg in (4, 5):
+        assert out[deg]["dup_ngram_frac"] == 0.0
+        assert out[deg]["top_ngram_frac"] == 0.0
+    # schema contract: signals append to the input columns
+    cols = with_repetition_signals(docs, n=2).columns
+    assert cols == [
+        "doc_id", "text", "dup_line_frac", "dup_ngram_frac",
+        "top_ngram_frac",
+    ]

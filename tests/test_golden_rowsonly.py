@@ -53,6 +53,12 @@ GOLDEN_SHA256 = {
     "corpus_selection_lsh": (
         233, "11e81fffbbfb2ffa4dfcfe38a4c3f9b5611e94462f60f301426971e269ac8f7d"
     ),
+    "doc_decontamination": (
+        500, "d281321548c9a4c000ece556564309986093f17a4981421f2c0124a133c4e413"
+    ),
+    "doc_repetition_signals": (
+        500, "0209fb5239f19ce3c56de0bd14d1914033cce0a7cf38e4294afe3a2864365b65"
+    ),
 }
 
 
