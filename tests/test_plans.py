@@ -101,3 +101,31 @@ def test_nation_pair_revenue_broadcasts_all_dims(spark):
 def test_late_lines_is_semi_join(spark):
     plan = plan_of(spark, "orders_with_late_lines")
     assert "LeftSemi" in plan
+
+
+def test_embedding_lsh_srp_plan_shape(spark):
+    """The round-4 SRP pipeline claims (ARCHITECTURE round-4 notes):
+    projection is explode + grouped sums (no per-row HOF aggregate-
+    dots), pairs are emitted without a dropDuplicates exchange, and at
+    RUNTIME both self-join sides reuse the banded exchange (exchange
+    reuse is an AQE decision — only the executed plan shows it)."""
+    df = QUERIES["embedding_lsh_near_dup"](spark, SF)
+    static = io.StringIO()
+    with contextlib.redirect_stdout(static):
+        df.explain("formatted")
+    # no pair-dedup aggregate: first-colliding-band filter replaced it
+    assert "dropDuplicates" not in static.getvalue()
+    # the SRP dots are grouped sums over the posexploded vector
+    assert "posexplode" in static.getvalue()
+    df.collect()
+    final = io.StringIO()
+    with contextlib.redirect_stdout(final):
+        df.explain("formatted")
+    assert "isFinalPlan=true" in final.getvalue()
+    assert "ReusedExchange" in final.getvalue()
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    """The corpus side must never shuffle: benchmark hashes broadcast."""
+    plan = plan_of(spark, "doc_decontamination")
+    assert "BroadcastHashJoin" in plan
