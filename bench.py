@@ -51,6 +51,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "doc_decontamination",
     "doc_repetition_signals",
+    "doc_domain_mixture",
 ]
 
 

@@ -672,3 +672,16 @@ def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "dup_line_frac", "dup_ngram_frac", "top_ngram_frac"
     )
+
+
+@query("doc_domain_mixture")  # xxhash sampling coin: rows-only (golden)
+def doc_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing audit table (mT5 §3.1 temperature sampling,
+    α=0.5): per-source natural token mass, target weight, realized
+    down-sampling keep-rate, and the deterministic sample's size
+    (operators/mixing.py).  Sources are a bounded set, so weight math
+    is driver-side by design; sampling is a per-row hash coin."""
+    from ..operators.mixing import mixture_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_plan(docs, alpha=0.5)

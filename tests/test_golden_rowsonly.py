@@ -59,6 +59,9 @@ GOLDEN_SHA256 = {
     "doc_repetition_signals": (
         500, "0209fb5239f19ce3c56de0bd14d1914033cce0a7cf38e4294afe3a2864365b65"
     ),
+    "doc_domain_mixture": (
+        20, "e4e3b36eb6e9619babefbdf62c27e0de3299aaac43bdf9617deb2a0b1c2a14a3"
+    ),
 }
 
 
