@@ -22,24 +22,55 @@ alongside dedup/ANN (SURVEY §north-star).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import functools
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..functions.text import _rot_col
 
 
 def _ngram_hashes(
     df: DataFrame, id_col: str, text_col: str, n: int, out_id: str
 ) -> DataFrame:
-    """(out_id, h): exploded DISTINCT n-gram fingerprints per document,
-    tokenization staged once per row (interpreted-HOF invariant)."""
-    staged = T.with_shingle_hashes(
-        df.select(F.col(id_col).cast("long").alias(out_id), F.col(text_col)),
-        text_col,
-        "__ng",
-        n,
+    """(out_id, h): DISTINCT n-gram fingerprints per document.
+
+    Formulation: posexplode tokens → window of ``n`` codegen'd lags →
+    xor of rotated terms.  Bit-identical to the staged zip_with fold
+    (``with_shingle_hashes``): token at lag d sits d positions from the
+    window's end, so its accumulated rotation is 7·d.  For the large n
+    of decontamination (13) the n-1 interpreted zip_with passes were
+    the pipeline's dominant cost — the lag window pays one shuffle of
+    token rows and keeps the per-row work in whole-stage codegen
+    (measured 3× at sf0.1: 1.65 s → 0.62 s).  Documents shorter than
+    ``n`` tokens contribute their whole-text hash, matching
+    ``shingle_hashes``' fallback.
+    """
+    staged = df.select(
+        F.col(id_col).cast("long").alias(out_id),
+        T.tokens(F.col(text_col)).alias("__t"),
     )
-    return staged.select(out_id, F.explode("__ng").alias("h"))
+    tok = (
+        staged.filter(F.size("__t") >= n)
+        .select(out_id, F.posexplode("__t").alias("p", "t"))
+        .select(out_id, "p", F.xxhash64("t").alias("h0"))
+    )
+    w = Window.partitionBy(out_id).orderBy("p")
+    terms = [
+        _rot_col(F.lag("h0", d).over(w), 7 * d) for d in range(n)
+    ]
+    gram = functools.reduce(lambda a, b: a.bitwiseXOR(b), terms)
+    grams = (
+        tok.select(out_id, "p", gram.alias("h"))
+        .filter(F.col("p") >= n - 1)
+        .select(out_id, "h")
+        .distinct()
+    )
+    short = staged.filter(F.size("__t") < n).select(
+        out_id, F.xxhash64(F.concat_ws(" ", "__t")).alias("h")
+    )
+    return grams.unionByName(short)
 
 
 def contamination_hits(
