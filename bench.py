@@ -55,6 +55,45 @@ HEADLINE = [
 ]
 
 
+#: per-query wall ceiling — ~30× the slowest healthy sf0.1 query; a
+#: hang must not zero the whole round's perf signal (the r03 lesson,
+#: extended from exceptions to stalls)
+QUERY_TIMEOUT_S = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT_S", "180"))
+
+
+def timed_collect(spark, fn, sf_dir: str, name: str, timeout_s: float = None):
+    """Run ``fn(spark, sf_dir).collect()`` with a watchdog: the query
+    executes in a worker thread under its own job group (job groups are
+    thread-local), and on timeout the group is cancelled so executors
+    stop burning CPU before the next query starts.  Raises TimeoutError
+    on expiry, re-raises the query's own exception otherwise."""
+    import threading
+
+    timeout_s = QUERY_TIMEOUT_S if timeout_s is None else timeout_s
+    group = f"bench:{name}"
+    box: dict = {}
+
+    def run():
+        spark.sparkContext.setJobGroup(group, name, True)
+        try:
+            box["rows"] = fn(spark, sf_dir).collect()
+        except BaseException as e:  # noqa: BLE001 — reported by caller
+            box["err"] = e
+
+    t = threading.Thread(target=run, name=group, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        spark.sparkContext.cancelJobGroup(group)
+        t.join(30)
+        raise TimeoutError(
+            f"{name}: exceeded {timeout_s:.0f}s; job group cancelled"
+        )
+    if "err" in box:
+        raise box["err"]
+    return box["rows"]
+
+
 def _cpu_calibration() -> float:
     """Fixed pure-Python workload, timed immediately before AND after
     the suite (both reported): the host is a shared VM with visible
@@ -100,10 +139,10 @@ def main() -> None:
         fn = plans.QUERIES[name]
         try:
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            timed_collect(spark, fn, sf_dir, name)
             cold[name] = round(time.perf_counter() - t0, 3)
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            timed_collect(spark, fn, sf_dir, name)
             warm[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # noqa: BLE001 — harness boundary
             first_line = str(e).strip().splitlines()[0][:300] if str(e) else ""
