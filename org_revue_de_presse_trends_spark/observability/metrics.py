@@ -66,7 +66,10 @@ def parse_metric_value(s: str) -> float:
     parenthesis/newline) and convert size/time units (sizes to bytes,
     times to seconds).
     """
-    head = s.strip().splitlines()[-1]  # multi-line: total is last line
+    lines = s.strip().splitlines()
+    if not lines:  # empty metric value: degrade to 0.0 like garbage does
+        return 0.0
+    head = lines[-1]  # multi-line: total is last line
     head = head.split("(", 1)[0].strip()
     m = re.match(r"^(-?[\d.,]+)\s*([A-Za-z]*)$", head)
     if not m:

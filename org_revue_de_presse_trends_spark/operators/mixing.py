@@ -42,10 +42,17 @@ def temperature_weights(
     token_counts: dict[str, int], alpha: float = 0.5
 ) -> dict[str, float]:
     """w_s ∝ n_s^α, normalized to sum 1.  α=1 → natural proportions,
-    α=0 → uniform over sources, 0<α<1 → the usual compromise."""
-    if not token_counts:
+    α=0 → uniform over sources, 0<α<1 → the usual compromise.
+
+    Sources with zero or NULL token mass are excluded (a domain with
+    no tokens cannot receive a share realized by down-sampling) and
+    the remaining weights renormalized."""
+    valid = {
+        s: n for s, n in token_counts.items() if n is not None and n > 0
+    }
+    if not valid:
         return {}
-    powered = {s: float(n) ** alpha for s, n in token_counts.items()}
+    powered = {s: float(n) ** alpha for s, n in valid.items()}
     z = sum(powered.values())
     return {s: p / z for s, p in powered.items()}
 
@@ -55,12 +62,21 @@ def keep_rates(
 ) -> dict[str, float]:
     """Per-source keep probability realizing ``weights`` by
     down-sampling only: T = min_s n_s / w_s, r_s = w_s * T / n_s.
-    At least one source keeps rate 1.0 (the binding domain)."""
-    t = min(
-        token_counts[s] / w for s, w in weights.items() if w > 0
-    )
+    At least one source keeps rate 1.0 (the binding domain).  Sources
+    with zero/NULL mass or zero weight get rate 0.0 rather than
+    poisoning the min (an empty source must not empty the mixture)."""
+    feasible = [
+        token_counts[s] / w
+        for s, w in weights.items()
+        if w > 0 and (token_counts.get(s) or 0) > 0
+    ]
+    if not feasible:
+        return {s: 0.0 for s in weights}
+    t = min(feasible)
     return {
-        s: min(1.0, weights[s] * t / token_counts[s]) if token_counts[s] else 0.0
+        s: min(1.0, weights[s] * t / token_counts[s])
+        if (token_counts.get(s) or 0) > 0
+        else 0.0
         for s in weights
     }
 
@@ -120,8 +136,13 @@ def mixture_plan(
             "source",
             "n_docs",
             "n_tokens",
-            F.round(w[F.col("source")], 6).alias("weight"),
-            F.round(r[F.col("source")], 6).alias("keep_rate"),
+            # zero-mass sources are absent from the maps → report 0.0
+            F.coalesce(F.round(w[F.col("source")], 6), F.lit(0.0)).alias(
+                "weight"
+            ),
+            F.coalesce(F.round(r[F.col("source")], 6), F.lit(0.0)).alias(
+                "keep_rate"
+            ),
             F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
         )
     )

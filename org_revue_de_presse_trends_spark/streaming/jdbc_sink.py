@@ -36,6 +36,7 @@ from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame, Row, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 #: DB-API paramstyle placeholder per dialect.
 _PLACEHOLDER = {"postgresql": "%s", "sqlite": "?"}
@@ -73,17 +74,41 @@ def upsert_sql(
     return f"{insert}{conflict} DO NOTHING"
 
 
+def _orderable(dt) -> bool:
+    """Whether Spark can sort on this type (maps cannot appear in an
+    ORDER BY; arrays/structs are orderable iff their elements are)."""
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def collapse_to_latest(
     df: DataFrame, key_cols: list[str], order_col: str | None
 ) -> DataFrame:
     """One row per key within the batch: latest by ``order_col`` (ties
-    broken by every remaining column for a total order — cross-engine
-    determinism invariant), or ``dropDuplicates`` when no order exists.
-    Without this, two updates to one key inside a micro-batch would
-    race on executemany ordering."""
+    broken by the remaining ORDERABLE columns for a total order —
+    cross-engine determinism invariant), or ``dropDuplicates`` when no
+    order exists.  Without this, two updates to one key inside a
+    micro-batch would race on executemany ordering.
+
+    Unorderable columns (maps, or nested types containing maps) are
+    excluded from the implicit tiebreak — a map-typed payload column
+    must not make the whole batch throw at plan time; rows identical
+    in every orderable column remain an arbitrary-but-single pick."""
     if order_col is None:
         return df.dropDuplicates(key_cols)
-    tiebreak = [c for c in df.columns if c != order_col and c not in key_cols]
+    orderable = {
+        f.name for f in df.schema.fields if _orderable(f.dataType)
+    }
+    tiebreak = [
+        c
+        for c in df.columns
+        if c != order_col and c not in key_cols and c in orderable
+    ]
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(order_col).desc(), *[F.col(c).desc() for c in tiebreak]
     )

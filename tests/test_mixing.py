@@ -36,6 +36,23 @@ def test_keep_rates_downsample_only_binding_source_at_one():
     assert all(0 < r <= 1 for r in rates.values())
 
 
+def test_zero_mass_sources_excluded_not_poisoning():
+    """A source with 0 or NULL tokens must not (a) grab weight at
+    alpha=0 (0**0=1), (b) zero out every keep-rate via the min, or
+    (c) TypeError on None — it is dropped and the rest renormalized."""
+    counts = {"big": 900, "small": 100, "empty": 0, "nulls": None}
+    for alpha in (0.0, 0.5, 1.0):
+        w = temperature_weights(counts, alpha=alpha)
+        assert set(w) == {"big", "small"}
+        assert abs(sum(w.values()) - 1.0) < 1e-12
+        rates = keep_rates(counts, w)
+        # the nonempty mixture survives: binding source keeps rate 1
+        assert max(rates.values()) == 1.0
+    # all-empty corpus: no weights, all-zero rates, no crash
+    assert temperature_weights({"a": 0, "b": None}, 0.5) == {}
+    assert keep_rates({"a": 0}, {"a": 1.0}) == {"a": 0.0}
+
+
 def _docs(spark):
     return spark.range(1000).select(
         F.col("id").alias("doc_id"),

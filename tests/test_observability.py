@@ -31,6 +31,10 @@ def test_parse_metric_value_forms():
         "3.0 MiB (1.0 MiB, 1.0 MiB, 1.0 MiB (stage 3.0: task 5))"
     ) == 3.0 * 1024**2
     assert parse_metric_value("garbage") == 0.0
+    # empty / whitespace-only metric values degrade to 0.0 too (an
+    # IndexError here would abort the whole measure() call)
+    assert parse_metric_value("") == 0.0
+    assert parse_metric_value("   \n  ") == 0.0
 
 
 def test_collector_counts_one_pipeline_run(spark):

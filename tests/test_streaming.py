@@ -484,6 +484,7 @@ def test_streaming_jdbc_upsert_roundtrip(spark, events_stream_dir, tmp_path):
                     sqlite_connection_factory(db),
                     table="events_sync",
                     key_cols=["event_id"],
+                    order_col="value",
                     dialect="sqlite",
                     max_partitions=4,
                 )
@@ -497,12 +498,20 @@ def test_streaming_jdbc_upsert_roundtrip(spark, events_stream_dir, tmp_path):
     run_stream("ckpt_jdbc1")
     with sqlite3.connect(db) as conn:
         got = sorted(conn.execute("SELECT * FROM events_sync").fetchall())
-    expected = sorted(
-        (r["event_id"], r["user_id"], r["event_type"], r["value"])
-        for r in ev_batch.dropDuplicates(["event_id"]).collect()
-    )
-    assert got == expected
-    assert len(got) > 0
+    # batching-independent assertions (the stream may split into
+    # several micro-batches, so "global latest" is not the contract):
+    # every key lands exactly once, and the landed row is a real input
+    # row for that key — stable under fixture regeneration even if
+    # duplicate event_ids with differing payloads appear.
+    rows_by_key: dict = {}
+    for r in ev_batch.collect():
+        rows_by_key.setdefault(r["event_id"], set()).add(
+            (r["event_id"], r["user_id"], r["event_type"], r["value"])
+        )
+    assert len(got) == len(rows_by_key) > 0
+    assert {t[0] for t in got} == set(rows_by_key)
+    for t in got:
+        assert t in rows_by_key[t[0]]
 
     # replay from a fresh checkpoint: at-least-once delivery of every
     # row again must converge to the identical table
@@ -542,3 +551,26 @@ def test_upsert_collapses_to_latest_within_batch(spark, tmp_path):
     with sqlite3.connect(db) as conn:
         rows = sorted(conn.execute("SELECT k, seq, v FROM kv").fetchall())
     assert rows == [(1, 20, "new"), (2, 5, "only")]
+
+
+def test_collapse_to_latest_skips_unorderable_tiebreak_columns(spark):
+    """A map-typed payload column must not make the implicit tiebreak
+    throw at plan time: maps are excluded from the ORDER BY, the
+    order_col still decides, and the map payload survives."""
+    from org_revue_de_presse_trends_spark.streaming.jdbc_sink import (
+        collapse_to_latest,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, {"a": 1}), (1, 20, {"b": 2}), (2, 5, {"c": 3})],
+        "k int, seq int, payload map<string,int>",
+    )
+    out = collapse_to_latest(df, ["k"], "seq")
+    rows = {r["k"]: (r["seq"], dict(r["payload"])) for r in out.collect()}
+    assert rows == {1: (20, {"b": 2}), 2: (5, {"c": 3})}
+    # array-of-map is unorderable too; array-of-int is orderable
+    df2 = spark.createDataFrame(
+        [(1, 1, [{"x": 1}], [3, 4])],
+        "k int, seq int, am array<map<string,int>>, ai array<int>",
+    )
+    assert collapse_to_latest(df2, ["k"], "seq").count() == 1
