@@ -61,12 +61,19 @@ HEADLINE = [
 QUERY_TIMEOUT_S = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT_S", "180"))
 
 
-def timed_collect(spark, fn, sf_dir: str, name: str, timeout_s: float = None):
+def timed_collect(
+    spark, fn, sf_dir: str, name: str, timeout_s: float = None, collector=None
+):
     """Run ``fn(spark, sf_dir).collect()`` with a watchdog: the query
     executes in a worker thread under its own job group (job groups are
     thread-local), and on timeout the group is cancelled so executors
     stop burning CPU before the next query starts.  Raises TimeoutError
-    on expiry, re-raises the query's own exception otherwise."""
+    on expiry, re-raises the query's own exception otherwise.
+
+    With ``collector`` (a MetricsCollector), the run also captures
+    per-query execution counters (shuffle/IO bytes, tasks) and returns
+    ``(rows, QueryMetrics)``; the collector joins the watchdog's job
+    group so cancellation still works."""
     import threading
 
     timeout_s = QUERY_TIMEOUT_S if timeout_s is None else timeout_s
@@ -76,7 +83,21 @@ def timed_collect(spark, fn, sf_dir: str, name: str, timeout_s: float = None):
     def run():
         spark.sparkContext.setJobGroup(group, name, True)
         try:
-            box["rows"] = fn(spark, sf_dir).collect()
+            if collector is not None:
+                # plan construction (load_table schema reads, driver-
+                # side stats) is genuine query cost: time it and fold
+                # it into wall_sec, so that wall_sec differs from the
+                # plain path only by excluding the collector's post-
+                # action status-store reads (measurement overhead)
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                build_sec = time.perf_counter() - t0
+                box["rows"], box["qm"] = collector.measure(
+                    name, df, job_group=group
+                )
+                box["qm"].wall_sec += build_sec
+            else:
+                box["rows"] = fn(spark, sf_dir).collect()
         except BaseException as e:  # noqa: BLE001 — reported by caller
             box["err"] = e
 
@@ -91,6 +112,8 @@ def timed_collect(spark, fn, sf_dir: str, name: str, timeout_s: float = None):
         )
     if "err" in box:
         raise box["err"]
+    if collector is not None:
+        return box["rows"], box["qm"]
     return box["rows"]
 
 
@@ -104,6 +127,43 @@ def _cpu_calibration() -> float:
     for i in range(10_000_000):
         s += i * i
     return round(time.perf_counter() - t0, 3)
+
+
+def build_payload(
+    sf: float,
+    query_io: dict,
+    cold: dict,
+    warm: dict,
+    errors: dict,
+    calib_before: float,
+    calib_after: float,
+) -> dict:
+    """Assemble the emitted dict.  FIELD ORDER MATTERS: the driver
+    archives only the TAIL (last ~2000 chars) of the printed line, so
+    the comparison-critical fields — errors, the warm per-query map,
+    value, value_normalized — go LAST; sacrificial diagnostics (the
+    per-query IO counters, cold timings) go first.  The full dict also
+    lands in bench_full.json so truncated head fields are never lost.
+    (r04 lost the first four warm timings to head truncation.)"""
+    total = round(sum(warm.values()), 3)
+    calib_mean = (calib_before + calib_after) / 2 or 1.0
+    return {
+        "metric": "headline_suite_runtime_warm",
+        "unit": "sec",
+        "sf": sf,
+        "query_io": query_io,
+        "queries_cold_first_run": cold,
+        "cold_total": round(sum(cold.values()), 3),
+        # host-noise normalizers: same fixed loop timed before and
+        # after the suite brackets the measured window
+        "cpu_calib_sec": calib_before,
+        "cpu_calib_sec_after": calib_after,
+        "errors": errors,
+        "n_failed": len(errors),
+        "queries": warm,
+        "value": total,
+        "value_normalized": round(total / calib_mean, 3),
+    }
 
 
 def main() -> None:
@@ -132,8 +192,17 @@ def main() -> None:
     # query 15/29 left BENCH_r03 with no data at all). Failures are
     # recorded under "errors" (exception class + first line) and the
     # remaining queries still get timed.
+    from org_revue_de_presse_trends_spark.observability import (
+        MetricsCollector,
+    )
+
+    try:
+        mc = MetricsCollector(spark)
+    except Exception:  # noqa: BLE001 — status store unavailable: time-only
+        mc = None
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    query_io: dict[str, dict] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = plans.QUERIES[name]
@@ -141,39 +210,41 @@ def main() -> None:
             t0 = time.perf_counter()
             timed_collect(spark, fn, sf_dir, name)
             cold[name] = round(time.perf_counter() - t0, 3)
-            t0 = time.perf_counter()
-            timed_collect(spark, fn, sf_dir, name)
-            warm[name] = round(time.perf_counter() - t0, 3)
+            if mc is not None:
+                # warm timing = the collector's action-only wall clock:
+                # the post-action status-store reads (~0.1 s of py4j
+                # round-trips per query) are measurement overhead and
+                # must not pollute the headline number
+                _, qm = timed_collect(spark, fn, sf_dir, name, collector=mc)
+                warm[name] = round(qm.wall_sec, 3)
+                query_io[name] = {
+                    "read_mb": round(qm.bytes_read / 1024**2, 2),
+                    "shuffle_mb": round(
+                        qm.shuffle_bytes_written / 1024**2, 2
+                    ),
+                    "spill_mb": round(qm.spill_bytes / 1024**2, 2),
+                    "tasks": qm.n_tasks,
+                    "rows": qm.result_rows,
+                }
+            else:
+                t0 = time.perf_counter()
+                timed_collect(spark, fn, sf_dir, name)
+                warm[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # noqa: BLE001 — harness boundary
             first_line = str(e).strip().splitlines()[0][:300] if str(e) else ""
             errors[name] = f"{type(e).__name__}: {first_line}"
 
-    total = round(sum(warm.values()), 3)
     calib_after = _cpu_calibration()
-    # Host-noise-normalized headline: the shared VM shows ±50% steal
-    # time across identical runs, so cross-round comparisons divide by
-    # the mean bracketing calibration (fixed pure-Python loop).
-    calib_mean = (calib_before + calib_after) / 2 or 1.0
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_runtime_warm",
-                "value": total,
-                "unit": "sec",
-                "queries": warm,
-                "queries_cold_first_run": cold,
-                "cold_total": round(sum(cold.values()), 3),
-                "errors": errors,
-                "n_failed": len(errors),
-                # host-noise normalizers: same fixed loop timed before
-                # and after the suite brackets the measured window
-                "cpu_calib_sec": calib_before,
-                "cpu_calib_sec_after": calib_after,
-                "value_normalized": round(total / calib_mean, 3),
-                "sf": sf,
-            }
-        )
+    payload = build_payload(
+        sf, query_io, cold, warm, errors, calib_before, calib_after
     )
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "bench_full.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: the printed line still carries all
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -144,18 +144,26 @@ class MetricsCollector:
         n = execs.size()
         return execs.apply(n - 1).executionId() if n else -1
 
-    def measure(self, name: str, df: DataFrame, action=None):
+    def measure(self, name: str, df: DataFrame, action=None, job_group=None):
         """Run ``action(df)`` (default ``collect``) and return
-        ``(result, QueryMetrics)``."""
-        group = f"metrics:{name}:{time.monotonic_ns()}"
+        ``(result, QueryMetrics)``.
+
+        ``job_group``: join an existing thread-local job group instead
+        of setting our own — lets a caller that owns the group (e.g. a
+        watchdog that needs to ``cancelJobGroup`` it) compose with
+        metrics collection; the caller is responsible for set/unset."""
+        own_group = job_group is None
+        group = job_group or f"metrics:{name}:{time.monotonic_ns()}"
         watermark = self._max_execution_id()
         qm = QueryMetrics(name=name)
-        self.sc.setJobGroup(group, f"metrics for {name}", False)
+        if own_group:
+            self.sc.setJobGroup(group, f"metrics for {name}", False)
         t0 = time.perf_counter()
         try:
             result = action(df) if action is not None else df.collect()
         finally:
-            self.sc.setJobGroup("", "", False)
+            if own_group:
+                self.sc.setJobGroup("", "", False)
         qm.wall_sec = time.perf_counter() - t0
         try:
             qm.result_rows = len(result)
