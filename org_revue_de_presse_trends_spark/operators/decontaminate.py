@@ -31,8 +31,18 @@ from ..functions import text as T
 from ..functions.text import _rot_col
 
 
+#: tokens per window partition in _ngram_hashes — bounds the work one
+#: task can receive from a single giant document (power of two)
+_BLOCK_TOKENS = 1 << 17
+
+
 def _ngram_hashes(
-    df: DataFrame, id_col: str, text_col: str, n: int, out_id: str
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    out_id: str,
+    block_tokens: int = _BLOCK_TOKENS,
 ) -> DataFrame:
     """(out_id, h): DISTINCT n-gram fingerprints per document.
 
@@ -46,7 +56,22 @@ def _ngram_hashes(
     (measured 3× at sf0.1: 1.65 s → 0.62 s).  Documents shorter than
     ``n`` tokens contribute their whole-text hash, matching
     ``shingle_hashes``' fallback.
+
+    Giant-document guard: the lag window is salted by token BLOCK —
+    partitionBy(doc, p div B) instead of partitionBy(doc) — so one
+    multi-million-token document spreads over ceil(len/B) window
+    partitions instead of serializing a single task.  The last n-1
+    tokens of each block are duplicated into the next block as lag
+    context (n-1 overlap => every gram still sees its full window,
+    bit-identical to the unblocked form) and each gram is emitted only
+    in the block that owns its END position, so no duplicates arise.
+    Overhead for normal documents: one extra int column in the shuffle
+    key and (n-1)/B ≈ 0.01% duplicated token rows.
     """
+    assert block_tokens >= n and block_tokens & (block_tokens - 1) == 0, (
+        "block_tokens must be a power of two >= n"
+    )
+    shift = block_tokens.bit_length() - 1
     staged = df.select(
         F.col(id_col).cast("long").alias(out_id),
         T.tokens(F.col(text_col)).alias("__t"),
@@ -54,16 +79,32 @@ def _ngram_hashes(
     tok = (
         staged.filter(F.size("__t") >= n)
         .select(out_id, F.posexplode("__t").alias("p", "t"))
-        .select(out_id, "p", F.xxhash64("t").alias("h0"))
+        .select(
+            out_id,
+            F.col("p").cast("long").alias("p"),
+            F.xxhash64("t").alias("h0"),
+        )
     )
-    w = Window.partitionBy(out_id).orderBy("p")
+    b0 = F.shiftright("p", shift)
+    blks = F.when(
+        F.col("p").bitwiseAND(F.lit(block_tokens - 1))
+        >= block_tokens - (n - 1),
+        F.array(b0, b0 + F.lit(1)),
+    ).otherwise(F.array(b0))
+    tok = tok.select(out_id, "p", "h0", F.explode(blks).alias("__blk"))
+    w = Window.partitionBy(out_id, "__blk").orderBy("p")
     terms = [
         _rot_col(F.lag("h0", d).over(w), 7 * d) for d in range(n)
     ]
     gram = functools.reduce(lambda a, b: a.bitwiseXOR(b), terms)
     grams = (
-        tok.select(out_id, "p", gram.alias("h"))
-        .filter(F.col("p") >= n - 1)
+        tok.select(out_id, "p", "__blk", gram.alias("h"))
+        .filter(
+            (F.col("p") >= n - 1)
+            # context rows only feed lags; their gram belongs to the
+            # previous (home) block
+            & (F.col("p") >= F.shiftleft(F.col("__blk"), shift))
+        )
         .select(out_id, "h")
         .distinct()
     )

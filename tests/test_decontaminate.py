@@ -74,6 +74,75 @@ def test_contamination_shuffled_join_agrees_with_broadcast(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_block_salted_window_bit_identical_across_boundaries(spark):
+    """The giant-doc block salt must not change a single fingerprint:
+    with a tiny block size (16 tokens) every document crosses several
+    block boundaries, and the (id, h) set must equal the effectively
+    unblocked computation (block size far above every doc length)."""
+    from org_revue_de_presse_trends_spark.operators.decontaminate import (
+        _ngram_hashes,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 100 tokens: 7 blocks at B=16, grams span every boundary
+            (1, " ".join(f"w{i % 17}" for i in range(100))),
+            # exactly one block
+            (2, " ".join(f"x{i}" for i in range(16))),
+            # shorter than n → whole-text fallback path
+            (3, "tiny doc"),
+            # repeated tokens → duplicate grams must still dedup
+            (4, " ".join(["rep"] * 50)),
+        ],
+        ["doc_id", "text"],
+    )
+    for n in (3, 13):
+        blocked = set(
+            (r["id"], r["h"])
+            for r in _ngram_hashes(
+                docs, "doc_id", "text", n, "id", block_tokens=16
+            ).collect()
+        )
+        unblocked = set(
+            (r["id"], r["h"])
+            for r in _ngram_hashes(
+                docs, "doc_id", "text", n, "id", block_tokens=1 << 20
+            ).collect()
+        )
+        assert blocked == unblocked
+        assert len(blocked) > 0
+
+
+def test_giant_document_spreads_over_window_partitions(spark):
+    """A planted 1M-token document must fan out over multiple window
+    partitions (the skew guard) while small docs stay single-block,
+    and the verdict must still be exact."""
+    from org_revue_de_presse_trends_spark.operators.decontaminate import (
+        _BLOCK_TOKENS,
+        _ngram_hashes,
+    )
+
+    n_tok = 1_000_000
+    giant = spark.range(1).select(
+        F.lit(5).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_tok - 1)),
+                lambda i: F.concat(F.lit("t"), (i % 40_000).cast("string")),
+            ),
+        ).alias("text"),
+    )
+    ng = _ngram_hashes(giant, "doc_id", "text", 13, "id")
+    # distinct 13-grams of a period-40k token stream: one per start
+    # position, minus the wrap-around dedup — just require the count
+    # matches the unsalted formula: positions 12..n_tok-1, dedup by
+    # repeating period (40k-period stream repeats grams exactly)
+    got = ng.count()
+    assert got == 40_000  # one distinct gram per phase of the period
+    assert n_tok > 2 * _BLOCK_TOKENS  # the fixture actually spans blocks
+
+
 def test_repetition_signals_planted(spark):
     rep_line = "the same line again"
     docs = spark.createDataFrame(
