@@ -2,12 +2,16 @@
 opaque ``binary`` columns with typed metadata structs, processed with
 Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the DECODE step is
-pluggable: ``decoder="stub"`` raises NotImplementedError (clearly
-marking the codec boundary), ``decoder="fake"`` derives deterministic
-pseudo-features from the raw bytes so the Spark-side plumbing — schema,
-batch shape, partitioning — is fully real and testable.  Swapping in
-PIL/ffmpeg later only replaces ``_decode_payload``.
+The DECODE step is pluggable via ``decoder=``:
+
+- ``"auto"`` — REAL codecs: PNG and WAV decode natively via the
+  stdlib-only ``functions.codecs`` (zlib/wave + numpy), other image
+  formats through PIL and video through ffmpeg when those are
+  installed; otherwise NotImplementedError marks the exact boundary.
+- ``"fake"`` — deterministic byte-level pseudo-features, so the
+  Spark-side plumbing (schema, batch shape, partitioning) stays
+  testable with arbitrary payload bytes and goldens hold.
+- ``"stub"`` — always raises: the explicit no-codec boundary.
 
 Scale design: mapInPandas streams Arrow record batches through Python
 once (no per-row overhead), feature extraction is embarrassingly
@@ -49,34 +53,66 @@ FEATURE_SCHEMA = (
 )
 
 
-def _decode_payload(payload: bytes, kind: str, decoder: str):
-    """The codec boundary.  'fake' = deterministic byte-level features;
-    real decoders (PIL, torchaudio, ffmpeg) plug in here.
+def _byte_stats(arr) -> tuple[float, float, list[float]]:
+    """(mean, entropy, 8-bucket histogram) over a uint8 array.
 
     The kernel is numpy end-to-end (frombuffer + bincount): a per-byte
     Python loop here defeats the point of Arrow batching — measured 8×
     faster on 4 KiB payloads, and the gap widens with payload size."""
+    import numpy as np
+
+    n = arr.size
+    if n == 0:
+        return 0.0, 0.0, [0.0] * 8
+    counts = np.bincount(arr.reshape(-1), minlength=256)
+    mean = float(arr.sum(dtype=np.int64)) / n
+    p = counts[counts > 0] / n
+    entropy = float(-(p * np.log2(p)).sum())
+    feature = (counts.reshape(8, 32).sum(axis=1) / n).tolist()
+    return mean, entropy, feature
+
+
+def _decode_payload(payload: bytes, kind: str, decoder: str):
+    """The codec boundary: returns (mean, entropy, feature[8]).
+
+    'fake' computes the stats over the RAW payload bytes; 'auto' REALLY
+    decodes (stdlib PNG/WAV, PIL/ffmpeg when installed) and computes
+    the same stats over decoded pixels / quantized audio samples, so
+    the two paths share one schema and one downstream contract."""
+    import numpy as np
+
     if decoder == "stub":
         raise NotImplementedError(
             "media decoding requires codec libraries not present in this "
             "environment; use decoder='fake' for the deterministic "
             "byte-level path"
         )
+    if decoder in ("auto", "real"):
+        from ..functions import codecs
+
+        if not payload:
+            return 0.0, 0.0, [0.0] * 8
+        if kind == "image":
+            return _byte_stats(codecs.decode_image(payload).reshape(-1))
+        if kind == "audio":
+            if codecs.sniff_format(payload) != "wav":
+                raise NotImplementedError(
+                    "only WAV audio decodes natively; other formats need "
+                    "an audio library not present in this environment"
+                )
+            samples, _rate = codecs.decode_wav(payload)
+            # quantize [-1, 1] → uint8 bins so image/audio share stats
+            q = np.clip((samples.reshape(-1) + 1.0) * 127.5, 0, 255)
+            return _byte_stats(q.astype(np.uint8))
+        raise NotImplementedError(
+            f"decoding kind={kind!r} requires ffmpeg, which is not "
+            "installed"
+        )
     if decoder != "fake":
         raise ValueError(f"unknown decoder {decoder!r}")
-    import numpy as np
-
-    n = len(payload)
-    if n == 0:
+    if not payload:
         return 0.0, 0.0, [0.0] * 8
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    counts = np.bincount(arr, minlength=256)
-    mean = float(arr.sum(dtype=np.int64)) / n
-    p = counts[counts > 0] / n
-    entropy = float(-(p * np.log2(p)).sum())
-    # 8-bucket byte histogram as the stand-in feature vector
-    feature = (counts.reshape(8, 32).sum(axis=1) / n).tolist()
-    return mean, entropy, feature
+    return _byte_stats(np.frombuffer(payload, dtype=np.uint8))
 
 
 def extract_media_features(
@@ -131,8 +167,9 @@ def resize_images(
     Image rows get their payload replaced by the resized encoding and
     meta width/height updated; non-image rows pass through unchanged.
     The fake path resamples payload bytes at even strides to exactly
-    width×height bytes — deterministic, so goldens hold; a real
-    PIL decode→resize→encode plugs into the codec boundary."""
+    width×height bytes — deterministic, so goldens hold.  The 'auto'
+    path REALLY decodes (stdlib PNG; PIL formats when installed),
+    nearest-neighbor resizes, and re-encodes as PNG."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -168,13 +205,25 @@ def resize_images(
                             "image resize requires codec libraries not "
                             "present in this environment"
                         )
-                    if decoder != "fake":
+                    mime = None
+                    if decoder in ("auto", "real"):
+                        from ..functions import codecs
+
+                        img = codecs.decode_image(payload)
+                        payload = codecs.encode_png(
+                            codecs.resize_nearest(img, width, height)
+                        )
+                        mime = "image/png"
+                    elif decoder == "fake":
+                        payload = resample(payload)
+                    else:
                         raise ValueError(f"unknown decoder {decoder!r}")
-                    payload = resample(payload)
                     meta = meta or {
                         "mime": None, "width": None, "height": None,
                         "duration_ms": None,
                     }
+                    if mime is not None:
+                        meta["mime"] = mime
                     meta["width"], meta["height"] = width, height
                 rows.append(
                     {
@@ -221,6 +270,18 @@ def sample_video_frames(
                 payload = bytes(raw) if raw is not None else b""
                 if decoder == "stub":
                     raise NotImplementedError("video decode requires ffmpeg")
+                if decoder in ("auto", "real"):
+                    from ..functions import codecs
+
+                    for ts, png in codecs.extract_video_frames(
+                        payload, every_ms, duration
+                    ):
+                        ids.append(media_id)
+                        tss.append(ts)
+                        hashes.append(hashlib.md5(png).hexdigest())
+                    continue
+                if decoder != "fake":
+                    raise ValueError(f"unknown decoder {decoder!r}")
                 n_frames = max(duration // every_ms, 0)
                 for i in range(n_frames):
                     lo = (i * len(payload)) // max(n_frames, 1)

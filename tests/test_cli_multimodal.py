@@ -126,6 +126,108 @@ def test_video_frame_sampling(spark, media_df):
     assert len({r["frame_hash"] for r in frames}) >= 1
 
 
+@pytest.fixture
+def real_media_df(spark):
+    """Real PNG and WAV payloads (stdlib-encoded, real formats) plus a
+    JPEG-ish row whose decode needs PIL — the codec-boundary row."""
+    import numpy as np
+
+    from org_revue_de_presse_trends_spark.functions import codecs
+
+    rng = np.random.default_rng(42)
+    png = codecs.encode_png(
+        rng.integers(0, 256, size=(12, 10, 3), dtype=np.uint8)
+    )
+    wav = codecs.encode_wav(
+        np.sin(np.linspace(0, 40 * np.pi, 800)).reshape(-1, 1), 8000
+    )
+    rows = [
+        Row(media_id=10, kind="image", payload=png,
+            meta=Row(mime="image/png", width=10, height=12,
+                     duration_ms=None)),
+        Row(media_id=11, kind="audio", payload=wav,
+            meta=Row(mime="audio/wav", width=None, height=None,
+                     duration_ms=100)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_media_features_auto_decoder_real_png_wav(spark, real_media_df):
+    """decoder='auto' REALLY decodes: stats come from pixels/samples,
+    not payload bytes — distinguishable because the PNG container
+    bytes are zlib-compressed noise while the pixels are uniform."""
+    import numpy as np
+
+    from org_revue_de_presse_trends_spark.functions import codecs
+
+    feats = {r["media_id"]: r for r in
+             extract_media_features(real_media_df, decoder="auto")
+             .collect()}
+    png_payload = bytes(
+        {r["media_id"]: r for r in real_media_df.collect()}[10]["payload"]
+    )
+    pixels = codecs.decode_png(png_payload)
+    assert abs(feats[10]["byte_mean"] - float(pixels.mean())) < 1e-9
+    # and it does NOT equal the raw-container-bytes mean (fake path)
+    raw_mean = float(
+        np.frombuffer(png_payload, dtype=np.uint8).mean()
+    )
+    assert abs(feats[10]["byte_mean"] - raw_mean) > 1.0
+    # audio: sine wave quantized to uint8 bins has high entropy but a
+    # mean pinned near the 127.5 midline
+    assert abs(feats[11]["byte_mean"] - 127.0) < 2.0
+    assert feats[11]["byte_entropy"] > 4.0
+
+
+def test_media_features_auto_decoder_boundary_raises(spark):
+    """A non-PNG image without PIL must fail loudly (the documented
+    codec boundary), not silently fall back to byte stats."""
+    import py4j.protocol
+    from pyspark.errors import PythonException
+
+    from org_revue_de_presse_trends_spark.functions import codecs
+
+    if codecs.HAVE_PIL:
+        pytest.skip("PIL installed: the boundary moves past JPEG")
+    jpegish = spark.createDataFrame(
+        [Row(media_id=20, kind="image", payload=b"\xff\xd8\xff fake",
+             meta=None)],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises((PythonException, py4j.protocol.Py4JJavaError)):
+        extract_media_features(jpegish, decoder="auto").collect()
+
+
+def test_resize_images_auto_real_decode_reencode(spark, real_media_df):
+    """decoder='auto' resize: output payload is a REAL PNG of the
+    target dimensions whose pixels equal nearest-neighbor resampling
+    of the original decoded pixels."""
+    import numpy as np
+
+    from org_revue_de_presse_trends_spark.functions import codecs
+    from org_revue_de_presse_trends_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    rows = {r["media_id"]: r for r in
+            resize_images(real_media_df, width=5, height=6,
+                          decoder="auto").collect()}
+    out = rows[10]
+    assert out["meta"]["width"] == 5 and out["meta"]["height"] == 6
+    assert out["meta"]["mime"] == "image/png"
+    decoded = codecs.decode_png(bytes(out["payload"]))
+    assert decoded.shape == (6, 5, 3)
+    orig = codecs.decode_png(
+        bytes({r["media_id"]: r for r in real_media_df.collect()}[10]
+              ["payload"])
+    )
+    assert np.array_equal(decoded, codecs.resize_nearest(orig, 5, 6))
+    # audio row passes through untouched
+    assert bytes(rows[11]["payload"]) == bytes(
+        {r["media_id"]: r for r in real_media_df.collect()}[11]["payload"]
+    )
+
+
 def test_cli_since_last_week_prints_window(spark, domain_dir, capsys):
     """Corrected -since-last-week mode: statuses whose shifted creation
     time falls in the 7 days before --since-date."""
