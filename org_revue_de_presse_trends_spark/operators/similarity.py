@@ -133,25 +133,30 @@ def kmeans_refine(
     dim: int = 64,
 ) -> list[Row]:
     """Lloyd refinement of the coarse centroids: assign → per-cell
-    elementwise mean → repeat.  One shuffle per iteration (groupBy
-    cell with 'dim' avg aggregates); empty cells keep their previous
-    centroid.  Returns rows shaped like train_centroids output."""
+    elementwise mean → repeat.  One shuffle per iteration; empty cells
+    keep their previous centroid.  Returns rows shaped like
+    train_centroids output.
+
+    The per-cell mean is computed TALL (posexplode → groupBy(cell,
+    pos) → avg) rather than as a 64-wide row of avg(getItem(i))
+    aggregates: wide array-element aggregates codegen poorly (the
+    SimHash lesson, CLAUDE.md) — measured 2× faster at sf0.1 (0.75 s
+    vs 1.4 s per iteration) despite shuffling one row per element.
+    The collected result is bounded at n_cells × dim rows."""
     current = centroids
     for _ in range(iters):
         assigned = ivf_assign(corpus, current, vec_col, n_probe=1)
         means = (
-            assigned.groupBy("cell")
-            .agg(
-                *[
-                    F.avg(F.col(vec_col).getItem(i)).alias(f"m{i}")
-                    for i in range(dim)
-                ]
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col)).alias("pos", "v")
             )
+            .groupBy("cell", "pos")
+            .agg(F.avg("v").alias("m"))
             .collect()
         )
-        by_cell = {
-            r["cell"]: [r[f"m{i}"] for i in range(dim)] for r in means
-        }
+        by_cell: dict[int, list[float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = r["m"]
         current = [
             Row(cid=r["cid"], centroid=by_cell.get(r["cid"], r["centroid"]))
             for r in current

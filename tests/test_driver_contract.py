@@ -120,6 +120,38 @@ def test_entry_smoke(spark):
     assert len(rows) > 0
 
 
+#: how many queries() entries the driver evaluates per round
+DRIVER_WINDOW = 50
+
+
+def test_oracled_queries_fill_the_driver_window_exactly():
+    """The driver evaluates only the first DRIVER_WINDOW entries of
+    queries().  Every one of those slots must carry a DuckDB oracle
+    (the hard hash signal); a future oracled addition that silently
+    pushed one out of the window — or an ordering drift that let a
+    rows-only query in early — must fail HERE, not in the round
+    artifact."""
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(oracles) <= DRIVER_WINDOW, (
+        f"{len(oracles)} oracled queries exceed the driver's "
+        f"{DRIVER_WINDOW}-slot evaluation window: one would silently "
+        "lose its hash check. Either raise the window constant (if the "
+        "driver changed) or demote a query."
+    )
+    window = list(qs)[:DRIVER_WINDOW]
+    in_window_oracled = [n for n in window if n in oracles]
+    assert in_window_oracled == window[: len(oracles)], (
+        "oracled queries must occupy the leading window slots"
+    )
+    assert set(in_window_oracled) == set(oracles), (
+        f"oracled queries outside the driver window: "
+        f"{sorted(set(oracles) - set(in_window_oracled))}"
+    )
+    # every registered query has a callable; every oracle has a query
+    assert set(oracles) <= set(qs)
+
+
 def _pairs():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
