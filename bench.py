@@ -52,6 +52,10 @@ HEADLINE = [
     "doc_decontamination",
     "doc_repetition_signals",
     "doc_domain_mixture",
+    "orders_nearby_count",
+    "doc_duplicate_spans",
+    "token_bigram_pmi",
+    "events_daily_dense",
 ]
 
 

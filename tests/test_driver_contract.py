@@ -123,33 +123,60 @@ def test_entry_smoke(spark):
 #: how many queries() entries the driver evaluates per round
 DRIVER_WINDOW = 50
 
+#: the frozen contents of that window — the r4 green set, in exact
+#: emission order.  Queries registered later (round-5 additions) sit
+#: PAST the window on purpose: their hash gate is this file's
+#: per-query oracle test.  Changing the window is an explicit edit
+#: here, never a side effect of registering a new query.
+WINDOW_QUERIES = [
+    "q1_pricing_summary", "q3_top_revenue_orders",
+    "q5_supplier_nation_revenue", "daily_top_events",
+    "events_daily_counts", "events_json_extract",
+    "orders_excluding_building_anti", "orders_of_building_semi",
+    "orders_left_join_big_lines", "argmax_event_per_user",
+    "asof_click_before_purchase", "topk_orders_paginated",
+    "disjunctive_join_nation_customer", "rollup_order_stats",
+    "union_order_variants", "running_total_per_customer",
+    "sessionize_events", "orders_above_customer_avg",
+    "events_type_pivot", "duplicate_line_keys", "cube_lineitem_stats",
+    "orders_price_bands", "events_time_rollup", "order_rank_features",
+    "large_volume_customers", "user_value_zscores",
+    "value_percentiles_exact", "intersect_repeat_customers",
+    "except_big_only_parts", "except_all_returned_not_finished",
+    "grouping_sets_order_stats", "lateral_top2_orders_per_customer",
+    "qty_price_correlation", "orders_with_late_lines",
+    "nation_pair_revenue", "customer_order_distribution",
+    "rolling_30d_customer_revenue", "doc_token_stats",
+    "doc_quality_scores", "doc_lang_id", "doc_chunks",
+    "vocab_top_tokens", "doc_top_tfidf_terms", "dedup_exact_docs",
+    "dedup_ngram_jaccard", "dedup_clusters", "embedding_near_dup",
+    "corpus_selection", "doc_embedding_join", "ann_cosine_topk",
+]
 
-def test_oracled_queries_fill_the_driver_window_exactly():
+
+def test_driver_window_is_pinned_and_fully_oracled():
     """The driver evaluates only the first DRIVER_WINDOW entries of
-    queries().  Every one of those slots must carry a DuckDB oracle
-    (the hard hash signal); a future oracled addition that silently
-    pushed one out of the window — or an ordering drift that let a
-    rows-only query in early — must fail HERE, not in the round
-    artifact."""
+    queries().  Those slots must stay exactly the pinned green set
+    (all oracled) — a new registration or ordering drift that displaced
+    one must fail HERE, not in the round artifact."""
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    assert len(oracles) <= DRIVER_WINDOW, (
-        f"{len(oracles)} oracled queries exceed the driver's "
-        f"{DRIVER_WINDOW}-slot evaluation window: one would silently "
-        "lose its hash check. Either raise the window constant (if the "
-        "driver changed) or demote a query."
-    )
     window = list(qs)[:DRIVER_WINDOW]
-    in_window_oracled = [n for n in window if n in oracles]
-    assert in_window_oracled == window[: len(oracles)], (
-        "oracled queries must occupy the leading window slots"
+    assert window == WINDOW_QUERIES, (
+        "driver evaluation window drifted; if intentional, re-pin "
+        "WINDOW_QUERIES"
     )
-    assert set(in_window_oracled) == set(oracles), (
-        f"oracled queries outside the driver window: "
-        f"{sorted(set(oracles) - set(in_window_oracled))}"
-    )
+    missing = [n for n in window if n not in oracles]
+    assert not missing, f"window slots without an oracle: {missing}"
     # every registered query has a callable; every oracle has a query
     assert set(oracles) <= set(qs)
+    # overflow oracled queries are allowed but must be a deliberate,
+    # visible set — they get the in-repo gate only
+    overflow = [n for n in oracles if n not in window]
+    assert overflow == [
+        "orders_nearby_count", "doc_duplicate_spans",
+        "token_bigram_pmi", "events_daily_dense",
+    ], f"unexpected overflow oracled set: {overflow}"
 
 
 def _pairs():
