@@ -129,3 +129,29 @@ def test_decontamination_broadcasts_benchmark(spark):
     """The corpus side must never shuffle: benchmark hashes broadcast."""
     plan = plan_of(spark, "doc_decontamination")
     assert "BroadcastHashJoin" in plan
+
+
+def test_orders_nearby_count_aggregate_pushdown_shape(spark):
+    """The range-join count rewrite: per-day counts + RANGE window +
+    broadcast join back — the plan must show exactly that (a banded
+    pair join would show a shuffled join and no Window)."""
+    plan = plan_of(spark, "orders_nearby_count")
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_events_daily_dense_spine_broadcasts_daily(spark):
+    """Date-spine densification: the daily-count side is broadcast
+    (pre-aggregated, tiny) — the spine must not shuffle."""
+    plan = plan_of(spark, "events_daily_dense")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bigram_pmi_broadcast_counts_and_topk(spark):
+    """PMI: unigram-count and total-count sides broadcast; the final
+    top-20 is TakeOrderedAndProject, never a global sort."""
+    plan = plan_of(spark, "token_bigram_pmi")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
