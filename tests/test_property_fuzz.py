@@ -162,3 +162,98 @@ def test_pack_sequences_fuzz(spark, chunks, budget):
     for members in seqs.values():
         if sum(members) > budget:
             assert len(members) == 1 and members[0] > budget
+
+
+# ---------------------------------------------------------------------------
+# Codec fuzz: PNG/WAV round-trips on arbitrary shapes/values (pure
+# Python — no Spark session needed, so examples are cheap)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.sampled_from([1, 2, 3, 4]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_roundtrip_fuzz(h, w, ch, seed):
+    import numpy as np
+
+    from org_revue_de_presse_trends_spark.functions import codecs
+
+    img = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, ch), dtype=np.uint8
+    )
+    out = codecs.decode_png(codecs.encode_png(img))
+    assert out.shape == (h, w, ch)
+    assert np.array_equal(out, img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=2000),
+    st.sampled_from([1, 2]),
+    st.sampled_from([8000, 16000, 44100]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_wav_roundtrip_fuzz(n, ch, rate, seed):
+    import numpy as np
+
+    from org_revue_de_presse_trends_spark.functions import codecs
+
+    samples = (
+        np.random.default_rng(seed)
+        .uniform(-1.0, 1.0, size=(n, ch))
+        .astype(np.float32)
+    )
+    out, got_rate = codecs.decode_wav(codecs.encode_wav(samples, rate))
+    assert got_rate == rate and out.shape == (n, ch)
+    assert float(np.abs(out - samples).max()) < 2.0 / 32768
+
+
+# ---------------------------------------------------------------------------
+# Banded interval join vs brute force on arbitrary value sets
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1000, max_value=1000,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1, max_size=25,
+    ),
+    st.lists(
+        st.floats(
+            min_value=-1000, max_value=1000,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1, max_size=25,
+    ),
+    st.sampled_from([0.5, 1, 7, 100]),
+)
+def test_band_interval_join_matches_brute_force_fuzz(spark, lv, rv, radius):
+    from org_revue_de_presse_trends_spark.operators.rangejoin import (
+        band_interval_join,
+    )
+
+    left = spark.createDataFrame(list(enumerate(lv)), ["lid", "lval"])
+    right = spark.createDataFrame(
+        [(100 + i, v) for i, v in enumerate(rv)], ["rid", "rval"]
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in band_interval_join(
+            left, right, "lval", "rval", radius
+        ).collect()
+    )
+    brute = sorted(
+        (i, 100 + j)
+        for i, a in enumerate(lv)
+        for j, b in enumerate(rv)
+        if abs(a - b) <= radius
+    )
+    assert got == brute
