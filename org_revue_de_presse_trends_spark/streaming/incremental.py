@@ -237,3 +237,60 @@ def running_user_peaks(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def interval_stream_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the SAME
+    user's clicks in the event-time window [purchase_ts − within,
+    purchase_ts] — the streaming member of the as-of/range-join family
+    (operators/asof.py and operators/rangejoin.py are the batch twins).
+
+    Both inputs carry watermarks and the join condition bounds click
+    time RELATIVE to purchase time, which is exactly what lets Spark
+    evict buffered rows: a click older than (purchase watermark +
+    within) can never match again (SIGMOD 2018 §4.3's state cleanup
+    argument).  Without the time-range conjunct the state store grows
+    unboundedly and Spark rejects append mode.
+
+    Works identically on batch frames (the watermark is a no-op there)
+    — tests pin batch/stream agreement.
+    """
+    p = purchases.withWatermark("p_ts", watermark)
+    c = clicks.withWatermark("c_ts", watermark)
+    cond = (
+        (F.col(f"p_{user_col}") == F.col(f"c_{user_col}"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {within}"))
+    )
+    return p.join(c, cond, "inner").select(
+        F.col("p_event_id").alias("purchase_id"),
+        F.col(f"p_{user_col}").alias(user_col),
+        F.col("p_ts").alias("purchase_ts"),
+        F.col("c_event_id").alias("click_id"),
+        F.col("c_ts").alias("click_ts"),
+    )
+
+
+def split_events_for_interval_join(
+    events: DataFrame, user_col: str = "user_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Project the events frame into the (purchases, clicks) inputs of
+    ``interval_stream_join`` with disjoint column names (stream-stream
+    joins need both sides' event-time columns in the output)."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col(user_col).alias(f"p_{user_col}"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col(user_col).alias(f"c_{user_col}"),
+        F.col("ts").alias("c_ts"),
+    )
+    return purchases, clicks

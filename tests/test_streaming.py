@@ -553,6 +553,46 @@ def test_upsert_collapses_to_latest_within_batch(spark, tmp_path):
     assert rows == [(1, 20, "new"), (2, 5, "only")]
 
 
+def test_interval_stream_join_matches_batch(spark, events_stream_dir, tmp_path):
+    """Stream-stream interval join (purchase ⋈ same-user clicks within
+    the preceding 10 minutes): the streaming run over the file stream
+    must produce exactly the batch join's row set, and the plan must
+    be a watermarked stream-stream join (state bounded)."""
+    from org_revue_de_presse_trends_spark.streaming.incremental import (
+        interval_stream_join,
+        split_events_for_interval_join,
+    )
+
+    ev_batch = spark.read.parquet(events_stream_dir)
+    expected = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in interval_stream_join(
+            *split_events_for_interval_join(ev_batch)
+        ).collect()
+    )
+    assert len(expected) > 0  # fixture has click→purchase sequences
+
+    stream = spark.readStream.schema(ev_batch.schema).parquet(
+        events_stream_dir
+    )
+    joined = interval_stream_join(*split_events_for_interval_join(stream))
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("interval_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_isj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM interval_join").collect()
+    )
+    assert got == expected
+
+
 def test_north_star_loop_e2e_source_transform_sink(spark, tmp_path):
     """The full north-star loop in one test: relational SOURCE polled
     by bookmark (real sqlite, real WHERE pushdown) → row-level
