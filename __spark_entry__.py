@@ -28,10 +28,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered suite, oracled queries first.
 
-    The driver evaluates a bounded prefix of this dict (50 queries in
-    round 2).  Oracled queries carry the hard hash-vs-DuckDB signal, so
-    they are emitted ahead of rows-only ones; within each class the
-    registration order is preserved (stable sort).
+    The driver evaluates only the first 50 entries.  Oracled queries
+    carry the hard hash-vs-DuckDB signal, so they are emitted ahead of
+    rows-only ones; within each class registration order is preserved
+    (stable sort), so additions never displace the evaluated window —
+    tests/test_driver_contract.py pins the exact window contents and
+    the deliberate overflow set (gated by the in-repo contract test).
     """
     ordered = sorted(
         plans.QUERIES.items(), key=lambda kv: kv[0] not in plans.ORACLES
