@@ -56,6 +56,7 @@ HEADLINE = [
     "doc_duplicate_spans",
     "token_bigram_pmi",
     "events_daily_dense",
+    "doc_weighted_sample",
 ]
 
 

@@ -291,3 +291,69 @@ def events_daily_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(F.broadcast(daily), "day", "left").select(
         "day", F.coalesce(F.col("n"), F.lit(0)).alias("n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (training-data subsampling primitive)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_weighted_sample",
+    """
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               POWER(
+                   (CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+                    + 0.5) / 4294967296.0,
+                   1.0 / CAST(n_chars AS DOUBLE)
+               ) AS priority
+        FROM documents
+        WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars, priority
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY priority DESC, doc_id
+        ) AS rn
+        FROM keyed
+    )
+    WHERE rn <= 10
+    """,
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, distributed and
+    DETERMINISTIC: Efraimidis–Spirakis A-Res (Inf. Proc. Letters 2006)
+    — per row draw u ∈ (0,1), keep the top-k by priority u^(1/w) —
+    with the uniform u derived from a Knuth multiplicative hash of the
+    row id instead of an RNG, so reruns and layout changes cannot
+    change the sample (the packing/mixing determinism invariant) and
+    DuckDB reproduces it bit-for-bit.  Weight = n_chars: longer docs
+    proportionally likelier, the standard size-weighted corpus
+    subsample.  Per-lang top-10; per-group top-k via the usual window
+    with a doc_id tiebreak.
+
+    Scale: one projection + one per-group top-k — no shuffle beyond
+    the grouped rank, no driver-side RNG state.  (doc_id *
+    2654435761) stays far below 2^63 for any realistic id, so ANSI
+    mode cannot overflow."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296))
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = d.select(
+        "doc_id", "lang", "n_chars",
+        F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")).alias(
+            "priority"
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("priority"), F.asc("doc_id")
+    )
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "lang", "n_chars", "priority")
+    )
