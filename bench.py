@@ -82,7 +82,10 @@ def timed_collect(
     import threading
 
     timeout_s = QUERY_TIMEOUT_S if timeout_s is None else timeout_s
-    group = f"bench:{name}"
+    # unique per invocation: cold and warm runs of one query must NOT
+    # share a group, or the warm pass's StatusTracker job/task counts
+    # absorb the cold run's jobs (retained-jobs buffer keeps both)
+    group = f"bench:{name}:{time.monotonic_ns()}"
     box: dict = {}
 
     def run():

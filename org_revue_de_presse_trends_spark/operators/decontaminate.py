@@ -68,9 +68,12 @@ def _ngram_hashes(
     Overhead for normal documents: one extra int column in the shuffle
     key and (n-1)/B ≈ 0.01% duplicated token rows.
     """
-    assert block_tokens >= n and block_tokens & (block_tokens - 1) == 0, (
-        "block_tokens must be a power of two >= n"
-    )
+    # explicit raise, not assert: stripped under python -O, after which
+    # the shift/mask math would silently drop boundary-gram context
+    if block_tokens < n or block_tokens & (block_tokens - 1) != 0:
+        raise ValueError(
+            f"block_tokens must be a power of two >= n, got {block_tokens}"
+        )
     shift = block_tokens.bit_length() - 1
     staged = df.select(
         F.col(id_col).cast("long").alias(out_id),

@@ -104,9 +104,25 @@ def _decode_payload(payload: bytes, kind: str, decoder: str):
             # quantize [-1, 1] → uint8 bins so image/audio share stats
             q = np.clip((samples.reshape(-1) + 1.0) * 127.5, 0, 255)
             return _byte_stats(q.astype(np.uint8))
+        if kind == "video":
+            if codecs.FFMPEG_BIN is None:
+                raise NotImplementedError(
+                    "decoding video requires the ffmpeg binary, which "
+                    "is not installed"
+                )
+            # pragma: no cover — exercised only where ffmpeg exists:
+            # stats over the first frame's pixels (duration unknown at
+            # this boundary; one probe frame at t=0 is the feature)
+            frames = codecs.extract_video_frames(
+                payload, every_ms=1000, duration_ms=1
+            )
+            if not frames:
+                return 0.0, 0.0, [0.0] * 8
+            return _byte_stats(
+                codecs.decode_image(frames[0][1]).reshape(-1)
+            )
         raise NotImplementedError(
-            f"decoding kind={kind!r} requires ffmpeg, which is not "
-            "installed"
+            f"no decoder for kind={kind!r} in this environment"
         )
     if decoder != "fake":
         raise ValueError(f"unknown decoder {decoder!r}")

@@ -28,6 +28,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
 def band_interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -35,12 +38,24 @@ def band_interval_join(
     right_val: str,
     radius: int | float,
     how: str = "inner",
+    left_id: str | None = None,
 ) -> DataFrame:
     """All (left × right) pairs with |left_val − right_val| ≤ radius.
 
     Column sets must be disjoint (alias beforehand).  ``how`` supports
     'inner' and 'left' ('left' keeps unmatched left rows with NULL
-    right columns, like a LEFT range join).
+    right columns, like a LEFT range join).  For 'left', pass
+    ``left_id`` (a unique left key) when you have one: the unmatched
+    re-attach then anti-joins on that single column instead of every
+    left column, which is cheaper and lets the matched side's shuffles
+    be reused.
+
+    Banding is exact long arithmetic when both the value column and
+    the radius are integral (floor division via truncating DIV plus a
+    negative-remainder correction — double division would lose
+    integer precision above 2^53, e.g. nanosecond-epoch longs, and
+    silently drop in-radius pairs).  Float values use double floor
+    division, exact within the double domain.
     """
     if radius <= 0:
         raise ValueError(f"radius must be positive, got {radius}")
@@ -51,20 +66,34 @@ def band_interval_join(
         )
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
+    if left_id is not None and left_id not in left.columns:
+        raise ValueError(f"left_id {left_id!r} not in left columns")
 
-    def band(col: Column) -> Column:
-        return F.floor(col / F.lit(radius)).cast("long")
+    ltypes = dict(left.dtypes)
+    rtypes = dict(right.dtypes)
+    integral = (
+        isinstance(radius, int)
+        and ltypes[left_val] in _INTEGRAL_TYPES
+        and rtypes[right_val] in _INTEGRAL_TYPES
+    )
 
-    build = right.withColumn("__band", band(F.col(right_val)))
+    def band(colname: str) -> Column:
+        if integral:
+            # floor division in pure long arithmetic: truncating DIV,
+            # minus 1 when the remainder is negative (dividend < 0) —
+            # no double round-trip, so bands stay exact above 2^53
+            r = int(radius)
+            q = F.expr(f"`{colname}` DIV {r}")
+            return F.when(
+                F.col(colname) % F.lit(r) < 0, q - 1
+            ).otherwise(q)
+        return F.floor(F.col(colname) / F.lit(radius)).cast("long")
+
+    build = right.withColumn("__band", band(right_val))
+    lband = band(left_val)
     probe = left.withColumn(
         "__band",
-        F.explode(
-            F.array(
-                band(F.col(left_val)) - 1,
-                band(F.col(left_val)),
-                band(F.col(left_val)) + 1,
-            )
-        ),
+        F.explode(F.array(lband - 1, lband, lband + 1)),
     )
     residual = (
         F.abs(F.col(left_val) - F.col(right_val)) <= F.lit(radius)
@@ -76,11 +105,21 @@ def band_interval_join(
     )
     if how == "inner":
         return matched
-    # left join: re-attach unmatched left rows with NULL right side
-    matched_keys = matched.select(*left.columns).distinct()
-    unmatched = left.join(matched_keys, list(left.columns), "left_anti")
+    # left join: re-attach unmatched left rows with NULL right columns.
+    # The anti-join must be NULL-SAFE on every key it uses — a plain
+    # column-list anti never equates NULL=NULL, so a matched left row
+    # carrying a NULL column would ALSO come back as "unmatched" and
+    # appear twice in the output.
+    if left_id is not None:
+        matched_keys = matched.select(left_id).distinct()
+        unmatched = left.join(matched_keys, [left_id], "left_anti")
+    else:
+        matched_keys = matched.select(*left.columns).distinct()
+        cond = None
+        for c in left.columns:
+            eq = left[c].eqNullSafe(matched_keys[c])
+            cond = eq if cond is None else (cond & eq)
+        unmatched = left.join(matched_keys, cond, "left_anti")
     for c in right.columns:
-        unmatched = unmatched.withColumn(
-            c, F.lit(None).cast(dict(right.dtypes)[c])
-        )
+        unmatched = unmatched.withColumn(c, F.lit(None).cast(rtypes[c]))
     return matched.unionByName(unmatched)

@@ -303,11 +303,12 @@ def events_daily_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH keyed AS (
         SELECT doc_id, lang, n_chars,
-               POWER(
-                   (CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
-                    + 0.5) / 4294967296.0,
+               ROUND(POWER(
+                   (CAST((((doc_id % 2147483648) + 2147483648)
+                          % 2147483648 * 2654435761) % 4294967296
+                         AS DOUBLE) + 0.5) / 4294967296.0,
                    1.0 / CAST(n_chars AS DOUBLE)
-               ) AS priority
+               ), 9) AS priority
         FROM documents
         WHERE n_chars > 0
     )
@@ -331,23 +332,34 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB reproduces it bit-for-bit.  Weight = n_chars: longer docs
     proportionally likelier, the standard size-weighted corpus
     subsample.  Per-lang top-10; per-group top-k via the usual window
-    with a doc_id tiebreak.
+    with a doc_id tiebreak.  The priority is rounded to 9 decimals
+    before ranking so a last-ulp pow() difference between the JVM and
+    libm can never flip the selection, and the hash mix reduces the
+    id mod 2^31 before multiplying so ANSI overflow is impossible for
+    every possible long id.
 
     Scale: one projection + one per-group top-k — no shuffle beyond
-    the grouped rank, no driver-side RNG state.  (doc_id *
-    2654435761) stays far below 2^63 for any realistic id, so ANSI
-    mode cannot overflow."""
+    the grouped rank, no driver-side RNG state."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    # pmod(id, 2^31) * K < 2^63 for EVERY long id — the mix cannot
+    # overflow under ANSI no matter how the id range grows (the raw
+    # id * K form detonates at id >= 2^63/K ~ 3.5e9)
     u = (
-        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296))
-        .cast("double")
+        F.pmod(
+            F.pmod(F.col("doc_id"), F.lit(2147483648))
+            * F.lit(2654435761),
+            F.lit(4294967296),
+        ).cast("double")
         + F.lit(0.5)
     ) / F.lit(4294967296.0)
     keyed = d.select(
         "doc_id", "lang", "n_chars",
-        F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")).alias(
-            "priority"
-        ),
+        # rounded to 9 decimals BEFORE the rank: JVM Math.pow and
+        # libm pow may differ in the last ulp, and the top-k selection
+        # must not hinge on it — both engines rank the rounded key
+        F.round(
+            F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")), 9
+        ).alias("priority"),
     )
     w = Window.partitionBy("lang").orderBy(
         F.desc("priority"), F.asc("doc_id")

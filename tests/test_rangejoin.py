@@ -99,3 +99,72 @@ def test_plan_is_equi_join_not_nested_loop(spark):
         left, right, "lval", "rval", 2
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_left_join_null_column_not_duplicated(spark):
+    """A matched left row carrying a NULL column must appear only as
+    matched — the null-safe anti-join must not resurrect it as
+    'unmatched' (a plain column-list anti join would)."""
+    left = spark.createDataFrame(
+        [(1, 5.0, None), (2, 50.0, "note")],
+        "lid int, lval double, note string",
+    )
+    right = spark.createDataFrame([(10, 5.5)], ["rid", "rval"])
+    out = band_interval_join(
+        left, right, "lval", "rval", 1, how="left"
+    ).collect()
+    by_lid: dict = {}
+    for r in out:
+        by_lid.setdefault(r["lid"], []).append(r["rid"])
+    assert by_lid[1] == [10]  # matched once, NOT also re-attached
+    assert by_lid[2] == [None]
+
+
+def test_left_join_with_left_id_matches_full_column_path(spark):
+    left, right = _sides(spark)
+    a = sorted(
+        (r["lid"], r["rid"])
+        for r in band_interval_join(
+            left, right, "lval", "rval", 1, how="left"
+        ).collect()
+    )
+    b = sorted(
+        (r["lid"], r["rid"])
+        for r in band_interval_join(
+            left, right, "lval", "rval", 1, how="left", left_id="lid"
+        ).collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="left_id"):
+        band_interval_join(
+            left, right, "lval", "rval", 1, how="left", left_id="nope"
+        )
+
+
+def test_integral_banding_exact_above_double_precision(spark):
+    """Nanosecond-epoch-scale longs (> 2^53): integral banding must
+    keep exact bands where double division would round values onto
+    the wrong band and silently drop in-radius pairs."""
+    base = 1 << 60
+    left = spark.createDataFrame(
+        [(1, base), (2, base - 10_000), (3, -base)],
+        "lid int, lval long",
+    )
+    right = spark.createDataFrame(
+        [(10, base - 200), (11, base - 10_100), (12, -base + 150)],
+        "rid int, rval long",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in band_interval_join(
+            left, right, "lval", "rval", 200
+        ).collect()
+    )
+    assert got == [(1, 10), (2, 11), (3, 12)]
+    # brute force agreement (Python ints are exact)
+    lv = {1: base, 2: base - 10_000, 3: -base}
+    rv = {10: base - 200, 11: base - 10_100, 12: -base + 150}
+    brute = sorted(
+        (i, j) for i in lv for j in rv if abs(lv[i] - rv[j]) <= 200
+    )
+    assert got == brute
