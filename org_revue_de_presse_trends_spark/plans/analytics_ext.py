@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions import pii as P
 from ..functions import text as T
 from .registry import query
 
@@ -368,4 +369,104 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
         .select("doc_id", "lang", "n_chars", "priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data cleaning stage)
+# ---------------------------------------------------------------------------
+
+# The corpus fixture is synthetic word-salad with no digits, so the
+# query PLANTS deterministic synthetic PII as a function of doc_id —
+# with the *identical* derivation in the DuckDB oracle — then redacts
+# it.  That turns the hash compare into a real cross-engine check of
+# Java-regex vs RE2 semantics (match sets, greediness, \b boundaries),
+# instead of a vacuous all-zeros pass.  Plant order below must match
+# the Spark concat order exactly.
+_PII_PLANT_SQL = """planted AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' mail user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com' ELSE '' END
+               || CASE WHEN doc_id % 19 = 0
+                       THEN ' card 4111 1111 1111 1111' ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' call (415) 555-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END
+               || CASE WHEN doc_id % 13 = 0
+                       THEN ' ssn 078-05-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END
+               || CASE WHEN doc_id % 17 = 0
+                       THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.77' ELSE '' END
+               AS text
+        FROM documents
+    )"""
+
+
+@query(
+    "doc_pii_redaction",
+    f"""
+    WITH {_PII_PLANT_SQL},
+    {P.oracle_redaction_ctes('planted')}
+    SELECT doc_id, n_email, n_card, n_phone, n_ssn, n_ipv4,
+           md5(text) AS red_md5,
+           CAST(length(text) AS BIGINT) AS red_len
+    FROM {P.FINAL_PII_STAGE}
+    """,
+)
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions/pii.py): plant synthetic emails /
+    cards / phones / SSNs / IPv4s keyed on doc_id, then run the
+    fixed-order staged redaction and report per-class counts plus the
+    md5 of the fully redacted text (character-for-character agreement
+    with the oracle's RE2 redaction).
+
+    Scale: a pure map stage — regex built-ins inside whole-stage
+    codegen, zero shuffle, embarrassingly parallel over splits."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def _plant(mod: int, frag):
+        return F.when(did % mod == 0, frag).otherwise(F.lit(""))
+
+    mod4 = F.lpad(F.pmod(did, F.lit(10000)).cast("string"), 4, "0")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            _plant(
+                7,
+                F.concat(
+                    F.lit(" mail user"),
+                    did.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ),
+            _plant(19, F.lit(" card 4111 1111 1111 1111")),
+            _plant(11, F.concat(F.lit(" call (415) 555-"), mod4)),
+            _plant(13, F.concat(F.lit(" ssn 078-05-"), mod4)),
+            _plant(
+                17,
+                F.concat(
+                    F.lit(" ip 10.0."),
+                    F.pmod(did, F.lit(256)).cast("string"),
+                    F.lit(".77"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    red = P.with_pii_redacted(planted)
+    return red.select(
+        "doc_id",
+        "n_email",
+        "n_card",
+        "n_phone",
+        "n_ssn",
+        "n_ipv4",
+        F.md5(F.col("text_redacted")).alias("red_md5"),
+        F.length("text_redacted").cast("long").alias("red_len"),
     )

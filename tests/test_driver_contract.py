@@ -176,7 +176,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
     assert overflow == [
         "orders_nearby_count", "doc_duplicate_spans",
         "token_bigram_pmi", "events_daily_dense",
-        "doc_weighted_sample",
+        "doc_weighted_sample", "doc_pii_redaction",
     ], f"unexpected overflow oracled set: {overflow}"
 
 
