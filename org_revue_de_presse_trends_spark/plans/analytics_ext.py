@@ -470,3 +470,90 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text_redacted")).alias("red_md5"),
         F.length("text_redacted").cast("long").alias("red_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source n-gram overlap (corpus contamination matrix)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_ngram_overlap",
+    """
+    WITH toks AS (
+        SELECT source, string_split(text, ' ') AS t FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT source,
+               unnest(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+               )) AS shingle
+        FROM toks
+    ),
+    ex AS (
+        SELECT source, shingle,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM g
+    ),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               a.n AS n_a, b.n AS n_b, COUNT(*) AS n_inter
+        FROM ex a JOIN ex b
+          ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY a.source, b.source, a.n, b.n
+    )
+    SELECT src_a, src_b, n_a, n_b, n_inter,
+           CAST(n_inter AS DOUBLE)
+             / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    """,
+)
+def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 3-gram Jaccard between SOURCES (domains) — the corpus
+    contamination / domain-overlap matrix a mixture designer reads
+    before weighting (same diagnostic GPT-3 appendix A ran between
+    train and eval corpora, lifted to source×source).
+
+    Plan shape: one HOF shingling pass staged behind the per-source
+    DISTINCT exchange (both self-join sides reuse it — the dedup
+    ReusedExchange invariant), set sizes ride as a window count over
+    the distinct rows (no second aggregate+join), then a shingle-keyed
+    equi-join whose output is bounded by |sources|² rows.  At 100 TB
+    the shingle column becomes a 64-bit hash and the DISTINCT the
+    dominant (linear, combinable) shuffle — never an all-pairs scan."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = T.with_shingles(d.select("source", "text"), "text", "sh", k=3)
+    ex = (
+        sh.select("source", F.explode("sh").alias("shingle"))
+        .distinct()
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("source"))
+        )
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return inter.select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        "n_inter",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+        ).alias("jaccard"),
+    )
