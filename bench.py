@@ -49,6 +49,7 @@ HEADLINE = [
     "embedding_lsh_near_dup",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "doc_decontamination",
     "doc_repetition_signals",
     "doc_domain_mixture",
@@ -57,6 +58,8 @@ HEADLINE = [
     "token_bigram_pmi",
     "events_daily_dense",
     "doc_weighted_sample",
+    "doc_pii_redaction",
+    "source_ngram_overlap",
 ]
 
 

@@ -272,6 +272,24 @@ def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_pq_topk")  # codebook assignment is engine-side: rows-only
+def ann_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-ranking (TPAMI 2011 ADC
+    pipeline): 8 subspaces × 16 codes = 8-byte codes per vector,
+    asymmetric-distance shortlist of 50, exact cosine re-rank to
+    top-10.  Codebooks are the deterministic hash-order seed
+    subvectors (iters=0) so the result is bit-stable for the golden
+    hash; Lloyd-refined codebooks are recall-gated in
+    tests/test_operators.py."""
+    from ..operators.similarity import pq_topk_rerank, train_pq_codebooks
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(e, m=8, n_codes=16, iters=0)
+    return pq_topk_rerank(
+        e, e.filter(F.col("vec_id") < 5), books, k=10, shortlist=50
+    )
+
+
 @query(
     "order_rank_features",
     """

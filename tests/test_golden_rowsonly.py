@@ -41,6 +41,9 @@ GOLDEN_SHA256 = {
     "ann_ivf_topk": (
         50, "099acf68e2581a6ac6f26f933b27a005d6ca52203cec5c2680088ffdf27cba6a"
     ),
+    "ann_pq_topk": (
+        50, "afdb457a1b2f90da60cd46545e22139029b7cc0bb5348d0c69f07353c6062dd0"
+    ),
     "doc_winnow_fingerprints": (
         500, "21294e9af73329325649ea357cb48d766ddf28a57df57b10c86f785827cc91fb"
     ),

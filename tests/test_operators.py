@@ -26,7 +26,11 @@ from org_revue_de_presse_trends_spark.operators.dedup import (
 from org_revue_de_presse_trends_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
+    pq_encode,
+    pq_topk,
+    pq_topk_rerank,
     train_centroids,
+    train_pq_codebooks,
 )
 
 
@@ -163,6 +167,90 @@ def test_ivf_recall_vs_brute_force(spark, embeddings_df):
     for r in exact.collect():
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, 11)) for v in by_q.values())
+
+
+def test_pq_adc_matches_numpy_reconstruction(spark, embeddings_df):
+    """The ADC lookup-table score must equal the explicit
+    reconstruction cosine computed independently in numpy."""
+    import numpy as np
+
+    books = train_pq_codebooks(embeddings_df, m=8, n_codes=16, iters=1)
+    q = embeddings_df.filter(F.col("vec_id") == 0)
+    scored = pq_topk(embeddings_df, q, books, k=499)
+    got = {r["neighbor_id"]: r["cos_pq"] for r in scored.collect()}
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in embeddings_df.filter(
+            F.col("vec_id").isin([0, 1, 2, 77, 400])
+        ).collect()
+    }
+    qv = vecs[0]
+    for nid in (1, 2, 77, 400):
+        codes = [
+            int(
+                np.argmin(
+                    (
+                        (np.array(books[j]) - vecs[nid][j * 8 : (j + 1) * 8])
+                        ** 2
+                    ).sum(axis=1)
+                )
+            )
+            for j in range(8)
+        ]
+        recon = np.concatenate([books[j][codes[j]] for j in range(8)])
+        want = float(
+            qv @ recon / (np.linalg.norm(qv) * np.linalg.norm(recon))
+        )
+        assert abs(got[nid] - want) < 1e-9, nid
+
+
+def test_pq_rerank_recall_vs_brute_force(spark, embeddings_df):
+    queries = embeddings_df.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(embeddings_df, queries, k=10)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    books = train_pq_codebooks(embeddings_df, m=8, n_codes=16, iters=2)
+    approx = pq_topk_rerank(
+        embeddings_df, queries, books, k=10, shortlist=50
+    )
+    rows = approx.collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, f"PQ+rerank recall too low: {recall:.2f}"
+    # every query returns exactly k rows ranked 1..k
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, 11)) for v in by_q.values())
+    # re-ranked scores are the EXACT cosines: each shortlisted pair's
+    # cos must match the brute-force value where both rank it
+    exact_cos = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in exact.collect()
+    }
+    for r in rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert abs(r["cos"] - exact_cos[key]) < 1e-9
+
+
+def test_pq_encode_shape_and_determinism(spark, embeddings_df):
+    books = train_pq_codebooks(embeddings_df, m=8, n_codes=16, iters=0)
+    enc = pq_encode(embeddings_df, books)
+    rows = enc.collect()
+    assert len(rows) == embeddings_df.count()
+    for r in rows[:20]:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+        assert r["rnorm"] > 0
+    again = {
+        r["vec_id"]: (tuple(r["codes"]), r["rnorm"])
+        for r in pq_encode(embeddings_df, books).collect()
+    }
+    first = {r["vec_id"]: (tuple(r["codes"]), r["rnorm"]) for r in rows}
+    assert first == again
+    # seeds-only training is itself deterministic across invocations
+    books2 = train_pq_codebooks(embeddings_df, m=8, n_codes=16, iters=0)
+    assert books == books2
 
 
 def test_anti_join_null_aware_vs_default(spark):

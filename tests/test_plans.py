@@ -67,7 +67,7 @@ def test_ann_two_phase_topk(spark):
     (query_id, spark_partition_id) before the final per-query window —
     otherwise every scored row shuffles into |queries| reducers and one
     reducer holds a corpus-sized partition at 100×."""
-    for name in ("ann_cosine_topk", "ann_ivf_topk"):
+    for name in ("ann_cosine_topk", "ann_ivf_topk", "ann_pq_topk"):
         plan = plan_of(spark, name)
         assert plan.count("Window") >= 2, name
         assert "SPARK_PARTITION_ID" in plan.upper(), name
