@@ -190,20 +190,22 @@ def minhash_signatures(
     permutation.
     """
 
-    def perm_min(i: int):
-        # closure factory: PySpark introspects lambda arity, so the
-        # seed must be captured, not a default argument
-        return F.array_min(
-            F.transform(F.col("sh"), lambda h: F.xxhash64(h, F.lit(i)))
-        )
-
+    # the whole signature array as ONE parsed SQL expression: building
+    # it Column-by-Column costs 3 py4j round-trips per permutation
+    # (transform + lambda + array_min) — ~0.5 s of DRIVER plan-build
+    # per query at num_perm=64 (the plan-build tax measured in
+    # operators/similarity._dlit_array).  `xxhash64(h, i)` with an int
+    # literal i is the exact expression F.xxhash64(col, F.lit(i))
+    # built — bit-identical signatures, pinned by the goldens.
+    perms = ",".join(
+        f"array_min(transform(sh, h -> xxhash64(h, {i})))"
+        for i in range(num_perm)
+    )
     base = T.with_shingle_hashes(
         df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col)),
         text_col, "sh", k,
     ).select("id", "sh")
-    return base.select(
-        "id", F.array(*[perm_min(i) for i in range(num_perm)]).alias("sig")
-    )
+    return base.select("id", F.expr(f"array({perms})").alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -297,26 +299,25 @@ def simhash_pairs(
         F.col(id_col).cast("long").alias("id"),
         F.explode(T.tokens(F.col(text_col))).alias("t"),
     ).select("id", F.xxhash64("t").alias("h"))
+    # both 64-wide expression fans as ONE parsed SQL expression each:
+    # Column-by-Column construction costs ~6 py4j round-trips per bit
+    # (~0.9 s of driver plan-build per query; the plan-build tax
+    # measured in operators/similarity._dlit_array).  The SQL text
+    # parses to the exact same expression trees — goldens unchanged.
     counts = tok.groupBy("id").agg(
         *[
-            F.sum(
-                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1
-            ).alias(f"c{j}")
+            F.expr(f"sum((shiftright(h, {j}) & 1) * 2 - 1)").alias(
+                f"c{j}"
+            )
             for j in range(64)
         ]
     )
-    import functools
-
-    bit_terms = [
-        F.when(
-            F.col(f"c{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
-        ).otherwise(F.lit(0).cast("long"))
+    packed_sql = " | ".join(
+        f"(CASE WHEN c{j} > 0 THEN shiftleft(CAST(1 AS BIGINT), {j}) "
+        f"ELSE CAST(0 AS BIGINT) END)"
         for j in range(64)
-    ]
-    hashed = counts.select(
-        "id",
-        functools.reduce(lambda a, b: a.bitwiseOR(b), bit_terms).alias("sh"),
     )
+    hashed = counts.select("id", F.expr(packed_sql).alias("sh"))
     chunks = hashed.select(
         "id",
         "sh",
@@ -567,8 +568,18 @@ def _srp_banded_ids(
         raise ValueError("n_bits must divide evenly into bands")
     if n_bits // bands > 63:
         raise ValueError("rows_per_band (n_bits/bands) must be <= 63")
-    mask_lit = F.array(
-        *[F.lit(m).cast("long") for m in H.srp_sign_masks(n_bits, dim, seed)]
+    # one parsed expression: a py4j call per element costs ~1 ms of
+    # driver plan-build each (operators/similarity._dlit_array).
+    # String-cast form: `-9223372036854775808L` would not lex (unary
+    # minus over an out-of-range positive literal) but the string
+    # parse handles the full signed range.
+    mask_lit = F.expr(
+        "array("
+        + ",".join(
+            f"CAST('{m}' AS BIGINT)"
+            for m in H.srp_sign_masks(n_bits, dim, seed)
+        )
+        + ")"
     )
     el = (
         df.select(
@@ -582,39 +593,47 @@ def _srp_banded_ids(
             F.element_at(mask_lit, F.col("j") + 1).alias("m"),
         )
     )
+    # wide expression fans built as parsed SQL, not Column-by-Column —
+    # the py4j plan-build tax (~6 round-trips per hyperplane/bit) costs
+    # ~0.5 s per query at n_bits=64; the SQL text parses to the same
+    # expression trees (goldens unchanged)
     dots = el.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("m"), i).bitwiseAND(F.lit(1)) == 1,
-                    F.col("x"),
-                ).otherwise(-F.col("x"))
+            F.expr(
+                f"sum(CASE WHEN (shiftright(m, {i}) & 1) = 1 "
+                f"THEN x ELSE -x END)"
             ).alias(f"d{i}")
             for i in range(n_bits)
         ]
     )
     rows_per_band = n_bits // bands
-    keys = []
-    for b in range(bands):
-        key = F.lit(0).cast("long")
+
+    def _key_sql(b: int) -> str:
+        key = "CAST(0 AS BIGINT)"
         for r in range(rows_per_band):
             i = b * rows_per_band + r
-            bit = F.when(F.col(f"d{i}") >= 0, F.lit(1)).otherwise(F.lit(0))
-            key = F.shiftleft(key, 1).bitwiseOR(bit)
-        keys.append(
-            F.struct(F.lit(b).alias("band"), key.cast("long").alias("key"))
+            key = (
+                f"(shiftleft({key}, 1) | "
+                f"(CASE WHEN d{i} >= 0 THEN 1 ELSE 0 END))"
+            )
+        return key
+
+    keys = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(_key_sql(b)).cast("long").alias("key"),
         )
+        for b in range(bands)
+    ]
     # full packed signature (band 0 in the most-significant chunk):
     # lets the pair join keep each colliding pair ONLY in its first
     # colliding band — bit ops replace a multi-million-row
     # dropDuplicates exchange (see embedding_lsh_pairs)
-    sig = F.lit(0).cast("long")
+    sig_sql = "CAST(0 AS BIGINT)"
     for b in range(bands):
-        sig = F.shiftleft(sig, rows_per_band).bitwiseOR(
-            F.col("bk")[b]["key"]
-        )
+        sig_sql = f"(shiftleft({sig_sql}, {rows_per_band}) | bk[{b}].key)"
     staged = dots.select("id", F.array(*keys).alias("bk")).select(
-        "id", "bk", sig.alias("sig")
+        "id", "bk", F.expr(sig_sql).alias("sig")
     )
     return staged.select(
         "id", "sig", F.explode("bk").alias("k")

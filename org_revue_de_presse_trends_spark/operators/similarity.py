@@ -174,14 +174,21 @@ def ivf_assign(
     (adds ``cell`` column, one row per probe).  Centroid list is tiny →
     baked into the plan as a literal array; assignment is per-row JVM
     math, no shuffle."""
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["cid"])).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias("cv"),
+    # one parsed expression, not a py4j call per element — n_cells ×
+    # dim element literals cost ~1 ms/call of driver plan-build time
+    # (see _dlit_array)
+    cent_arr = F.expr(
+        "array("
+        + ",".join(
+            "named_struct('cell', {c}, 'cv', array({vs}))".format(
+                c=int(r["cid"]),
+                vs=",".join(
+                    repr(float(x)) + "D" for x in r["centroid"]
+                ),
             )
             for r in centroids
-        ]
+        )
+        + ")"
     )
     scored = F.transform(
         cent_arr,
@@ -240,29 +247,54 @@ def _l2sq(a: Column, b: Column) -> Column:
     )
 
 
+def _dlit_array(vals) -> Column:
+    """Literal array<double> built from ONE parsed SQL expression.
+
+    Element-wise ``F.array(*[F.lit(x) …])`` costs a py4j round-trip
+    per element — for PQ/IVF codebooks (≥1000 literals) that is ~1 s
+    of DRIVER-side plan construction per query, dwarfing the actual
+    execution (measured: pq_encode plan build 1.05 s vs run 0.10 s).
+    A single ``F.expr`` string keeps it one round-trip; ``repr`` gives
+    shortest-round-trip decimals so the parsed doubles are
+    bit-identical."""
+    return F.expr(
+        "array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")"
+    )
+
+
+def _codebook_sql(codebook: list[list[float]]) -> str:
+    """One subspace's codebook as SQL literal text
+    array<array<double>> (parsed once — see ``_dlit_array``)."""
+    inner = ",".join(
+        "array(" + ",".join(repr(float(x)) + "D" for x in cv) + ")"
+        for cv in codebook
+    )
+    return f"array({inner})"
+
+
 def _codebook_lit(codebook: list[list[float]]) -> Column:
-    """One subspace's codebook as a literal array<array<double>>."""
-    return F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in cv])
-            for cv in codebook
-        ]
-    )
+    return F.expr(_codebook_sql(codebook))
 
 
-def _nearest_code(sv: Column, codebook: list[list[float]]) -> Column:
-    """Index (int) of the codebook entry nearest to ``sv`` (squared
-    L2, ties to the lowest index via struct min).  ``sv`` must be a
-    column ATTRIBUTE (projection-staged), not a derived slice — the
-    per-entry lambda references it once per codebook entry and
-    interpreted HOF eval recomputes referenced subtrees."""
-    scored = F.transform(
-        _codebook_lit(codebook),
-        lambda cv, i: F.struct(
-            _l2sq(sv, cv).alias("d"), i.cast("int").alias("c")
-        ),
+def _nearest_code(sv_name: str, codebook: list[list[float]]) -> Column:
+    """Index (int) of the codebook entry nearest to column
+    ``sv_name`` (squared L2, ties to the lowest index via struct min).
+    ``sv_name`` must name a column ATTRIBUTE (projection-staged), not
+    a derived slice — the per-entry lambda references it once per
+    codebook entry and interpreted HOF eval recomputes referenced
+    subtrees.  Emitted as ONE parsed SQL expression (the nested
+    HOF trio built Column-wise costs ~10 ms of py4j plan-build per
+    subspace)."""
+    l2 = (
+        f"aggregate(zip_with({sv_name}, cv, (x, y) -> "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0.0D, "
+        f"(acc, v) -> acc + v)"
     )
-    return F.array_min(scored)["c"]
+    return F.expr(
+        f"array_min(transform({_codebook_sql(codebook)}, (cv, i) -> "
+        f"named_struct('d', {l2}, 'c', CAST(i AS INT)))).c"
+    )
 
 
 def train_pq_codebooks(
@@ -316,9 +348,9 @@ def train_pq_codebooks(
             *[
                 F.struct(
                     F.lit(j).alias("j"),
-                    _nearest_code(
-                        F.col(f"__sv{j}"), codebooks[j]
-                    ).alias("code"),
+                    _nearest_code(f"__sv{j}", codebooks[j]).alias(
+                        "code"
+                    ),
                     F.col(f"__sv{j}").alias("sv"),
                 ).alias(f"__s{j}")
                 for j in range(m)
@@ -375,18 +407,13 @@ def pq_encode(
     coded = staged.select(
         F.col(id_col),
         *[
-            _nearest_code(F.col(f"__sv{j}"), codebooks[j]).alias(f"__c{j}")
+            _nearest_code(f"__sv{j}", codebooks[j]).alias(f"__c{j}")
             for j in range(m)
         ],
     )
     # |reconstruction|^2 = sum_j |codebook[j][code_j]|^2
     sqn_tables = [
-        F.array(
-            *[
-                F.lit(float(sum(x * x for x in cv)))
-                for cv in codebooks[j]
-            ]
-        )
+        _dlit_array([sum(x * x for x in cv) for cv in codebooks[j]])
         for j in range(m)
     ]
     rnorm_sq = None
@@ -436,11 +463,14 @@ def pq_topk(
         ],
     )
     def _qtable(j: int) -> Column:
-        # closure, not a default-arg lambda: a two-parameter lambda
-        # would be called by F.transform as (element, index)
-        return F.transform(
-            _codebook_lit(codebooks[j]),
-            lambda cv: V.dot(F.col(f"__qv{j}"), cv),
+        # one parsed expression per subspace (same plan-build tax
+        # rationale as _nearest_code); the dot body is textually
+        # V.dot's expression
+        return F.expr(
+            f"transform({_codebook_sql(codebooks[j])}, cv -> "
+            f"aggregate(zip_with(__qv{j}, cv, (x, y) -> "
+            f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+            f"(acc, v) -> acc + v))"
         )
 
     q_tabled = q_staged.select(

@@ -57,3 +57,22 @@ def key_histogram(df: DataFrame, on: str, top: int = 20) -> DataFrame:
         .orderBy(F.desc("n_rows"), F.asc(on))
         .limit(top)
     )
+
+
+def spread_for_cpu(df: DataFrame, min_factor: int = 1) -> DataFrame:
+    """Round-robin repartition a DataFrame whose INPUT layout has
+    fewer partitions than the cluster has cores, so CPU-bound per-row
+    stages (interpreted HOFs, regex, vector math) parallelize.
+
+    Guarded: a no-op when the plan already has >= cores ×
+    ``min_factor`` partitions — at 100 TB a scan has thousands of
+    splits and this never fires; it exists for the small-file /
+    single-split layout where one task would serialize an entire
+    CPU-heavy map stage (a 5 MB parquet of 2000 embeddings arrives as
+    ONE split regardless of cluster size).  The repartition it may add
+    is narrow in cost terms: rows × row-width of a SMALL input, by
+    construction of the guard."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= cores * min_factor:
+        return df
+    return df.repartition(cores)

@@ -282,11 +282,19 @@ def ann_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash; Lloyd-refined codebooks are recall-gated in
     tests/test_operators.py."""
     from ..operators.similarity import pq_topk_rerank, train_pq_codebooks
+    from ..operators.skew import spread_for_cpu
 
     e = load_table(spark, sf_dir, "embeddings")
     books = train_pq_codebooks(e, m=8, n_codes=16, iters=0)
+    # the embeddings fixture arrives as ONE parquet split — spread the
+    # CPU-bound interpreted assignment across cores (no-op when the
+    # scan already has >= cores splits, i.e. at any real scale)
     return pq_topk_rerank(
-        e, e.filter(F.col("vec_id") < 5), books, k=10, shortlist=50
+        spread_for_cpu(e),
+        e.filter(F.col("vec_id") < 5),
+        books,
+        k=10,
+        shortlist=50,
     )
 
 
