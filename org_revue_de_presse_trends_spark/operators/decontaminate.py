@@ -22,13 +22,10 @@ alongside dedup/ANN (SURVEY §north-star).
 
 from __future__ import annotations
 
-import functools
-
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..functions.text import _rot_col
 
 
 #: tokens per window partition in _ngram_hashes — bounds the work one
@@ -95,11 +92,27 @@ def _ngram_hashes(
         F.array(b0, b0 + F.lit(1)),
     ).otherwise(F.array(b0))
     tok = tok.select(out_id, "p", "h0", F.explode(blks).alias("__blk"))
-    w = Window.partitionBy(out_id, "__blk").orderBy("p")
-    terms = [
-        _rot_col(F.lag("h0", d).over(w), 7 * d) for d in range(n)
-    ]
-    gram = functools.reduce(lambda a, b: a.bitwiseXOR(b), terms)
+    # the n-term lag-rotate-xor fan as ONE parsed SQL expression —
+    # Column-by-Column it costs ~10 py4j round-trips per lag term of
+    # driver plan-build (the plan-build tax, CLAUDE.md).  Catalyst
+    # groups the identical inline OVER specs into a single Window
+    # operator exactly as the shared Window object did; `^`/rotation
+    # text parses to the same tree, so grams stay bit-identical.
+    over = f"OVER (PARTITION BY {out_id}, __blk ORDER BY p)"
+
+    def _rot_sql(x: str, r: int) -> str:
+        r %= 64
+        if r == 0:
+            return x
+        return (
+            f"(shiftrightunsigned({x}, {r}) | shiftleft({x}, {64 - r}))"
+        )
+
+    gram = F.expr(
+        " ^ ".join(
+            _rot_sql(f"lag(h0, {d}) {over}", 7 * d) for d in range(n)
+        )
+    )
     grams = (
         tok.select(out_id, "p", "__blk", gram.alias("h"))
         .filter(
