@@ -40,7 +40,11 @@ PII_RULES: tuple[tuple[str, str, str], ...] = (
     ),
     (
         "phone",
-        r"(\+1[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b",
+        # \b sits before the first digit group (a boundary before the
+        # optional "+1"/"(" would not exist after a space) so the
+        # pattern cannot start mid-digit-run: without it, the tail of
+        # a longer digit string matched, leaving its head unredacted
+        r"(\+1[-. ])?\(?\b[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b",
         "<PHONE>",
     ),
     (

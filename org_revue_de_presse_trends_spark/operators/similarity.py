@@ -181,10 +181,7 @@ def ivf_assign(
         "array("
         + ",".join(
             "named_struct('cell', {c}, 'cv', array({vs}))".format(
-                c=int(r["cid"]),
-                vs=",".join(
-                    repr(float(x)) + "D" for x in r["centroid"]
-                ),
+                c=int(r["cid"]), vs=_dcsv(r["centroid"])
             )
             for r in centroids
         )
@@ -233,18 +230,19 @@ def ivf_topk(
 # ---------------------------------------------------------------------------
 
 
-def _l2sq(a: Column, b: Column) -> Column:
-    """Squared L2 between two (short) array columns."""
-    return F.aggregate(
-        F.zip_with(
-            a,
-            b,
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+def _dcsv(vals) -> str:
+    """Comma-separated SQL double literals (``0.25D,...``) from a
+    Python float sequence — the one shared formatter behind every big
+    literal array here.  ``repr`` gives shortest-round-trip decimals
+    so the parsed doubles are bit-identical; non-finite values would
+    emit unparseable SQL, so they are rejected loudly."""
+    out = []
+    for v in vals:
+        f = float(v)
+        if f != f or f in (float("inf"), float("-inf")):
+            raise ValueError(f"non-finite literal {f!r} in SQL array")
+        out.append(repr(f) + "D")
+    return ",".join(out)
 
 
 def _dlit_array(vals) -> Column:
@@ -253,27 +251,15 @@ def _dlit_array(vals) -> Column:
     Element-wise ``F.array(*[F.lit(x) …])`` costs a py4j round-trip
     per element — for PQ/IVF codebooks (≥1000 literals) that is ~1 s
     of DRIVER-side plan construction per query, dwarfing the actual
-    execution (measured: pq_encode plan build 1.05 s vs run 0.10 s).
-    A single ``F.expr`` string keeps it one round-trip; ``repr`` gives
-    shortest-round-trip decimals so the parsed doubles are
-    bit-identical."""
-    return F.expr(
-        "array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")"
-    )
+    execution (measured: pq_encode plan build 1.05 s vs run 0.10 s)."""
+    return F.expr(f"array({_dcsv(vals)})")
 
 
 def _codebook_sql(codebook: list[list[float]]) -> str:
     """One subspace's codebook as SQL literal text
     array<array<double>> (parsed once — see ``_dlit_array``)."""
-    inner = ",".join(
-        "array(" + ",".join(repr(float(x)) + "D" for x in cv) + ")"
-        for cv in codebook
-    )
+    inner = ",".join(f"array({_dcsv(cv)})" for cv in codebook)
     return f"array({inner})"
-
-
-def _codebook_lit(codebook: list[list[float]]) -> Column:
-    return F.expr(_codebook_sql(codebook))
 
 
 def _nearest_code(sv_name: str, codebook: list[list[float]]) -> Column:

@@ -482,11 +482,12 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH toks AS (
         SELECT source, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
     ),
     g AS (
         SELECT DISTINCT source,
                unnest(list_transform(
-                   range(1, greatest(len(t) - 2, 1) + 1),
+                   range(1, len(t) - 2 + 1),
                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                )) AS shingle
         FROM toks
@@ -521,8 +522,15 @@ def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distinct rows (no second aggregate+join), then a shingle-keyed
     equi-join whose output is bounded by |sources|² rows.  At 100 TB
     the shingle column becomes a 64-bit hash and the DISTINCT the
-    dominant (linear, combinable) shuffle — never an all-pairs scan."""
-    d = load_table(spark, sf_dir, "documents")
+    dominant (linear, combinable) shuffle — never an all-pairs scan.
+
+    Documents shorter than 3 tokens are excluded on BOTH sides (a
+    <k-token doc has no k-gram): with_shingles' whole-text fallback
+    and DuckDB's out-of-range NULL gram would otherwise diverge on a
+    regenerated fixture containing short texts."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(T.tokens(F.col("text"))) >= 3
+    )
     sh = T.with_shingles(d.select("source", "text"), "text", "sh", k=3)
     ex = (
         sh.select("source", F.explode("sh").alias("shingle"))

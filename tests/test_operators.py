@@ -206,8 +206,8 @@ def test_pq_adc_matches_numpy_reconstruction(spark, embeddings_df):
 
 def test_pq_rerank_recall_vs_brute_force(spark, embeddings_df):
     queries = embeddings_df.filter(F.col("vec_id") < 8)
-    exact = brute_force_topk(embeddings_df, queries, k=10)
-    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    exact_rows = brute_force_topk(embeddings_df, queries, k=10).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
     books = train_pq_codebooks(embeddings_df, m=8, n_codes=16, iters=2)
     approx = pq_topk_rerank(
         embeddings_df, queries, books, k=10, shortlist=50
@@ -224,8 +224,7 @@ def test_pq_rerank_recall_vs_brute_force(spark, embeddings_df):
     # re-ranked scores are the EXACT cosines: each shortlisted pair's
     # cos must match the brute-force value where both rank it
     exact_cos = {
-        (r["query_id"], r["neighbor_id"]): r["cos"]
-        for r in exact.collect()
+        (r["query_id"], r["neighbor_id"]): r["cos"] for r in exact_rows
     }
     for r in rows:
         key = (r["query_id"], r["neighbor_id"])

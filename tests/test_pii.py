@@ -61,6 +61,19 @@ def test_pii_classes(spark, text, expected, counts):
         assert row[f"n_{name}"] == counts.get(f"n_{name}", 0), name
 
 
+def test_phone_does_not_match_inside_longer_digit_run(spark):
+    """Without the \\b before the first digit group, the tail of a
+    longer digit string would match and leave its head unredacted."""
+    row = _redact_one(spark, "order id 12345-678-9012 shipped")
+    assert row["n_phone"] == 0
+    assert row["text_redacted"] == "order id 12345-678-9012 shipped"
+    # the anchored shapes still match after the fix
+    for text in ("+1-415-555-0142", "(415) 555-0142", "415.555.0142"):
+        r = _redact_one(spark, f"call {text} now")
+        assert r["n_phone"] == 1, text
+        assert r["text_redacted"] == "call <PHONE> now", text
+
+
 def test_card_not_double_counted_as_phone(spark):
     """A card's digit runs could read like a phone number; the fixed
     order (card before phone) must attribute it to card only."""
