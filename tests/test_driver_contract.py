@@ -96,6 +96,53 @@ def test_fixture_schema_tripwire(table):
     )
 
 
+def test_fixture_content_assumptions_tripwire():
+    """Content-level assumptions several oracles lean on, pinned so a
+    regenerated fixture that breaks one fails HERE with a name instead
+    of as scattered hash mismatches:
+
+    - documents.text is never NULL and has >= 3 whitespace tokens
+      (Spark's size(split(NULL))=-1 vs DuckDB's NULL, and the
+      whole-text shingle fallback vs DuckDB's out-of-range NULL gram,
+      would silently diverge);
+    - embeddings.embedding is never NULL and always 64 elements (PQ
+      slicing, SRP masks and the IVF literal centroids assume the
+      fixed dim);
+    - doc_id / vec_id are unique (tiebreak totality of every top-k).
+    """
+    import duckdb
+
+    con = duckdb.connect()
+    checks = {
+        "documents.text NULL": f"""
+            SELECT count(*) FROM '{SF_ORACLE}/documents.parquet'
+            WHERE text IS NULL""",
+        "documents.text <3 tokens": f"""
+            SELECT count(*) FROM '{SF_ORACLE}/documents.parquet'
+            WHERE len(string_split(text, ' ')) < 3""",
+        "embeddings.embedding NULL or dim<>64": f"""
+            SELECT count(*) FROM '{SF_ORACLE}/embeddings.parquet'
+            WHERE embedding IS NULL OR len(embedding) <> 64""",
+        "documents.doc_id duplicates": f"""
+            SELECT count(*) - count(DISTINCT doc_id)
+            FROM '{SF_ORACLE}/documents.parquet'""",
+        "embeddings.vec_id duplicates": f"""
+            SELECT count(*) - count(DISTINCT vec_id)
+            FROM '{SF_ORACLE}/embeddings.parquet'""",
+    }
+    broken = {
+        name: n
+        for name, sql in checks.items()
+        if (n := con.execute(sql).fetchone()[0]) != 0
+    }
+    assert not broken, (
+        f"DRIVER FIXTURE CONTENT DRIFT: {broken} — audit the queries "
+        f"whose oracle leans on the broken assumption (NULL/short-text "
+        f"handling diverges between Spark and DuckDB) before trusting "
+        f"any other failure this round"
+    )
+
+
 def test_load_table_normalizes_timestamps(spark):
     """Whatever the parquet unit/annotation, plans must see session-tz
     ``timestamp`` (LTZ) — NTZ breaks long casts and withWatermark."""
