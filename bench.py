@@ -38,6 +38,7 @@ HEADLINE = [
     "events_time_rollup",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
+    "dedup_incremental_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_clusters",

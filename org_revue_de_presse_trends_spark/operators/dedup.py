@@ -777,3 +777,115 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """(id, sig) — the PERSISTABLE dedup index for continuous ingest.
+
+    Write this to the lake once per corpus; later batches call
+    ``minhash_lsh_pairs_incremental`` against it and never re-read or
+    re-shingle the historical corpus text — at 100 TB that is the
+    difference between touching 8 KB/doc of text and 512 B/doc of
+    signature.  Same signature function as the batch path, so an index
+    built today remains valid for every future batch (hash seeds are
+    code constants)."""
+    return minhash_signatures(df, text_col, id_col, k, num_perm)
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs for a NEW batch against an existing
+    signature index (plus new×new pairs) — the continuous-ingest form
+    of ``minhash_lsh_pairs``.
+
+    Emits exactly the pairs of the full-batch run that touch at least
+    one new document: new×new and new×index, never index×index (those
+    were emitted when the index rows were themselves the new batch).
+    Returns (id_a, id_b, est_jaccard, a_is_new, b_is_new) with
+    id_a < id_b.
+
+    If a new id already exists in the index (re-ingest), the fresh
+    signature wins (anti-join on id) — the pair set then reflects the
+    updated text.
+
+    Scale shape: identical to the batch path (banded equi-join, ids
+    only through the explode, signatures re-attached after pair
+    dedup), except the expensive text→signature stage runs ONLY over
+    the new batch; the index contributes a 64-long array per doc read
+    straight from the lake."""
+    rows_per_band = num_perm // bands
+    sig_new = minhash_signatures(
+        new_docs, text_col, id_col, k, num_perm
+    ).repartition(F.col("id"))
+    sig_idx = index.select(
+        F.col("id").cast("long").alias("id"), "sig"
+    ).join(sig_new.select("id"), "id", "left_anti")
+    sig_all = sig_new.withColumn("is_new", F.lit(True)).unionByName(
+        sig_idx.withColumn("is_new", F.lit(False))
+    )
+    banded = sig_all.select(
+        "id",
+        "is_new",
+        F.explode(
+            H.lsh_band_keys(F.col("sig"), bands, rows_per_band)
+        ).alias("bk"),
+    ).select(
+        "id", "is_new",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.is_new") | F.col("b.is_new")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.is_new").alias("a_is_new"),
+            F.col("b.is_new").alias("b_is_new"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .join(
+            sig_all.select(
+                F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sig_all.select(
+                F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
+            ),
+            "id_b",
+        )
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("double") / F.lit(float(num_perm))
+    return (
+        cand.select(
+            "id_a", "id_b", est.alias("est_jaccard"),
+            "a_is_new", "b_is_new",
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )

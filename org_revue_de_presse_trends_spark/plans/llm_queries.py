@@ -696,3 +696,20 @@ def doc_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return mixture_plan(docs, alpha=0.5)
+
+
+@query("dedup_incremental_lsh")  # xxhash64 signatures: rows-only (golden)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup (operators/dedup.minhash_index +
+    minhash_lsh_pairs_incremental): even doc_ids play the persisted
+    signature index, odd doc_ids the incoming batch.  Emits exactly
+    the full-batch pairs touching >=1 new doc — pinned against the
+    batch path in tests/test_operators.py — while the expensive
+    text→signature stage runs only over the new batch.  At 100 TB the
+    index side reads 512 B/doc of signatures instead of re-shingling
+    the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    index = D.minhash_index(docs.filter(F.col("doc_id") % 2 == 0))
+    return D.minhash_lsh_pairs_incremental(
+        docs.filter(F.col("doc_id") % 2 == 1), index, threshold=0.35
+    )

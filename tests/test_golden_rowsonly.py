@@ -35,6 +35,9 @@ GOLDEN_SHA256 = {
     "dedup_minhash_lsh": (
         25, "3913a5492b538bffe344901407a76c9061fcb78833be125f9a89d4df3e53f62e"
     ),
+    "dedup_incremental_lsh": (
+        19, "0c3f591990180755153b12a75eec62397b82ae83624b6b4da385e321d4e15f55"
+    ),
     "dedup_simhash": (
         17, "098437abe006f380d7fbd5eefd2381058ec7c029e2b402c83a19c1ff092283e7"
     ),

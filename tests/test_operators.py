@@ -68,6 +68,71 @@ def test_minhash_lsh_finds_planted_dups(spark, near_dup_docs):
     assert 900 not in flat and 901 not in flat
 
 
+def test_incremental_lsh_equals_batch_restricted(
+    spark, near_dup_docs, tmp_path
+):
+    """Incremental pairs (new batch vs a PARQUET-persisted signature
+    index) must equal the full-batch pair set restricted to pairs that
+    touch at least one new doc — and the index side must never pair
+    internally."""
+    from org_revue_de_presse_trends_spark.operators.dedup import (
+        minhash_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    old = near_dup_docs.filter(F.col("doc_id") % 2 == 0)
+    new = near_dup_docs.filter(F.col("doc_id") % 2 == 1)
+    idx_path = str(tmp_path / "minhash_index")
+    minhash_index(old).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    inc = {
+        (r["id_a"], r["id_b"]): (r["a_is_new"], r["b_is_new"])
+        for r in minhash_lsh_pairs_incremental(
+            new, index, threshold=0.3
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(near_dup_docs, threshold=0.3).collect()
+    }
+    new_ids = {r["doc_id"] for r in new.collect()}
+    want = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+    assert set(inc) == want
+    # flags reflect sides, and no index×index pair leaks through
+    for (ia, ib), (a_new, b_new) in inc.items():
+        assert a_new == (ia in new_ids) and b_new == (ib in new_ids)
+        assert a_new or b_new
+    # planted cross-parity pairs (10x, 10x+1) must be found
+    for base in (0, 10, 20):
+        assert (base, base + 1) in inc
+
+
+def test_incremental_lsh_reingest_prefers_fresh_signature(spark):
+    """An id present in BOTH the index and the new batch uses the new
+    batch's text: stale index text must not create pairs."""
+    from org_revue_de_presse_trends_spark.operators.dedup import (
+        minhash_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    words = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"z{i}" for i in range(30))
+    index = minhash_index(
+        spark.createDataFrame(
+            [(1, words), (2, other)], ["doc_id", "text"]
+        )
+    )
+    # doc 1 re-ingested with text now matching doc 2, not its old self
+    new = spark.createDataFrame([(1, other)], ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs_incremental(
+            new, index, threshold=0.5
+        ).collect()
+    }
+    assert pairs == {(1, 2)}
+
+
 def test_minhash_estimate_tracks_exact_jaccard(spark, near_dup_docs):
     exact = {
         (r["id_a"], r["id_b"]): r["jaccard"]
