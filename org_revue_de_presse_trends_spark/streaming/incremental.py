@@ -294,3 +294,71 @@ def split_events_for_interval_join(
         F.col("ts").alias("c_ts"),
     )
     return purchases, clicks
+
+
+def foreach_batch_near_dup_index(
+    index_path: str,
+    pairs_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+):
+    """foreachBatch body for CONTINUOUS near-dup detection: each
+    micro-batch of documents is LSH-paired against the signature index
+    accumulated from every earlier batch (operators/dedup.minhash_index
+    + minhash_lsh_pairs_incremental), the batch's pairs append to
+    ``pairs_path``, and the batch's signatures append to
+    ``index_path``.
+
+    Growth shape: per batch the expensive text→signature stage touches
+    only the batch; the index contributes 512 B/doc of signatures read
+    from the lake.  Replayed batches (restart inside an epoch) are
+    tolerated by the fresh-signature anti-join: re-paired rows re-emit
+    the same pairs, which downstream consumers dedup on (id_a, id_b) —
+    the same at-least-once contract as every foreachBatch sink here.
+
+    Pair output columns: (id_a, id_b, est_jaccard, a_is_new, b_is_new,
+    batch_id).
+    """
+    from ..operators.dedup import minhash_index, minhash_lsh_pairs_incremental
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            index = spark.read.parquet(index_path)
+            have_index = True
+        except Exception:  # first batch: no index yet
+            have_index = False
+        sig = minhash_index(batch_df, text_col=text_col, id_col=id_col)
+        if have_index:
+            pairs = minhash_lsh_pairs_incremental(
+                batch_df,
+                index,
+                text_col=text_col,
+                id_col=id_col,
+                threshold=threshold,
+            )
+        else:
+            from ..operators.dedup import minhash_lsh_pairs
+
+            pairs = minhash_lsh_pairs(
+                batch_df,
+                text_col=text_col,
+                id_col=id_col,
+                threshold=threshold,
+            ).select(
+                "id_a",
+                "id_b",
+                "est_jaccard",
+                F.lit(True).alias("a_is_new"),
+                F.lit(True).alias("b_is_new"),
+            )
+        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(pairs_path)
+        # signatures append AFTER pairs so a crash between the writes
+        # replays the batch against the old index (duplicate pairs,
+        # never missed ones)
+        sig.write.mode("append").parquet(index_path)
+
+    return run

@@ -706,3 +706,58 @@ def test_collapse_to_latest_skips_unorderable_tiebreak_columns(spark):
         "k int, seq int, am array<map<string,int>>, ai array<int>",
     )
     assert collapse_to_latest(df2, ["k"], "seq").count() == 1
+
+
+def test_streaming_near_dup_index_loop_matches_batch(spark, tmp_path):
+    """Continuous near-dup detection: documents stream in chunks, each
+    micro-batch pairs against the signature index accumulated from
+    earlier batches (foreach_batch_near_dup_index).  The union of the
+    per-batch pair outputs must equal the FULL-batch LSH pair set —
+    every pair is emitted exactly by the batch carrying its
+    later-arriving member — and the persisted index must cover every
+    streamed doc."""
+    from org_revue_de_presse_trends_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from org_revue_de_presse_trends_spark.streaming.incremental import (
+        foreach_batch_near_dup_index,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_in")
+    # 3 chunks => first batch self-pairs, later ones pair vs the index
+    for part in range(3):
+        docs.filter(F.col("doc_id") % 3 == part).write.parquet(
+            src, mode="append"
+        )
+    index_path = str(tmp_path / "sig_index")
+    pairs_path = str(tmp_path / "pairs_out")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_near_dup_index(
+                index_path, pairs_path, threshold=0.35
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.35).collect()
+    }
+    assert got == want
+    # index covers every doc exactly once
+    idx = spark.read.parquet(index_path)
+    assert idx.count() == docs.count()
+    assert idx.select("id").distinct().count() == docs.count()
