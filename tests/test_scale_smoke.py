@@ -209,3 +209,71 @@ def test_band_interval_join_scales_linearly_10x(spark):
     s_ratio = results[200_000][1] / max(results[20_000][1], 1)
     assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× rows"
     assert s_ratio < 30, f"shuffle grew {s_ratio:.1f}× for 10× rows"
+
+
+def test_incremental_lsh_cost_tracks_batch_not_index(spark):
+    """The continuous-ingest claim, measured: with a FIXED new batch,
+    growing the signature index 10× must grow runtime and shuffle far
+    less than the full-batch rerun it replaces (which reprocesses all
+    text).  Bound is generous (<5×) for host noise; the point is it
+    cannot be ~10×."""
+    from org_revue_de_presse_trends_spark.operators.dedup import (
+        minhash_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    mc = MetricsCollector(spark)
+    batch = _synthetic_docs(spark, 200).filter(F.col("doc_id") < 200)
+    results = {}
+    for n_index in (1_000, 10_000):
+        # index ids offset so they never collide with the batch
+        index = minhash_index(
+            _synthetic_docs(spark, n_index + 1_000)
+            .filter(F.col("doc_id") >= 1_000)
+        ).localCheckpoint()  # persisted artifact stand-in
+        pairs = minhash_lsh_pairs_incremental(batch, index, threshold=0.9)
+        t0 = _time.perf_counter()
+        _, qm = mc.measure(
+            f"inc_lsh_{n_index}", pairs, action=lambda d: d.count()
+        )
+        results[n_index] = (
+            _time.perf_counter() - t0,
+            qm.shuffle_bytes_written,
+        )
+    t_ratio = results[10_000][0] / results[1_000][0]
+    assert t_ratio < 5, (
+        f"runtime grew {t_ratio:.1f}× for 10× index with a fixed batch"
+    )
+
+
+def test_pq_encode_scales_linearly_10x(spark):
+    """PQ encode is a pure map stage: 10× vectors must cost <30× wall
+    and produce ZERO shuffle at any size."""
+    from org_revue_de_presse_trends_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    mc = MetricsCollector(spark)
+    dim = 16
+    small = _synthetic_embeddings(spark, 2_000, dim)
+    books = train_pq_codebooks(
+        small, m=4, n_codes=16, iters=0, dim=dim
+    )
+    results = {}
+    for n in (2_000, 20_000):
+        enc = pq_encode(_synthetic_embeddings(spark, n, dim), books)
+        t0 = _time.perf_counter()
+        # noop writer: a count() would add its own final-aggregate
+        # exchange and mask the zero-shuffle claim
+        _, qm = mc.measure(
+            f"pq_enc_{n}",
+            enc,
+            action=lambda d: d.write.format("noop").mode(
+                "overwrite"
+            ).save(),
+        )
+        results[n] = (_time.perf_counter() - t0, qm.shuffle_bytes_written)
+        assert qm.shuffle_bytes_written == 0, "encode must not shuffle"
+    t_ratio = results[20_000][0] / results[2_000][0]
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× vectors"
