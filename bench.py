@@ -61,6 +61,7 @@ HEADLINE = [
     "doc_weighted_sample",
     "doc_pii_redaction",
     "source_ngram_overlap",
+    "doc_unigram_surprisal",
 ]
 
 

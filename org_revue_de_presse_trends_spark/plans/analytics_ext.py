@@ -565,3 +565,88 @@ def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
         ).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram surprisal (perplexity-proxy quality filtering, CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_unigram_surprisal",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM toks),
+    lm AS (
+        SELECT tok,
+               CAST(ROUND(
+                   -ln(CAST(COUNT(*) AS DOUBLE)
+                       / (SELECT n_total FROM tot)) * 1000000.0
+               ) AS BIGINT) AS s_scaled
+        FROM toks GROUP BY tok
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(ROUND(
+               CAST(SUM(lm.s_scaled) AS DOUBLE) / COUNT(*) / 1000000.0,
+               6
+           ) AS DOUBLE) AS mean_surprisal
+    FROM toks t JOIN lm ON lm.tok = t.tok
+    GROUP BY t.doc_id
+    """,
+)
+def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram surprisal (-ln p(token) averaged over
+    tokens), the perplexity-proxy quality signal CCNet-style pipelines
+    filter on (Wenzek et al. 2020 use a wikipedia LM; this self-trains
+    the unigram model on the corpus itself) — documents of improbable
+    tokens score high, repetitive/common-token documents low.
+
+    Cross-engine determinism: ln() may differ between the JVM and
+    libm in the last ulp and double summation is order-dependent, so
+    each token's surprisal is rounded to 6 decimals AND scaled to an
+    integer BEFORE the per-doc sum — longs add associatively in any
+    engine — then the mean is rounded once more after the divide (the
+    weighted-sample pow() discipline, CLAUDE.md).
+
+    Scale shape: one token-count aggregation (map-side combined), the
+    LM broadcast back onto the exploded tokens (a unigram vocab is
+    ≤ millions of rows — broadcastable by construction), one per-doc
+    aggregation.  No self-joins, no windows over the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    lm = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            F.round(
+                -F.log(
+                    F.col("c").cast("double")
+                    / F.col("n_total").cast("double")
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("s_scaled"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(lm), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("s_scaled").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0),
+                6,
+            ).alias("mean_surprisal"),
+        )
+        .select("doc_id", "n_tokens", "mean_surprisal")
+    )

@@ -224,7 +224,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "orders_nearby_count", "doc_duplicate_spans",
         "token_bigram_pmi", "events_daily_dense",
         "doc_weighted_sample", "doc_pii_redaction",
-        "source_ngram_overlap",
+        "source_ngram_overlap", "doc_unigram_surprisal",
     ], f"unexpected overflow oracled set: {overflow}"
 
 
