@@ -62,6 +62,7 @@ HEADLINE = [
     "doc_pii_redaction",
     "source_ngram_overlap",
     "doc_unigram_surprisal",
+    "doc_split_counts",
 ]
 
 

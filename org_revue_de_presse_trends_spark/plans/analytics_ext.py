@@ -650,3 +650,43 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tokens", "mean_surprisal")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (training-data last mile)
+# ---------------------------------------------------------------------------
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_oracle_sql() -> str:
+    from ..operators.splits import split_case_sql
+
+    case = split_case_sql(_SPLIT_WEIGHTS, "doc_id", seed=7)
+    return f"""
+    SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM (SELECT lang, {case} AS split FROM documents)
+    GROUP BY lang, split
+    """
+
+
+@query("doc_split_counts", _split_oracle_sql())
+def doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, split) counts of the deterministic 80/10/10
+    train/val/test assignment (operators/splits.assign_split): the
+    hash-coin boundary CASE is reproduced textually in the DuckDB
+    oracle (the doc_weighted_sample Knuth-hash construction), so the
+    driver verifies the exact membership function — a document can
+    never silently migrate between splits across engines or reruns.
+
+    Scale: one per-row CASE + one grouped count; no shuffle beyond the
+    tiny (lang × split) aggregation."""
+    from ..operators.splits import assign_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        assign_split(d, _SPLIT_WEIGHTS, seed=7)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
