@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..functions import hashing as H
 from ..functions import text as T
 from ..functions import vectors as V
+from .skew import spread_for_cpu
 
 
 def dedup_exact(
@@ -201,8 +202,18 @@ def minhash_signatures(
         f"array_min(transform(sh, h -> xxhash64(h, {i})))"
         for i in range(num_perm)
     )
+    # spread_for_cpu: a small corpus file arrives as ONE split and the
+    # per-row HOF fan below would run single-threaded in the scan
+    # stage (A/B best-of-3 at sf0.1: 2.03 s -> 1.62 s warm); no-op
+    # whenever the scan already has >= cores splits.  MEASURED
+    # per-operator and kept ONLY here: the explode+groupBy pipelines
+    # (simhash 1.00->1.34, SRP 1.90->2.04, ngram-jaccard 1.37->1.93,
+    # winnow ~wash) already parallelize through their aggregation
+    # shuffle, and the extra exchange costs more than it frees
     base = T.with_shingle_hashes(
-        df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col)),
+        spread_for_cpu(df).select(
+            F.col(id_col).cast("long").alias("id"), F.col(text_col)
+        ),
         text_col, "sh", k,
     ).select("id", "sh")
     return base.select("id", F.expr(f"array({perms})").alias("sig"))
