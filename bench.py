@@ -63,6 +63,7 @@ HEADLINE = [
     "source_ngram_overlap",
     "doc_unigram_surprisal",
     "doc_split_counts",
+    "doc_semantic_dedup",
 ]
 
 

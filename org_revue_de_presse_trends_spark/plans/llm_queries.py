@@ -17,6 +17,7 @@ from ..catalog import load_table
 from ..functions import text as T
 from ..functions import vectors as V
 from ..operators import dedup as D
+from ..operators import semdedup as SD
 from ..operators import similarity as S
 from .registry import query
 
@@ -712,4 +713,21 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = D.minhash_index(docs.filter(F.col("doc_id") % 2 == 0))
     return D.minhash_lsh_pairs_incremental(
         docs.filter(F.col("doc_id") % 2 == 1), index, threshold=0.35
+    )
+
+
+@query("doc_semantic_dedup")  # kmeans centroids: rows-only (golden)
+def doc_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (operators/semdedup.py, Abbas et al.
+    2023): k-means cells → intra-cell cosine pairs → keep the
+    least-centroid-similar member per duplicate cluster.  Iterative
+    k-means has no DuckDB oracle; pinned by the sf0.01 golden hash +
+    planted/property tests in tests/test_semdedup.py.  cent_cos is
+    rounded to 6dp so the golden hash is robust to last-ulp float
+    aggregation noise in the centroid means."""
+    e = load_table(spark, sf_dir, "embeddings")
+    out = SD.semantic_dedup(e, n_cells=8, threshold=0.4)
+    return out.select(
+        "id", "cell", "cluster",
+        F.round(F.col("cent_cos"), 6).alias("cent_cos"), "keep",
     )

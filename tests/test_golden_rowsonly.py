@@ -68,6 +68,9 @@ GOLDEN_SHA256 = {
     "doc_domain_mixture": (
         20, "e4e3b36eb6e9619babefbdf62c27e0de3299aaac43bdf9617deb2a0b1c2a14a3"
     ),
+    "doc_semantic_dedup": (
+        500, "aefa73df057b0219794d097c34f5e3d40c2138470a5b5049b92de29602f284f1"
+    ),
 }
 
 
