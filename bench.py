@@ -64,6 +64,7 @@ HEADLINE = [
     "doc_unigram_surprisal",
     "doc_split_counts",
     "doc_semantic_dedup",
+    "doc_dsir_importance",
 ]
 
 

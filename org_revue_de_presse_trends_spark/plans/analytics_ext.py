@@ -690,3 +690,72 @@ def doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (data selection, Xie et al. NeurIPS 2023)
+# ---------------------------------------------------------------------------
+
+_HEX_DECODE = """
+    list_aggregate(list_transform(range(1, 7),
+        i -> (strpos('0123456789abcdef',
+                     substr(md5(feature), CAST(i AS INTEGER), 1)) - 1)
+             * CAST(16 ** (6 - i) AS BIGINT)), 'sum')
+"""
+
+
+@query(
+    "doc_dsir_importance",
+    f"""
+    WITH feats AS (
+        SELECT doc_id, lang = 'en' AS is_tgt,
+               unnest(list_concat(toks,
+                   list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+               )) AS feature
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+              FROM documents)
+    ),
+    fb AS (
+        SELECT doc_id, is_tgt, ({_HEX_DECODE}) % 1024 AS bucket
+        FROM feats
+    ),
+    counts AS (
+        SELECT bucket, COUNT(*) AS c_raw,
+               SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS c_tgt
+        FROM fb GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt FROM counts),
+    lm AS (
+        SELECT bucket,
+               CAST(ROUND((
+                   ln(CAST(c_tgt + 1 AS DOUBLE)
+                      / CAST((SELECT n_tgt FROM tot) + 1024 AS DOUBLE))
+                 - ln(CAST(c_raw + 1 AS DOUBLE)
+                      / CAST((SELECT n_raw FROM tot) + 1024 AS DOUBLE))
+               ) * 1000000.0) AS BIGINT) AS r_scaled
+        FROM counts
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_features,
+           CAST(ROUND(CAST(SUM(lm.r_scaled) AS DOUBLE) / COUNT(*)
+                      / 1000000.0, 6) AS DOUBLE) AS log_importance
+    FROM fb f JOIN lm USING (bucket)
+    GROUP BY f.doc_id
+    """,
+)
+def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed n-gram importance weights (operators/dsir.py, Xie
+    et al. NeurIPS 2023): per-document mean log p̂_target/q̂_raw over
+    hashed unigram+bigram features, target = lang='en' documents.
+    The md5-prefix bucket hash and the scaled-long log-ratio sum are
+    reproduced exactly in the DuckDB oracle (hex decode via strpos
+    arithmetic — DuckDB has no conv()).
+
+    Scale: two ≤1024-row bucket aggregations, the log-ratio table
+    broadcast onto the feature stream, one per-doc agg — no
+    self-joins, no windows (operators/dsir.py docstring)."""
+    from ..operators.dsir import importance_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    return importance_weights(d, F.col("lang") == "en")
