@@ -65,6 +65,7 @@ HEADLINE = [
     "doc_split_counts",
     "doc_semantic_dedup",
     "doc_dsir_importance",
+    "doc_gopher_rules",
 ]
 
 

@@ -759,3 +759,87 @@ def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return importance_weights(d, F.col("lang") == "en")
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule-set quality filter (Rae et al. 2021, §A1.1)
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_gopher_rules",
+    """
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(ROUND(CAST(wchars AS DOUBLE) / n_words, 6) AS DOUBLE)
+             AS mean_word_len,
+           n_words BETWEEN 20 AND 1000 AS r_word_count,
+           wchars >= 3 * n_words AND wchars <= 10 * n_words AS r_word_len,
+           stop_cnt >= 2 AS r_stopwords,
+           alpha_cnt * 5 >= n_words * 4 AS r_alpha_words,
+           stop_cnt * 10 <= n_words * 3 AS r_stop_frac,
+           (n_words BETWEEN 20 AND 1000)
+             AND wchars >= 3 * n_words AND wchars <= 10 * n_words
+             AND stop_cnt >= 2
+             AND alpha_cnt * 5 >= n_words * 4
+             AND stop_cnt * 10 <= n_words * 3 AS pass_gopher
+    FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               length(text) - (len(string_split(text, ' ')) - 1) AS wchars,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the','a','of','and','to'))) AS stop_cnt,
+               len(list_filter(string_split(text, ' '),
+                   x -> regexp_full_match(x, '[A-Za-z]+'))) AS alpha_cnt
+        FROM documents
+    )
+    """,
+)
+def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.1 quality rule set (Rae et al. 2021 — the canonical
+    pre-training cleaning heuristics) as per-document booleans + the
+    conjunction: word-count bounds [20, 1000], mean word length
+    [3, 10], ≥2 stop words, ≥80% alphabetic words, ≤30% stop-word
+    fraction.  Every bound is an INTEGER cross-multiplied comparison
+    (wchars ≥ 3·n_words, alpha·5 ≥ n·4 …) so no float ever decides a
+    flag — engines cannot diverge.  mean_word_len reuses the
+    single-space identity chars_in_words = length(text) − (n−1) (the
+    doc_quality_scores trick).  Pure per-row projection — zero
+    shuffle, scan-wide codegen."""
+    return gopher_rule_flags(load_table(spark, sf_dir, "documents"))
+
+
+def gopher_rule_flags(d: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rule computation behind q:doc_gopher_rules — factored out so
+    planted-edge tests can drive it on constructed frames."""
+    toks = T.tokens(F.col(text_col))
+    staged = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        (F.length(text_col) - (F.size(toks) - 1)).cast("long").alias("wchars"),
+        F.size(
+            F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "to"))
+        ).cast("long").alias("stop_cnt"),
+        F.size(
+            F.filter(toks, lambda x: x.rlike("^[A-Za-z]+$"))
+        ).cast("long").alias("alpha_cnt"),
+    )
+    r_wc = F.col("n_words").between(20, 1000)
+    r_wl = (F.col("wchars") >= 3 * F.col("n_words")) & (
+        F.col("wchars") <= 10 * F.col("n_words")
+    )
+    r_stop = F.col("stop_cnt") >= 2
+    r_alpha = F.col("alpha_cnt") * 5 >= F.col("n_words") * 4
+    r_sfrac = F.col("stop_cnt") * 10 <= F.col("n_words") * 3
+    return staged.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("wchars").cast("double") / F.col("n_words"), 6).alias(
+            "mean_word_len"
+        ),
+        r_wc.alias("r_word_count"),
+        r_wl.alias("r_word_len"),
+        r_stop.alias("r_stopwords"),
+        r_alpha.alias("r_alpha_words"),
+        r_sfrac.alias("r_stop_frac"),
+        (r_wc & r_wl & r_stop & r_alpha & r_sfrac).alias("pass_gopher"),
+    )

@@ -225,7 +225,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "token_bigram_pmi", "events_daily_dense",
         "doc_weighted_sample", "doc_pii_redaction",
         "source_ngram_overlap", "doc_unigram_surprisal",
-        "doc_split_counts", "doc_dsir_importance",
+        "doc_split_counts", "doc_dsir_importance", "doc_gopher_rules",
     ], f"unexpected overflow oracled set: {overflow}"
 
 
