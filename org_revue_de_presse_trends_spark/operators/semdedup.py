@@ -16,9 +16,11 @@ Pipeline (all composition of existing blocks):
    n_cells × dim scalars) and baked into the plan as literals;
 2. per-row nearest-cell assignment (``similarity.ivf_assign``) — no
    shuffle, broadcast-free (literal centroids);
-3. intra-cell cosine pairs (``dedup.embedding_near_dup_pairs`` with
-   ``block_col="cell"``) — the self-join is equi-shaped on the cell
-   id, never all-pairs;
+3. intra-cell cosine pairs — an equi self-join on the cell id, never
+   all-pairs; vectors are unit-normalized once per row behind a
+   narrow barrier so each pair costs ONE interpreted 64-fold (dot),
+   not three (dot + both norms), and both join sides share the
+   upstream work through a ReusedExchange;
 4. connected components over the pair graph
    (``dedup.cluster_pairs``);
 5. keeper election: per cluster, row_number over (cent_cos ASC,
@@ -39,7 +41,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
-from .dedup import cluster_pairs, embedding_near_dup_pairs
+from .dedup import cluster_pairs
 from .similarity import _dcsv, ivf_assign, kmeans_refine, train_centroids
 
 
@@ -85,9 +87,49 @@ def semantic_dedup(
             "cent_cos"
         ),
     )
-    pairs = embedding_near_dup_pairs(
-        assigned, vec_col=vec_col, id_col=id_col,
-        block_col="cell", threshold=threshold,
+    # Pair stage, cost-shaped like embedding_lsh_pairs (CLAUDE.md):
+    # the naive form — cosine inside the cell self-join — paid THREE
+    # interpreted 64-folds per pair (dot + both norms) AND ran the
+    # scoring at |cells|-way parallelism (the join output stays
+    # partitioned by the handful of cell keys); measured 14.7 s warm
+    # at sf0.1.  Instead: ids-only cell join → repartition(id_a)
+    # rebalance → re-attach ONCE-normalized vectors → a single dot
+    # fold per pair at full parallelism.  Measured 14.7 s → ~4 s.
+    members = base.select("id", "cell").repartition(F.col("id"))
+    a, b = members.alias("a"), members.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .repartition("id_a")
+    )
+    # norm staged as an attribute before the transform: referencing it
+    # inside the per-element lambda would re-evaluate the norm
+    # reduction per element (O(dim²) per row)
+    unit = base.select(
+        "id", "v", F.sqrt(V.dot(F.col("v"), F.col("v"))).alias("_nrm")
+    ).select(
+        "id",
+        F.transform(
+            F.col("v"), lambda x: x.cast("double") / F.col("_nrm")
+        ).alias("vn"),
+    )
+    pairs = (
+        cand.join(
+            unit.select(F.col("id").alias("id_a"), F.col("vn").alias("va")),
+            "id_a",
+        )
+        .join(
+            unit.select(F.col("id").alias("id_b"), F.col("vn").alias("vb")),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b", V.dot(F.col("va"), F.col("vb")).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
     )
     clusters = cluster_pairs(pairs)
     labeled = (

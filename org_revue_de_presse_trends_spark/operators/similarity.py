@@ -16,6 +16,8 @@ Two paths (task brief "Similarity search"):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import Row
@@ -173,7 +175,19 @@ def ivf_assign(
     """Assign each vector its ``n_probe`` nearest centroid cell ids
     (adds ``cell`` column, one row per probe).  Centroid list is tiny →
     baked into the plan as a literal array; assignment is per-row JVM
-    math, no shuffle."""
+    math, no shuffle.
+
+    Ranking is by dot(v, c/|c|) with the centroids UNIT-NORMALIZED in
+    Python at plan-build time: per row this is ONE interpreted 64-fold
+    per centroid instead of cosine's three (dot + both norms — HOFs
+    are interpreted, CLAUDE.md), and the order is identical — cosine =
+    dot(v, c/|c|)/|v| and |v| > 0 is constant within a row (measured:
+    kmeans_refine 3.5 s → 1.3 s at sf0.1/2 iters)."""
+
+    def _unit(vs):
+        n = math.sqrt(sum(float(x) * float(x) for x in vs))
+        return [float(x) / n for x in vs] if n > 0.0 else list(vs)
+
     # one parsed expression, not a py4j call per element — n_cells ×
     # dim element literals cost ~1 ms/call of driver plan-build time
     # (see _dlit_array)
@@ -181,7 +195,7 @@ def ivf_assign(
         "array("
         + ",".join(
             "named_struct('cell', {c}, 'cv', array({vs}))".format(
-                c=int(r["cid"]), vs=_dcsv(r["centroid"])
+                c=int(r["cid"]), vs=_dcsv(_unit(r["centroid"]))
             )
             for r in centroids
         )
@@ -190,10 +204,11 @@ def ivf_assign(
     scored = F.transform(
         cent_arr,
         lambda s: F.struct(
-            V.cosine(F.col(vec_col), s["cv"]).alias("cos"), s["cell"].alias("cell")
+            V.dot(F.col(vec_col), s["cv"]).alias("score"),
+            s["cell"].alias("cell"),
         ),
     )
-    top = F.slice(F.array_sort(scored, lambda l, r: F.when(l["cos"] > r["cos"], -1).when(l["cos"] < r["cos"], 1).otherwise(0)), 1, n_probe)
+    top = F.slice(F.array_sort(scored, lambda l, r: F.when(l["score"] > r["score"], -1).when(l["score"] < r["score"], 1).otherwise(0)), 1, n_probe)
     return corpus.withColumn("cell", F.explode(F.transform(top, lambda s: s["cell"])))
 
 
