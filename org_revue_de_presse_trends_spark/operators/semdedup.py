@@ -16,11 +16,10 @@ Pipeline (all composition of existing blocks):
    n_cells × dim scalars) and baked into the plan as literals;
 2. per-row nearest-cell assignment (``similarity.ivf_assign``) — no
    shuffle, broadcast-free (literal centroids);
-3. intra-cell cosine pairs — an equi self-join on the cell id, never
-   all-pairs; vectors are unit-normalized once per row behind a
-   narrow barrier so each pair costs ONE interpreted 64-fold (dot),
-   not three (dot + both norms), and both join sides share the
-   upstream work through a ReusedExchange;
+3. intra-cell cosine pairs — an ids-only equi self-join on the cell
+   id (never all-pairs; sides share one exchange), rebalanced by
+   id_a, then once-per-row unit-normalized vectors re-attached so
+   each pair costs ONE interpreted 64-fold (dot), not three;
 4. connected components over the pair graph
    (``dedup.cluster_pairs``);
 5. keeper election: per cluster, row_number over (cent_cos ASC,
@@ -94,7 +93,10 @@ def semantic_dedup(
     # partitioned by the handful of cell keys); measured 14.7 s warm
     # at sf0.1.  Instead: ids-only cell join → repartition(id_a)
     # rebalance → re-attach ONCE-normalized vectors → a single dot
-    # fold per pair at full parallelism.  Measured 14.7 s → ~4 s.
+    # fold per pair at full parallelism.  With the dot-rank
+    # ivf_assign this took the query 14.7 s → 5.1 s warm at sf0.1
+    # (what remains is the iterative phases' driver sync, not pair
+    # work — exec after plan build measures 0.8 s).
     members = base.select("id", "cell").repartition(F.col("id"))
     a, b = members.alias("a"), members.alias("b")
     cand = (

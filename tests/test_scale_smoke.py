@@ -277,3 +277,31 @@ def test_pq_encode_scales_linearly_10x(spark):
         assert qm.shuffle_bytes_written == 0, "encode must not shuffle"
     t_ratio = results[20_000][0] / results[2_000][0]
     assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× vectors"
+
+
+def test_semantic_dedup_scales_linearly_10x(spark):
+    """SemDeDup with n_cells ∝ corpus (the documented 100 TB knob:
+    fixed expected cell occupancy ⇒ Σ|cell|² grows linearly): runtime
+    and shuffle bytes must stay sub-quadratic for 10× vectors.  The
+    iterative phases (k-means collects, CC rounds) contribute a fixed
+    per-run driver-sync cost, so the wall ratio sits well under the
+    pair-work bound."""
+    from org_revue_de_presse_trends_spark.operators.semdedup import (
+        semantic_dedup,
+    )
+
+    mc = MetricsCollector(spark)
+    dim, results = 16, {}
+    for n in (2_000, 20_000):
+        out = semantic_dedup(
+            _synthetic_embeddings(spark, n, dim),
+            n_cells=max(8, n // 250), threshold=0.95,
+            kmeans_iters=1, dim=dim,
+        )
+        t0 = _time.perf_counter()
+        _, qm = mc.measure(f"semdedup_{n}", out, action=lambda d: d.count())
+        results[n] = (_time.perf_counter() - t0, qm.shuffle_bytes_written)
+    t_ratio = results[20_000][0] / results[2_000][0]
+    s_ratio = results[20_000][1] / max(results[2_000][1], 1)
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× vectors"
+    assert s_ratio < 30, f"shuffle grew {s_ratio:.1f}× for 10× vectors"
