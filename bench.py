@@ -66,6 +66,7 @@ HEADLINE = [
     "doc_semantic_dedup",
     "doc_dsir_importance",
     "doc_gopher_rules",
+    "split_leakage_counts",
 ]
 
 

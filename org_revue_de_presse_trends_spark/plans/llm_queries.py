@@ -731,3 +731,76 @@ def doc_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", "cell", "cluster",
         F.round(F.col("cent_cos"), 6).alias("cent_cos"), "keep",
     )
+
+
+def _leakage_oracle_sql() -> str:
+    from ..operators.splits import split_case_sql
+
+    case = split_case_sql({"train": 0.8, "val": 0.1, "test": 0.1},
+                          "doc_id", seed=7)
+    return f"""
+    WITH {_SHINGLE_PAIRS_CTES},
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        WHERE CAST(n_inter AS DOUBLE)
+              / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.1
+    ),
+    sp AS (SELECT doc_id AS id, {case} AS split FROM documents)
+    SELECT least(sa.split, sb.split) AS split_lo,
+           greatest(sa.split, sb.split) AS split_hi,
+           least(sa.split, sb.split) <> greatest(sa.split, sb.split)
+             AS is_leak,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    JOIN sp sa ON sa.id = pairs.id_a
+    JOIN sp sb ON sb.id = pairs.id_b
+    GROUP BY 1, 2, 3
+    """
+
+
+@query("split_leakage_counts", _leakage_oracle_sql())
+def split_leakage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test LEAKAGE AUDIT: near-duplicate document pairs
+    (3-gram Jaccard ≥ 0.1, the oracled dedup_ngram_jaccard candidate
+    set) bucketed by the split pair they straddle under the production
+    80/10/10 hash split (doc_split_counts' exact assignment, seed 7).
+    Rows with is_leak=true are evaluation contamination — the check a
+    pipeline must run BEFORE shipping a split (deduplicate-then-split,
+    or re-assign by near-dup cluster rather than by document).
+
+    Scale: the pair set is the capped shingle equi-join (already
+    linear by the stop-shingle df cap); split assignment is a per-row
+    hash coin broadcast-free on both probe sides; output is bounded at
+    |splits|² rows."""
+    from ..operators.splits import assign_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.shingle_pairs_jaccard(
+        docs, block_cols=["source"], k=3, threshold=0.1
+    ).select("id_a", "id_b")
+    sp = assign_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+    ).select(F.col("doc_id").cast("long").alias("id"), "split")
+    joined = (
+        pairs.join(
+            sp.select(F.col("id").alias("id_a"), F.col("split").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sp.select(F.col("id").alias("id_b"), F.col("split").alias("sb")),
+            "id_b",
+        )
+    )
+    lo = F.least(F.col("sa"), F.col("sb"))
+    hi = F.greatest(F.col("sa"), F.col("sb"))
+    return (
+        joined.select(lo.alias("split_lo"), hi.alias("split_hi"))
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "split_lo",
+            "split_hi",
+            (F.col("split_lo") != F.col("split_hi")).alias("is_leak"),
+            "n_pairs",
+        )
+    )

@@ -221,8 +221,8 @@ def test_driver_window_is_pinned_and_fully_oracled():
     # visible set — they get the in-repo gate only
     overflow = [n for n in oracles if n not in window]
     assert overflow == [
-        "orders_nearby_count", "doc_duplicate_spans",
-        "token_bigram_pmi", "events_daily_dense",
+        "split_leakage_counts", "orders_nearby_count",
+        "doc_duplicate_spans", "token_bigram_pmi", "events_daily_dense",
         "doc_weighted_sample", "doc_pii_redaction",
         "source_ngram_overlap", "doc_unigram_surprisal",
         "doc_split_counts", "doc_dsir_importance", "doc_gopher_rules",
