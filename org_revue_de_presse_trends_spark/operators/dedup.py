@@ -45,32 +45,33 @@ def dedup_exact(
     )
 
 
-def shingle_pairs_jaccard(
+def shingle_pair_counts(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     block_cols: list[str] | None = None,
     k: int = 3,
-    threshold: float = 0.5,
     max_shingle_df: int | None = 1000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs within blocking groups.
+    """Shared candidate-pair machinery for the exact set-similarity
+    family: (id_a, id_b, n_a, n_b, n_inter) with id_a < id_b over the
+    distinct-k-shingle representation, stop-shingles df-capped before
+    the self-join.  ``shingle_pairs_jaccard`` / ``shingle_pairs_overlap``
+    are measures over this one pair stream.
 
     Explode distinct k-shingles, equi-join on (block, shingle) to count
-    intersections, then |A∩B| / (|A| + |B| - |A∩B|).  The blocking
-    columns bound the candidate set; at 100 TB use an LSH band key as
-    the block (see ``minhash_lsh_pairs``) — the join stays equi-shaped
-    either way.
+    intersections.  The blocking columns bound the candidate set; at
+    100 TB use an LSH band key as the block (see ``minhash_lsh_pairs``)
+    — the join stays equi-shaped either way.
 
     ``max_shingle_df`` (default on) drops stop-shingles — shingles whose
     document frequency within a block exceeds the cap — from the
     representation BEFORE the self-join: a shingle present in 10⁴ docs
     of one block would otherwise emit ~10⁸/2 candidate rows on its own.
-    Jaccard is then computed over the filtered shingle sets (both the
+    Similarity is then computed over the filtered shingle sets (both the
     intersection and the set sizes exclude capped shingles), keeping it
-    a true Jaccard of the stop-filtered representation.  Pass ``None``
+    a true measure of the stop-filtered representation.  Pass ``None``
     to disable.
-    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     block_cols = block_cols or []
     staged = T.with_shingles(
@@ -115,11 +116,29 @@ def shingle_pairs_jaccard(
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
+    return (
         inter.join(sizes.select(F.col("id").alias("id_a"),
                                 F.col("n_sh").alias("n_a")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"),
                            F.col("n_sh").alias("n_b")), "id_b")
+    )
+
+
+def shingle_pairs_jaccard(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: list[str] | None = None,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs within blocking groups:
+    |A∩B| / (|A| + |B| - |A∩B|) over ``shingle_pair_counts``.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    inter = shingle_pair_counts(
+        df, text_col, id_col, block_cols, k, max_shingle_df
     )
     return inter.select(
         "id_a",
@@ -129,6 +148,39 @@ def shingle_pairs_jaccard(
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+
+
+def shingle_pairs_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: list[str] | None = None,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Overlap-coefficient (containment) near-dup pairs:
+    |A∩B| / min(|A|, |B|) over the same ``shingle_pair_counts`` stream.
+
+    Asymmetric-duplication detector: a short document wholly contained
+    in a longer one scores 1.0 here but low Jaccard — the measure used
+    for sub-document / quote dedup (Broder's containment, "On the
+    resemblance and containment of documents", SEQUENCES'97 — public
+    algorithm).  Integer-over-integer double division: cross-engine
+    exact, no rounding needed.
+    Returns (id_a, id_b, overlap) with id_a < id_b, overlap >= threshold.
+    """
+    inter = shingle_pair_counts(
+        df, text_col, id_col, block_cols, k, max_shingle_df
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("n_inter").cast("double")
+            / F.least(F.col("n_a"), F.col("n_b")).cast("double")
+        ).alias("overlap"),
+    ).filter(F.col("overlap") >= threshold)
 
 
 def winnow_candidate_pairs(

@@ -4,5 +4,6 @@ from . import (  # noqa: F401  (register on import)
     driver_queries_ext,
     llm_queries,
     trends,
-    analytics_ext,  # registers LAST: stays past the driver's 50-slot window
+    analytics_ext,  # registers past the driver's 50-slot window
+    analytics_tpch,  # registers LAST: also past the window
 )

@@ -1,0 +1,381 @@
+"""Third extension wave (round 5, cont.): classic TPC-H query shapes
+q9/q14/q16/q19/q22 adapted to the fixture schema (no partsupp table —
+cost terms use p_retailprice), plus two document-pipeline measures
+(overlap-coefficient containment pairs, per-doc token entropy).
+
+These register AFTER analytics_ext, so they sit past the driver's
+50-slot evaluation window; their hash gate is the in-repo contract
+test (tests/test_driver_contract.py), which runs every registered
+query against its DuckDB oracle at sf0.01 — the same comparison the
+driver performs.
+
+Cross-engine invariants observed (CLAUDE.md): decimal-exact sums
+rounded before the double cast, ratios as IEEE ops over identically
+derived doubles, ln() terms rounded to 6dp and scaled to longs BEFORE
+the per-group sum, count-typed columns BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup as D
+from ..operators.antijoin import anti_join
+from .driver_queries import REVENUE
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# TPC-H q9 shape: multi-way star join + derived profit per nation/year
+# ---------------------------------------------------------------------------
+
+#: decimal-exact profit term shared by plan and oracle (no partsupp in
+#: the fixtures: supply cost proxied as 10% of retail price per unit)
+PROFIT = (
+    f"{REVENUE} - CAST(p_retailprice AS DECIMAL(18,6))"
+    " * CAST(l_quantity AS DECIMAL(18,6)) * CAST(0.1 AS DECIMAL(18,6))"
+)
+
+
+@query(
+    "q9_profit_by_nation_year",
+    f"""
+    SELECT n_name, CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(ROUND(SUM({PROFIT}), 3) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_type = 'STANDARD'
+    GROUP BY n_name, ship_year
+    """,
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): lineitem joins two
+    broadcast dims (filtered part, supplier⋈nation), then one grouped
+    aggregate.  Only lineitem shuffles; the p_type filter prunes the
+    part side before the broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sn = F.broadcast(s.join(n, s.s_nationkey == n.n_nationkey))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            "n_name", F.year("l_shipdate").cast("int").alias("ship_year")
+        )
+        .agg(F.round(F.sum(F.expr(PROFIT)), 3).cast("double").alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q14 shape: conditional-revenue ratio per month
+# ---------------------------------------------------------------------------
+
+@query(
+    "q14_promo_revenue_ratio",
+    f"""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month_start,
+               SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE}
+                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS promo,
+               SUM({REVENUE}) AS total
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY month_start
+    )
+    SELECT month_start,
+           CAST(ROUND(promo, 3) AS DOUBLE) AS promo_revenue,
+           CAST(ROUND(total, 3) AS DOUBLE) AS total_revenue,
+           CAST(ROUND(CAST(promo AS DOUBLE) / CAST(total AS DOUBLE) * 100,
+                      6) AS DOUBLE) AS promo_pct
+    FROM m
+    """,
+)
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): conditional aggregate ratio
+    per calendar month.  Both sums stay decimal-exact through the
+    aggregate; the percentage is one IEEE divide over identically
+    derived doubles, so the 6dp round is cross-engine stable."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    promo_term = F.expr(
+        f"CASE WHEN p_type = 'PROMO' THEN {REVENUE}"
+        " ELSE CAST(0 AS DECIMAL(18,6)) END"
+    )
+    m = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.trunc("l_shipdate", "month").alias("month_start"))
+        .agg(
+            F.sum(promo_term).alias("promo"),
+            F.sum(F.expr(REVENUE)).alias("total"),
+        )
+    )
+    return m.select(
+        "month_start",
+        F.round("promo", 3).cast("double").alias("promo_revenue"),
+        F.round("total", 3).cast("double").alias("total_revenue"),
+        F.round(
+            F.col("promo").cast("double") / F.col("total").cast("double")
+            * 100,
+            6,
+        ).cast("double").alias("promo_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q16 shape: distinct-count with null-aware NOT IN exclusion
+# ---------------------------------------------------------------------------
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier diversity per part class): NOT IN
+    exclusion of complaint suppliers (null-aware, operators/antijoin),
+    broadcast part dim, COUNT(DISTINCT) aggregate — Spark plans the
+    distinct as a two-phase partial/final expand, no extra shuffle of
+    the raw join output."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    s_bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    )
+    kept = anti_join(l, s_bad, ("l_suppkey", "s_suppkey"), null_aware=True)
+    return (
+        kept.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q19 shape: disjunctive bracket predicates over a join
+# ---------------------------------------------------------------------------
+
+_Q19_BRACKETS = (
+    "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5"
+    " AND l_quantity BETWEEN 1 AND 11)"
+    " OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10"
+    " AND l_quantity BETWEEN 10 AND 20)"
+    " OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15"
+    " AND l_quantity BETWEEN 20 AND 30)"
+)
+
+
+@query(
+    "q19_bracket_revenue",
+    f"""
+    SELECT CAST(ROUND(SUM({REVENUE}), 3) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE {_Q19_BRACKETS}
+    """,
+)
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive brackets): the
+    OR-of-ANDs predicate sits on the joined row; Catalyst still pushes
+    the derivable per-side conjuncts (p_brand/p_size membership, the
+    l_quantity hull) below the broadcast join as partial filters."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.expr(_Q19_BRACKETS))
+        .agg(
+            F.round(F.sum(F.expr(REVENUE)), 3).cast("double").alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q22 shape: scalar-subquery threshold + anti-join, grouped
+# ---------------------------------------------------------------------------
+
+#: avg over the positive balances, written once for both engines —
+#: decimal-exact sum / count, division in IEEE doubles
+_Q22_AVG = (
+    "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)"
+    " / CAST(COUNT(*) AS DOUBLE)"
+)
+
+
+@query(
+    "q22_idle_customers",
+    f"""
+    WITH thr AS (
+        SELECT {_Q22_AVG} AS avg_bal
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, COUNT(*) AS n_cust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS total_bal
+    FROM customer, thr
+    WHERE c_acctbal > avg_bal
+      AND c_custkey NOT IN (
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): rich customers with
+    no urgent orders (every fixture customer has SOME order, so the
+    anti-join keys on the urgent subset to stay selective).  The scalar
+    threshold is a one-row broadcast cross join (never a collect); the
+    exclusion is the null-aware NOT IN anti-join; one grouped aggregate
+    on the surviving rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        F.expr(_Q22_AVG).alias("avg_bal")
+    )
+    rich = c.crossJoin(F.broadcast(thr)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = anti_join(rich, o, ("c_custkey", "o_custkey"), null_aware=True)
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(
+            F.sum(F.expr("CAST(c_acctbal AS DECIMAL(18,2))")), 2
+        ).cast("double").alias("total_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Overlap-coefficient (containment) near-dup pairs
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_overlap_pairs",
+    """
+    WITH base AS (
+        SELECT doc_id AS id, source,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+                   i -> string_split(text,' ')[i] || ' ' ||
+                        string_split(text,' ')[i+1] || ' ' ||
+                        string_split(text,' ')[i+2]
+               )) AS sh
+        FROM documents
+    ),
+    ex0 AS (SELECT id, source, unnest(sh) AS shingle FROM base),
+    exf AS (
+        SELECT id, source, shingle
+        FROM (SELECT id, source, shingle,
+                     COUNT(*) OVER (PARTITION BY source, shingle) AS df
+              FROM ex0)
+        WHERE df <= 1000
+    ),
+    ex AS (
+        SELECT id, source, shingle,
+               COUNT(*) OVER (PARTITION BY id) AS n_sh
+        FROM exf
+    ),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+               COUNT(*) AS n_inter
+        FROM ex a JOIN ex b
+          ON a.shingle = b.shingle AND a.source = b.source AND a.id < b.id
+        GROUP BY a.id, b.id, a.n_sh, b.n_sh
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE)
+               AS overlap
+    FROM inter
+    WHERE CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) >= 0.1
+    """,
+)
+def doc_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs (operators/dedup.shingle_pairs_overlap):
+    |A∩B|/min(|A|,|B|) catches a short document quoted inside a longer
+    one, which Jaccard's union denominator dilutes.  Same blocked
+    equi-join shape as dedup_ngram_jaccard — one pair machinery, two
+    measures."""
+    return D.shingle_pairs_overlap(
+        load_table(spark, sf_dir, "documents"),
+        block_cols=["source"],
+        k=3,
+        threshold=0.1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document token entropy (quality signal)
+# ---------------------------------------------------------------------------
+
+#: per-(doc,token) entropy term: p·ln(1/p) with p = c/n, rounded to
+#: 6dp and scaled to a long BEFORE the per-doc sum (longs add
+#: associatively; double ln() may differ in the last ulp between libm
+#: and the JVM — the doc_unigram_surprisal discipline)
+_ENTROPY_TERM = (
+    "CAST(ROUND((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * LN(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000, 0)"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "doc_token_entropy",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    tc AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
+    ),
+    tn AS (
+        SELECT doc_id, tok, c,
+               SUM(c) OVER (PARTITION BY doc_id) AS n
+        FROM tc
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct,
+           CAST(SUM({_ENTROPY_TERM}) AS BIGINT) AS entropy_scaled
+    FROM tn
+    GROUP BY doc_id
+    """,
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's own token distribution —
+    low-entropy documents are repetitive/templated (a Gopher-adjacent
+    quality signal; the corpus-level cousin is doc_unigram_surprisal).
+    Two hash aggregates plus one per-doc window; entropy terms are
+    6dp-scaled longs so the per-doc sum is order-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("doc_id")
+    tn = tc.withColumn("n", F.sum("c").over(w))
+    return tn.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.expr(_ENTROPY_TERM)).alias("entropy_scaled"),
+    )

@@ -226,6 +226,9 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "doc_weighted_sample", "doc_pii_redaction",
         "source_ngram_overlap", "doc_unigram_surprisal",
         "doc_split_counts", "doc_dsir_importance", "doc_gopher_rules",
+        "q9_profit_by_nation_year", "q14_promo_revenue_ratio",
+        "q16_supplier_part_counts", "q19_bracket_revenue",
+        "q22_idle_customers", "doc_overlap_pairs", "doc_token_entropy",
     ], f"unexpected overflow oracled set: {overflow}"
 
 

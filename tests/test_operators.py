@@ -21,6 +21,7 @@ from org_revue_de_presse_trends_spark.operators.asof import asof_join
 from org_revue_de_presse_trends_spark.operators.dedup import (
     minhash_lsh_pairs,
     shingle_pairs_jaccard,
+    shingle_pairs_overlap,
     simhash_pairs,
 )
 from org_revue_de_presse_trends_spark.operators.similarity import (
@@ -147,6 +148,31 @@ def test_minhash_estimate_tracks_exact_jaccard(spark, near_dup_docs):
     for pair, e in est.items():
         if pair in exact:
             assert abs(e - exact[pair]) < 0.25, (pair, e, exact[pair])
+
+
+def test_overlap_catches_contained_doc_jaccard_misses(spark):
+    """A short doc fully contained in a long one: overlap coefficient
+    is exactly 1.0 (every shingle of the short doc appears in the
+    long), while Jaccard is diluted by the long doc's extra shingles —
+    the sub-document-dedup case the containment measure exists for."""
+    long_words = " ".join(f"w{j}" for j in range(60))
+    short_words = " ".join(f"w{j}" for j in range(10))
+    docs = spark.createDataFrame(
+        [(1, long_words), (2, short_words), (3, "totally different text")],
+        ["doc_id", "text"],
+    )
+    ov = {
+        (r["id_a"], r["id_b"]): r["overlap"]
+        for r in shingle_pairs_overlap(docs, threshold=0.0).collect()
+    }
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in shingle_pairs_jaccard(docs, threshold=0.0).collect()
+    }
+    assert ov[(1, 2)] == 1.0
+    # 8 shingles in the short doc, 58 in the long: J = 8/58
+    assert abs(jac[(1, 2)] - 8 / 58) < 1e-12
+    assert (1, 3) not in ov and (2, 3) not in ov
 
 
 def test_max_shingle_df_bounds_stop_shingle_candidates(spark):
