@@ -16,10 +16,12 @@ Pipeline (all composition of existing blocks):
    n_cells × dim scalars) and baked into the plan as literals;
 2. per-row nearest-cell assignment (``similarity.ivf_assign``) — no
    shuffle, broadcast-free (literal centroids);
-3. intra-cell cosine pairs — an ids-only equi self-join on the cell
-   id (never all-pairs; sides share one exchange), rebalanced by
-   id_a, then once-per-row unit-normalized vectors re-attached so
-   each pair costs ONE interpreted 64-fold (dot), not three;
+3. intra-cell cosine pairs — one ``applyInPandas`` per cell: the
+   group's unit-normalized matrix multiplied against itself in
+   row-blocks (BLAS), pairs above threshold emitted with id_a < id_b.
+   Replaced the r5 ids-only self-join + per-pair interpreted dot fold:
+   measured 1.9 s → 0.45 s for the pair stage at sf0.1 (250k dots) —
+   the matmul batches what the HOF evaluated pair-at-a-time;
 4. connected components over the pair graph
    (``dedup.cluster_pairs``);
 5. keeper election: per cluster, row_number over (cent_cos ASC,
@@ -27,14 +29,19 @@ Pipeline (all composition of existing blocks):
 
 Scale shape (100 TB): pairwise work is Σ|cell|² — pick ``n_cells``
 proportional to corpus size to bound cell occupancy (the paper uses
-~50k cells for 8B docs; occupancy stays ~1e5 and the per-cell join is
-embarrassingly parallel).  The keeper window partitions by cluster —
-near-dup components are small by construction (cosine ≥ τ within one
-cell).  Nothing here materializes on the driver except the centroid
-list.
+~50k cells for 8B docs; occupancy stays ~1e5 and the per-cell matmul
+is embarrassingly parallel, one task per cell).  Per-task memory is
+|block| × |cell| similarity rows (the matrix is computed in row
+blocks, never |cell|² at once) plus the |cell| × dim unit matrix.
+The keeper window partitions by cluster — near-dup components are
+small by construction (cosine ≥ τ within one cell).  Nothing here
+materializes on the driver except the centroid list.
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -42,6 +49,45 @@ from pyspark.sql import functions as F
 from ..functions import vectors as V
 from .dedup import cluster_pairs
 from .similarity import _dcsv, ivf_assign, kmeans_refine, train_centroids
+
+
+def _cell_pair_fn(threshold: float, block: int):
+    """applyInPandas factory: all intra-group cosine pairs ≥ threshold.
+
+    The group is sorted by id first, so (a) emitted pairs satisfy
+    id_a < id_b by construction and (b) the BLAS input layout is
+    independent of shuffle arrival order — each pair's dot accumulates
+    over the dimension axis only, making values replay-stable."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", ignore_index=True)
+        ids = pdf["id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        U = np.stack(pdf["v"].to_numpy()).astype("float64")
+        nrm = np.linalg.norm(U, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        U /= nrm[:, None]
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, n, block):
+            S = U[s : s + block] @ U.T  # |block| × n, never n × n
+            rows, cols = np.nonzero(S >= threshold)
+            keep = cols > rows + s  # strict upper triangle, global idx
+            out_a.append(ids[rows[keep] + s])
+            out_b.append(ids[cols[keep]])
+            out_c.append(S[rows[keep], cols[keep]])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
+            }
+        )
+
+    return fn
 
 
 def semantic_dedup(
@@ -86,52 +132,20 @@ def semantic_dedup(
             "cent_cos"
         ),
     )
-    # Pair stage, cost-shaped like embedding_lsh_pairs (CLAUDE.md):
-    # the naive form — cosine inside the cell self-join — paid THREE
-    # interpreted 64-folds per pair (dot + both norms) AND ran the
-    # scoring at |cells|-way parallelism (the join output stays
-    # partitioned by the handful of cell keys); measured 14.7 s warm
-    # at sf0.1.  Instead: ids-only cell join → repartition(id_a)
-    # rebalance → re-attach ONCE-normalized vectors → a single dot
-    # fold per pair at full parallelism.  With the dot-rank
-    # ivf_assign this took the query 14.7 s → 5.1 s warm at sf0.1
-    # (what remains is the iterative phases' driver sync, not pair
-    # work — exec after plan build measures 0.8 s).
-    members = base.select("id", "cell").repartition(F.col("id"))
-    a, b = members.alias("a"), members.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .repartition("id_a")
-    )
-    # norm staged as an attribute before the transform: referencing it
-    # inside the per-element lambda would re-evaluate the norm
-    # reduction per element (O(dim²) per row)
-    unit = base.select(
-        "id", "v", F.sqrt(V.dot(F.col("v"), F.col("v"))).alias("_nrm")
-    ).select(
-        "id",
-        F.transform(
-            F.col("v"), lambda x: x.cast("double") / F.col("_nrm")
-        ).alias("vn"),
-    )
+    # Pair stage history: the naive cosine-inside-self-join paid three
+    # interpreted 64-folds per pair at |cells|-way parallelism (14.7 s
+    # warm at sf0.1); the r5 rework (ids-only join + rebalance + one
+    # dot fold) got it to ~1.9 s; this applyInPandas per-cell blocked
+    # matmul measures 0.45 s — BLAS batches what the HOF evaluated
+    # pair-at-a-time, and Arrow moves each cell's vectors once instead
+    # of twice through a pair join.
     pairs = (
-        cand.join(
-            unit.select(F.col("id").alias("id_a"), F.col("vn").alias("va")),
-            "id_a",
+        base.select("id", "v", "cell")
+        .groupBy("cell")
+        .applyInPandas(
+            _cell_pair_fn(threshold, block=4096),
+            "id_a long, id_b long, cos double",
         )
-        .join(
-            unit.select(F.col("id").alias("id_b"), F.col("vn").alias("vb")),
-            "id_b",
-        )
-        .select(
-            "id_a", "id_b", V.dot(F.col("va"), F.col("vb")).alias("cos")
-        )
-        .filter(F.col("cos") >= threshold)
     )
     clusters = cluster_pairs(pairs)
     labeled = (

@@ -615,14 +615,23 @@ def test_star_cc_matches_label_propagation(spark):
     )
     star = {
         (r["id"], r["cluster"])
-        for r in cluster_pairs(chain, max_iter=15, algorithm="star").collect()
+        for r in cluster_pairs(
+            chain, max_iter=15, algorithm="star", small_graph_max=0
+        ).collect()
     }
     label = {
         (r["id"], r["cluster"])
-        for r in cluster_pairs(chain, max_iter=200).collect()
+        for r in cluster_pairs(
+            chain, max_iter=200, small_graph_max=0
+        ).collect()
     }
     assert star == label
     assert len(star) == 101 and all(c == 0 for _, c in star)
+    # the driver union-find fast path (default gate) must agree too
+    fast = {
+        (r["id"], r["cluster"]) for r in cluster_pairs(chain).collect()
+    }
+    assert fast == label
 
     import random
 
@@ -633,13 +642,19 @@ def test_star_cc_matches_label_propagation(spark):
     )
     s2 = {
         (r["id"], r["cluster"])
-        for r in cluster_pairs(pdf, max_iter=30, algorithm="star").collect()
+        for r in cluster_pairs(
+            pdf, max_iter=30, algorithm="star", small_graph_max=0
+        ).collect()
     }
     l2 = {
         (r["id"], r["cluster"])
-        for r in cluster_pairs(pdf, max_iter=200).collect()
+        for r in cluster_pairs(
+            pdf, max_iter=200, small_graph_max=0
+        ).collect()
     }
     assert s2 == l2
+    f2 = {(r["id"], r["cluster"]) for r in cluster_pairs(pdf).collect()}
+    assert f2 == l2
 
 
 def test_winnow_fingerprint_guarantee_and_density(spark):
