@@ -18,6 +18,9 @@ bucket key):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -662,7 +665,7 @@ def dedup_assignments(
     )
 
 
-def _srp_banded_ids(
+def _srp_banded_vecs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
@@ -671,95 +674,133 @@ def _srp_banded_ids(
     bands: int,
     seed: int,
 ) -> DataFrame:
-    """(id, band, key) SRP-LSH bucket rows via explode + grouped sums.
+    """(id, band, key, sig, v) SRP-LSH bucket rows via one numpy matmul
+    per Arrow batch (``mapInPandas``).
 
-    The column-expression form (``hashing.srp_band_keys``) evaluates
-    ``n_bits`` interpreted HOF aggregate-dots per row — measured as the
-    dominant cost of the LSH pipeline (~n_bits×dim interpreted element
-    ops/row).  This formulation follows the SimHash explode template
-    (``simhash_pairs``): posexplode the vector, look up a per-dimension
-    packed sign mask (literal array, one long per dimension), and
-    compute every hyperplane dot as a codegen'd conditional grouped sum
-    — all JVM-side, one map-side-combined shuffle on id.
-    Bit semantics match ``srp_band_keys`` (bit = dot >= 0) up to
-    floating-point summation order.
+    History of this stage: per-row interpreted HOF aggregate-dots
+    (n_bits × dim element ops/row, the r2 bottleneck) → posexplode +
+    codegen'd conditional grouped sums (r4, 2× faster) → this matmul
+    against the ±1 hyperplane matrix (X @ W in BLAS), which beats the
+    grouped sums again AND carries the vector through to the bucket
+    rows so the pair stage needs no re-attach joins.  Bit semantics
+    are unchanged (bit i of ``sig`` = sign of hyperplane-i dot, band
+    keys = contiguous sig chunks, band 0 most significant) up to
+    floating-point summation order — verified bit-identical on the
+    fixtures.
+
+    Shuffle trade (vs the previous ids-only banding): each row ships
+    bands × (vector + 28 B) through the groupBy exchange instead of
+    bands × 28 B, but the pair stage stops shuffling candidate PAIR
+    rows entirely — at any realistic occupancy the candidate-pair
+    volume (Σ|bucket|²-shaped) dwarfs the banded-vector volume.
     """
     if n_bits % bands:
         raise ValueError("n_bits must divide evenly into bands")
     if n_bits // bands > 63:
         raise ValueError("rows_per_band (n_bits/bands) must be <= 63")
-    # one parsed expression: a py4j call per element costs ~1 ms of
-    # driver plan-build each (operators/similarity._dlit_array).
-    # String-cast form: `-9223372036854775808L` would not lex (unary
-    # minus over an out-of-range positive literal) but the string
-    # parse handles the full signed range.
-    mask_lit = F.expr(
-        "array("
-        + ",".join(
-            f"CAST('{m}' AS BIGINT)"
-            for m in H.srp_sign_masks(n_bits, dim, seed)
-        )
-        + ")"
-    )
-    el = (
-        df.select(
-            F.col(id_col).cast("long").alias("id"),
-            F.posexplode(F.col(vec_col)).alias("j", "x"),
-        )
-        .filter(F.col("j") < dim)  # keeps element_at in-bounds (ANSI)
-        .select(
-            "id",
-            F.col("x").cast("double").alias("x"),
-            F.element_at(mask_lit, F.col("j") + 1).alias("m"),
-        )
-    )
-    # wide expression fans built as parsed SQL, not Column-by-Column —
-    # the py4j plan-build tax (~6 round-trips per hyperplane/bit) costs
-    # ~0.5 s per query at n_bits=64; the SQL text parses to the same
-    # expression trees (goldens unchanged)
-    dots = el.groupBy("id").agg(
-        *[
-            F.expr(
-                f"sum(CASE WHEN (shiftright(m, {i}) & 1) = 1 "
-                f"THEN x ELSE -x END)"
-            ).alias(f"d{i}")
-            for i in range(n_bits)
+    rows_per_band = n_bits // bands
+    chunk_mask = (1 << rows_per_band) - 1
+    masks = H.srp_sign_masks(n_bits, dim, seed)
+    # dim × n_bits ±1 hyperplane matrix, decoded from the packed sign
+    # masks (mask[j] bit i = sign of hyperplane i in dimension j)
+    w = np.array(
+        [
+            [1.0 if (m >> i) & 1 else -1.0 for i in range(n_bits)]
+            for m in masks
         ]
     )
-    rows_per_band = n_bits // bands
+    band_idx = np.arange(bands, dtype=np.int64)
+    shifts = (np.uint64(bands - 1) - band_idx.astype(np.uint64)) * np.uint64(
+        rows_per_band
+    )
 
-    def _key_sql(b: int) -> str:
-        key = "CAST(0 AS BIGINT)"
-        for r in range(rows_per_band):
-            i = b * rows_per_band + r
-            key = (
-                f"(shiftleft({key}, 1) | "
-                f"(CASE WHEN d{i} >= 0 THEN 1 ELSE 0 END))"
+    def gen(batches):
+        for pdf in batches:
+            x = np.stack(pdf["v"].to_numpy()).astype("float64")[:, :dim]
+            dots = x @ w
+            bits = (dots >= 0.0).astype(np.uint64)
+            sig = np.zeros(len(x), dtype=np.uint64)
+            for i in range(n_bits):
+                sig |= bits[:, i] << np.uint64(n_bits - 1 - i)
+            rep_sig = np.repeat(sig, bands)
+            keys = (rep_sig >> np.tile(shifts, len(x))) & np.uint64(
+                chunk_mask
             )
-        return key
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), bands),
+                    "band": np.tile(band_idx, len(x)).astype("int32"),
+                    "key": keys.astype("int64"),
+                    "sig": rep_sig.astype("int64"),
+                    "v": np.repeat(pdf["v"].to_numpy(), bands),
+                }
+            )
 
-    keys = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.expr(_key_sql(b)).cast("long").alias("key"),
+    proj = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    )
+    return proj.mapInPandas(
+        gen, f"id long, band int, key long, sig long, v array<float>"
+    )
+
+
+def _srp_bucket_pair_fn(
+    threshold: float, bands: int, rows_per_band: int, block: int
+):
+    """applyInPandas factory for one (band, key) bucket: exact-cosine
+    pairs ≥ threshold via the blocked matmul (the semantic-dedup
+    ``_cell_pair_fn`` template), then the first-colliding-band filter
+    applied IN-GROUP from the packed signatures — a pair colliding in
+    several bands is emitted only by the bucket of its first band, so
+    exactly-once emission needs no cross-bucket dedup exchange."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": [], "id_b": [], "cos": []}
+        ).astype({"id_a": "int64", "id_b": "int64", "cos": "float64"})
+        pdf = pdf.sort_values("id", ignore_index=True)
+        ids = pdf["id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return empty
+        band = int(pdf["band"].iloc[0])
+        sig = pdf["sig"].to_numpy().astype(np.uint64)
+        u = np.stack(pdf["v"].to_numpy()).astype("float64")
+        nrm = np.linalg.norm(u, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        u /= nrm[:, None]
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, n, block):
+            sm = u[s : s + block] @ u.T  # |block| × n, never n × n
+            rows, cols = np.nonzero(sm >= threshold)
+            keep = cols > rows + s  # strict upper triangle, global idx
+            rows, cols = rows[keep], cols[keep]
+            if not len(rows):
+                continue
+            # first colliding band of each surviving pair: chunk b of
+            # sig_a ^ sig_b is zero iff band b collides
+            xor = sig[rows + s] ^ sig[cols]
+            first = np.full(len(xor), bands - 1, dtype=np.int64)
+            for bi in range(bands - 2, -1, -1):
+                chunk = (
+                    xor >> np.uint64((bands - 1 - bi) * rows_per_band)
+                ) & np.uint64((1 << rows_per_band) - 1)
+                first = np.where(chunk == 0, bi, first)
+            mine = first == band
+            out_a.append(ids[rows[mine] + s])
+            out_b.append(ids[cols[mine]])
+            out_c.append(sm[rows[mine], cols[mine]])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
+            }
         )
-        for b in range(bands)
-    ]
-    # full packed signature (band 0 in the most-significant chunk):
-    # lets the pair join keep each colliding pair ONLY in its first
-    # colliding band — bit ops replace a multi-million-row
-    # dropDuplicates exchange (see embedding_lsh_pairs)
-    sig_sql = "CAST(0 AS BIGINT)"
-    for b in range(bands):
-        sig_sql = f"(shiftleft({sig_sql}, {rows_per_band}) | bk[{b}].key)"
-    staged = dots.select("id", F.array(*keys).alias("bk")).select(
-        "id", "bk", F.expr(sig_sql).alias("sig")
-    )
-    return staged.select(
-        "id", "sig", F.explode("bk").alias("k")
-    ).select(
-        "id", F.col("k.band").alias("band"), F.col("k.key").alias("key"), "sig"
-    )
+
+    return fn
 
 
 def embedding_lsh_pairs(
@@ -780,90 +821,31 @@ def embedding_lsh_pairs(
     256 buckets per band (selective), band-collision probability at
     cos 0.9 ≈ 0.29, amplified recall across 8 bands ≈ 0.94.  For
     low-similarity regimes shrink bits-per-band (recall rises,
-    selectivity drops) — the S-curve trade is the caller's knob.
+    selectivity drops) — the S-curve trade is the caller's knob, and it
+    is ALSO the parallelism/occupancy knob: each (band, key) bucket is
+    one blocked-matmul task, so bucket occupancy bounds both per-task
+    work (|bucket|²·dim flops in BLAS) and per-task memory
+    (|block|×|bucket| similarity rows + the |bucket|×dim unit matrix).
 
-    Pipeline: per-row SRP band keys (literal hyperplanes, zero shuffle)
-    → explode → self-equi-join on (band, key) → dedup candidate pairs →
-    verify with EXACT cosine ≥ threshold.  Precision is exact by
-    construction (every emitted pair is verified); only recall is
-    probabilistic, amplified by the band count — gated in tests against
-    the oracled brute-force pairs.
+    Pipeline: per-batch SRP signatures + band keys (one numpy matmul,
+    ``_srp_banded_vecs``) → groupBy (band, key) → per-bucket blocked
+    matmul emitting exact-cosine pairs ≥ threshold, first-colliding-
+    band filtered in-group (``_srp_bucket_pair_fn``).  No self-join, no
+    candidate-pair shuffle, no vector re-attach joins — the r5 pair
+    join materialized 1.8M candidate rows at sf0.1 and measured 1.9 s
+    warm where this measures ~0.7 s.  Precision is exact by
+    construction (every emitted pair is cosine-verified); only recall
+    is probabilistic, amplified by the band count — gated in tests
+    against the oracled brute-force pairs.
     Returns (id_a, id_b, cos) with id_a < id_b.
     """
-    # band keys carry IDS ONLY through the explode + self-join —
-    # shipping the vectors there would duplicate every embedding
-    # ``bands`` times through the shuffle; they are re-attached once
-    # per side AFTER the candidate pairs are deduped (pair table ≪
-    # banded table)
-    # repartition barrier on the join key: the bit-packing above the
-    # groupBy exchange is cheap, but the barrier still lets both
-    # self-join sides consume ONE (id, band, key) exchange instead of
-    # two sort-merge exchanges
-    banded = _srp_banded_ids(
-        df, id_col, vec_col, dim, n_bits, bands, seed
-    ).repartition("band", "key")
-    a, b = banded.alias("a"), banded.alias("b")
-    # exactly-once pair emission WITHOUT a dropDuplicates exchange: a
-    # pair colliding in several bands is kept only where band == its
-    # FIRST colliding band, derived from the xor of the two packed
-    # signatures (chunk b of the xor is zero iff band b collides).
-    # This replaces a multi-million-row shuffle with a codegen'd filter
-    # (measured: the dedup exchange dominated candidate generation).
-    rows_per_band = n_bits // bands
-    chunk_mask = (1 << rows_per_band) - 1
-    xor = F.col("a.sig").bitwiseXOR(F.col("b.sig"))
-    first_band = F.lit(bands - 1)
-    for bi in range(bands - 2, -1, -1):
-        chunk = F.shiftrightunsigned(
-            xor, (bands - 1 - bi) * rows_per_band
-        ).bitwiseAND(F.lit(chunk_mask))
-        first_band = F.when(chunk == 0, F.lit(bi)).otherwise(first_band)
-    # the rebalance after the bucket join matters: pair output is
-    # partitioned by (band, key) and bucket sizes are power-law, so
-    # running the cosine verify in-place serializes on the fattest
-    # bucket (measured 9.2 s vs 3.4 s at sf0.1).  Hashing on id_a
-    # spreads pairs uniformly and co-partitions the first vec attach.
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .filter(F.col("a.band") == first_band)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .repartition("id_a")
+    banded = _srp_banded_vecs(df, id_col, vec_col, dim, n_bits, bands, seed)
+    return banded.groupBy("band", "key").applyInPandas(
+        _srp_bucket_pair_fn(
+            threshold, bands, n_bits // bands, block=4096
+        ),
+        "id_a long, id_b long, cos double",
     )
-    # pre-normalize ONCE per vector so the per-pair verification is a
-    # single dot product instead of dot + two norms (3× the HOF work,
-    # paid per candidate).  Norm is staged as an attribute before the
-    # transform: referencing it inside the per-element lambda would
-    # re-evaluate the norm reduction per element (O(dim²) per row).
-    vecs = (
-        df.select(
-            F.col(id_col).cast("long").alias("id"),
-            F.col(vec_col).alias("v"),
-            F.sqrt(V.dot(F.col(vec_col), F.col(vec_col))).alias("_nrm"),
-        )
-        .select(
-            "id",
-            F.transform(
-                F.col("v"), lambda x: x.cast("double") / F.col("_nrm")
-            ).alias("vhat"),
-        )
-    )
-    cand = cand.join(
-        vecs.select(F.col("id").alias("id_a"), F.col("vhat").alias("va")),
-        "id_a",
-    ).join(
-        vecs.select(F.col("id").alias("id_b"), F.col("vhat").alias("vb")),
-        "id_b",
-    )
-    return cand.select(
-        "id_a",
-        "id_b",
-        V.dot(F.col("va"), F.col("vb")).alias("cos"),
-    ).filter(F.col("cos") >= threshold)
 
 
 def embedding_near_dup_pairs(

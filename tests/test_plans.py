@@ -104,25 +104,22 @@ def test_late_lines_is_semi_join(spark):
 
 
 def test_embedding_lsh_srp_plan_shape(spark):
-    """The round-4 SRP pipeline claims (ARCHITECTURE round-4 notes):
-    projection is explode + grouped sums (no per-row HOF aggregate-
-    dots), pairs are emitted without a dropDuplicates exchange, and at
-    RUNTIME both self-join sides reuse the banded exchange (exchange
-    reuse is an AQE decision — only the executed plan shows it)."""
+    """The round-5 SRP pipeline claims (operators/dedup.py): signatures
+    come from one Arrow-batched matmul (MapInPandas), pairs from one
+    per-bucket blocked matmul (FlatMapGroupsInPandas), and the plan has
+    NO joins and exactly ONE exchange (the bucket groupBy) — no
+    candidate-pair shuffle, no vector re-attach joins, no pair-dedup
+    aggregate (the first-colliding-band filter runs in-group)."""
     df = QUERIES["embedding_lsh_near_dup"](spark, SF)
     static = io.StringIO()
     with contextlib.redirect_stdout(static):
         df.explain("formatted")
-    # no pair-dedup aggregate: first-colliding-band filter replaced it
-    assert "dropDuplicates" not in static.getvalue()
-    # the SRP dots are grouped sums over the posexploded vector
-    assert "posexplode" in static.getvalue()
-    df.collect()
-    final = io.StringIO()
-    with contextlib.redirect_stdout(final):
-        df.explain("formatted")
-    assert "isFinalPlan=true" in final.getvalue()
-    assert "ReusedExchange" in final.getvalue()
+    plan = static.getvalue()
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
+    assert "dropDuplicates" not in plan
+    assert plan.count("Exchange") <= 2  # plan node + its detail block
 
 
 def test_decontamination_broadcasts_benchmark(spark):
