@@ -67,6 +67,15 @@ HEADLINE = [
     "doc_dsir_importance",
     "doc_gopher_rules",
     "split_leakage_counts",
+    "q9_profit_by_nation_year",
+    "q14_promo_revenue_ratio",
+    "q16_supplier_part_counts",
+    "q19_bracket_revenue",
+    "q22_idle_customers",
+    "doc_overlap_pairs",
+    "doc_token_entropy",
+    "source_zipf_slope",
+    "vocab_coverage_curve",
 ]
 
 

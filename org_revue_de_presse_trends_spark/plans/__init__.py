@@ -5,5 +5,6 @@ from . import (  # noqa: F401  (register on import)
     llm_queries,
     trends,
     analytics_ext,  # registers past the driver's 50-slot window
-    analytics_tpch,  # registers LAST: also past the window
+    analytics_tpch,  # also past the window
+    corpus_stats,  # registers LAST: also past the window
 )
