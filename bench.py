@@ -76,6 +76,7 @@ HEADLINE = [
     "doc_token_entropy",
     "source_zipf_slope",
     "vocab_coverage_curve",
+    "source_js_divergence",
 ]
 
 

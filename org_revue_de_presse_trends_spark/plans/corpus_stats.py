@@ -176,3 +176,129 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("c").over(wall).cast("double")
         ).alias("coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between source token distributions
+# ---------------------------------------------------------------------------
+
+#: per-common-token JS term, p = ca/na and q = cb/nb written out so
+#: both engines evaluate the identical double expression, rounded to
+#: 6dp and scaled to a long before the per-pair sum:
+#: 0.5·p·ln(2p/(p+q)) + 0.5·q·ln(2q/(p+q))
+_JS_COMMON = (
+    "CAST(ROUND(("
+    "0.5 * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))"
+    " * LN(2.0 * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))"
+    " / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)"
+    " + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))"
+    " + 0.5 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))"
+    " * LN(2.0 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))"
+    " / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)"
+    " + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))"
+    ") * 1000000, 0) AS BIGINT)"
+)
+
+#: disjoint-mass closure: a token present only in one side contributes
+#: 0.5·ln2·p (summing to 0.5·ln2·(1 − common mass) per side), so the
+#: whole divergence needs ONLY the inner join on tokens — the exact
+#: integer common-mass sums close the formula without an outer join
+_JS_DISJOINT = (
+    "CAST(ROUND(0.5 * LN(2.0)"
+    " * (1.0 - CAST(cca AS DOUBLE) / CAST(na AS DOUBLE)) * 1000000, 0)"
+    " AS BIGINT)"
+    " + CAST(ROUND(0.5 * LN(2.0)"
+    " * (1.0 - CAST(ccb AS DOUBLE) / CAST(nb AS DOUBLE)) * 1000000, 0)"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "source_js_divergence",
+    f"""
+    WITH tc AS (
+        SELECT source, tok, COUNT(*) AS c
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY source, tok
+    ),
+    tn AS (
+        SELECT source, tok, c,
+               SUM(c) OVER (PARTITION BY source) AS n
+        FROM tc
+    ),
+    common AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               a.c AS ca, b.c AS cb, a.n AS na, b.n AS nb
+        FROM tn a JOIN tn b
+          ON a.tok = b.tok AND a.source < b.source
+    ),
+    sums AS (
+        SELECT source_a, source_b,
+               COUNT(*) AS n_common,
+               MAX(na) AS na, MAX(nb) AS nb,
+               CAST(SUM(ca) AS BIGINT) AS cca,
+               CAST(SUM(cb) AS BIGINT) AS ccb,
+               CAST(SUM({_JS_COMMON}) AS BIGINT) AS s_common
+        FROM common
+        GROUP BY source_a, source_b
+    )
+    SELECT source_a, source_b, n_common,
+           CAST(ROUND((CAST(s_common + {_JS_DISJOINT} AS DOUBLE))
+                      / 1000000.0, 6) AS DOUBLE) AS js_divergence
+    FROM sums
+    """,
+)
+def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between every pair of source unigram
+    distributions — the mass-weighted complement to the set-based
+    q:source_ngram_overlap matrix, used to pick mixture temperatures
+    for distributionally distant domains.
+
+    Only COMMON tokens ever join: a token present in one side only
+    contributes 0.5·ln2·p, so the disjoint mass closes from the exact
+    integer common-count sums (no outer join, no per-pair vocabulary
+    materialization).  Per-token terms are 6dp-scaled longs before the
+    per-pair sum (ln() ulp discipline); output rows are bounded at
+    |sources|²/2."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tn = tc.withColumn(
+        "n", F.sum("c").over(Window.partitionBy("source"))
+    )
+    a, b = tn.alias("a"), tn.alias("b")
+    common = a.join(
+        b,
+        (F.col("a.tok") == F.col("b.tok"))
+        & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.col("a.c").alias("ca"),
+        F.col("b.c").alias("cb"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+    )
+    sums = common.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.sum("ca").cast("long").alias("cca"),
+        F.sum("cb").cast("long").alias("ccb"),
+        F.sum(F.expr(_JS_COMMON)).cast("long").alias("s_common"),
+    )
+    return sums.select(
+        "source_a",
+        "source_b",
+        "n_common",
+        F.expr(
+            f"CAST(ROUND((CAST(s_common + {_JS_DISJOINT} AS DOUBLE))"
+            " / 1000000.0, 6) AS DOUBLE)"
+        ).alias("js_divergence"),
+    )
