@@ -11,9 +11,10 @@ diversity-preserving keeper rule, §3).
 
 Pipeline (all composition of existing blocks):
 
-1. deterministic k-means cells (``similarity.train_centroids`` +
-   ``kmeans_refine``) — centroids are collected once (bounded at
-   n_cells × dim scalars) and baked into the plan as literals;
+1. deterministic k-means cells (``similarity.train_centroids_local``
+   — one bounded sample-collect job, Lloyd rounds in numpy, the
+   FAISS-style sample-trained coarse quantizer) baked into the plan
+   as literals;
 2. per-row nearest-cell assignment (``similarity.ivf_assign``) — no
    shuffle, broadcast-free (literal centroids);
 3. intra-cell cosine pairs — one ``applyInPandas`` per cell: the
@@ -48,7 +49,7 @@ from pyspark.sql import functions as F
 
 from ..functions import vectors as V
 from .dedup import cluster_pairs
-from .similarity import _dcsv, ivf_assign, kmeans_refine, train_centroids
+from .similarity import _dcsv, ivf_assign, train_centroids_local
 
 
 def _cell_pair_fn(threshold: float, block: int):
@@ -108,9 +109,9 @@ def semantic_dedup(
     ``cent_cos`` is the cosine to the assigned cell centroid —
     returned so callers can audit the keeper rule.
     """
-    cents = train_centroids(corpus, n_cells, vec_col, id_col)
-    cents = kmeans_refine(
-        corpus, cents, iters=kmeans_iters, vec_col=vec_col, dim=dim
+    cents = train_centroids_local(
+        corpus, n_cells, iters=kmeans_iters, vec_col=vec_col,
+        id_col=id_col, dim=dim,
     )
     assigned = ivf_assign(corpus, cents, vec_col, n_probe=1)
     # cell→centroid as ONE parsed map literal (plan-build tax: a

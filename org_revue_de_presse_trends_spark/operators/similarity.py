@@ -166,6 +166,59 @@ def kmeans_refine(
     return current
 
 
+def train_centroids_local(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    sample_max: int = 65536,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> list[Row]:
+    """Sample-collected Lloyd training: the 100 TB pattern for a coarse
+    quantizer (FAISS-style) — ONE bounded job collects ``sample_max``
+    hash-ordered vectors to the driver, then k-means runs in numpy.
+
+    Replaces train_centroids + kmeans_refine's one-job-per-iteration
+    driver sync (each Lloyd round was a full corpus pass; a quantizer
+    trained on a bounded deterministic sample is statistically
+    equivalent and the per-round cost becomes a BLAS matmul over the
+    sample).  Seeds are the first ``n_cells`` sample vectors — the
+    same xxhash64(id)-order convention as ``train_centroids`` — and
+    the assignment rule mirrors ``ivf_assign`` (rank by dot with the
+    unit-normalized centroid, ties to the earlier centroid).  Empty
+    cells keep their previous centroid, like ``kmeans_refine``.
+    Returns rows shaped like train_centroids output.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample_max)
+        .collect()
+    )
+    if len(rows) < n_cells:
+        raise ValueError(f"corpus has {len(rows)} rows < n_cells {n_cells}")
+    x = np.array(
+        [[float(v) for v in r[vec_col]][:dim] for r in rows], dtype="float64"
+    )
+    cids = [int(r[id_col]) for r in rows[:n_cells]]
+    cents = x[:n_cells].copy()
+    for _ in range(iters):
+        nrm = np.linalg.norm(cents, axis=1)
+        unit = np.where(nrm[:, None] > 0.0, cents / np.where(nrm == 0.0, 1.0, nrm)[:, None], cents)
+        assign = np.argmax(x @ unit.T, axis=1)  # first max = earlier cid
+        for k in range(n_cells):
+            members = x[assign == k]
+            if len(members):
+                cents[k] = members.mean(axis=0)
+    return [
+        Row(cid=cids[k], centroid=[float(v) for v in cents[k]])
+        for k in range(n_cells)
+    ]
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: list[Row],
