@@ -258,7 +258,10 @@ def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Only COMMON tokens ever join: a token present in one side only
     contributes 0.5·ln2·p, so the disjoint mass closes from the exact
     integer common-count sums (no outer join, no per-pair vocabulary
-    materialization).  Per-token terms are 6dp-scaled longs before the
+    materialization).  Corollary: a source pair with FULLY disjoint
+    vocabularies emits no row — absence means the maximal distance
+    ln 2, exactly as a non-colliding pair means similarity 0 in the
+    LSH family.  Per-token terms are 6dp-scaled longs before the
     per-pair sum (ln() ulp discipline); output rows are bounded at
     |sources|²/2."""
     docs = load_table(spark, sf_dir, "documents")
