@@ -77,6 +77,7 @@ HEADLINE = [
     "source_zipf_slope",
     "vocab_coverage_curve",
     "source_js_divergence",
+    "doc_perplexity_buckets",
 ]
 
 

@@ -305,3 +305,98 @@ def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / 1000000.0, 6) AS DOUBLE)"
         ).alias("js_divergence"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets (head / middle / tail per source)
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_perplexity_buckets",
+    """
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM toks),
+    lm AS (
+        SELECT tok,
+               CAST(ROUND(
+                   -ln(CAST(COUNT(*) AS DOUBLE)
+                       / (SELECT n_total FROM tot)) * 1000000.0
+               ) AS BIGINT) AS s_scaled
+        FROM toks GROUP BY tok
+    ),
+    per_doc AS (
+        SELECT t.doc_id, t.source,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(lm.s_scaled) AS BIGINT) AS sum_scaled
+        FROM toks t JOIN lm ON lm.tok = t.tok
+        GROUP BY t.doc_id, t.source
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(ROUND(CAST(sum_scaled AS DOUBLE) / n_tokens / 1000000.0,
+                      6) AS DOUBLE) AS mean_surprisal,
+           CAST(ntile(3) OVER (
+               PARTITION BY source
+               ORDER BY CAST(sum_scaled AS DOUBLE)
+                            / CAST(n_tokens AS DOUBLE) ASC,
+                        doc_id ASC
+           ) AS BIGINT) AS ppl_bucket
+    FROM per_doc
+    """,
+)
+def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split (Wenzek et al. 2020 §4.3): rank
+    every document by its perplexity proxy (mean unigram surprisal,
+    the q:doc_unigram_surprisal signal) WITHIN its source and cut into
+    terciles — bucket 1 = most-fluent head, 3 = tail.  Real pipelines
+    keep head+middle or reweight by bucket.
+
+    The ntile order is a total order (exact-rational mean computed
+    identically in both engines, doc_id tiebreak), so bucket
+    assignment is cross-engine deterministic.  Shape: the surprisal
+    LM broadcast + one per-doc aggregate, then a per-source window
+    over DOC-level rows (corpus-scale rows never enter a window)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tot = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    lm = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            F.expr(
+                "CAST(ROUND(-LN(CAST(c AS DOUBLE)"
+                " / CAST(n_total AS DOUBLE)) * 1000000.0, 0) AS BIGINT)"
+            ).alias("s_scaled"),
+        )
+    )
+    per_doc = (
+        toks.join(F.broadcast(lm), "tok")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("s_scaled").cast("long").alias("sum_scaled"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        (
+            F.col("sum_scaled").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).asc(),
+        F.col("doc_id").asc(),
+    )
+    return per_doc.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(
+            "CAST(ROUND(CAST(sum_scaled AS DOUBLE) / n_tokens"
+            " / 1000000.0, 6) AS DOUBLE)"
+        ).alias("mean_surprisal"),
+        F.ntile(3).over(w).cast("long").alias("ppl_bucket"),
+    )

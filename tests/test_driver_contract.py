@@ -230,7 +230,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "q16_supplier_part_counts", "q19_bracket_revenue",
         "q22_idle_customers", "doc_overlap_pairs", "doc_token_entropy",
         "source_zipf_slope", "vocab_coverage_curve",
-        "source_js_divergence",
+        "source_js_divergence", "doc_perplexity_buckets",
     ], f"unexpected overflow oracled set: {overflow}"
 
 
