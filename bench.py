@@ -78,6 +78,7 @@ HEADLINE = [
     "vocab_coverage_curve",
     "source_js_divergence",
     "doc_perplexity_buckets",
+    "doc_span_decontaminated",
 ]
 
 

@@ -22,7 +22,7 @@ alongside dedup/ANN (SURVEY §north-star).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -65,6 +65,27 @@ def _ngram_hashes(
     Overhead for normal documents: one extra int column in the shuffle
     key and (n-1)/B ≈ 0.01% duplicated token rows.
     """
+    return (
+        _ngram_hash_ends(df, id_col, text_col, n, out_id, block_tokens)
+        .select(out_id, "h")
+        .distinct()
+    )
+
+
+def _ngram_hash_ends(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    out_id: str,
+    block_tokens: int = _BLOCK_TOKENS,
+) -> DataFrame:
+    """(out_id, p, h): every n-gram fingerprint WITH its end-token
+    position — the position-carrying base of ``_ngram_hashes`` (span
+    removal needs every occurrence, the flag path adds the distinct).
+    Documents shorter than ``n`` contribute their whole-text hash with
+    p = len-1, so a short-doc match marks a span covering the whole
+    document after clamping."""
     # explicit raise, not assert: stripped under python -O, after which
     # the shift/mask math would silently drop boundary-gram context
     if block_tokens < n or block_tokens & (block_tokens - 1) != 0:
@@ -113,19 +134,14 @@ def _ngram_hashes(
             _rot_sql(f"lag(h0, {d}) {over}", 7 * d) for d in range(n)
         )
     )
-    grams = (
-        tok.select(out_id, "p", "__blk", gram.alias("h"))
-        .filter(
-            (F.col("p") >= n - 1)
-            # context rows only feed lags; their gram belongs to the
-            # previous (home) block
-            & (F.col("p") >= F.shiftleft(F.col("__blk"), shift))
-        )
-        .select(out_id, "h")
-        .distinct()
-    )
+    grams = tok.select(out_id, "p", "__blk", gram.alias("h")).filter(
+        (F.col("p") >= n - 1)
+        & (F.col("p") >= F.shiftleft(F.col("__blk"), shift))
+    ).select(out_id, "p", "h")
     short = staged.filter(F.size("__t") < n).select(
-        out_id, F.xxhash64(F.concat_ws(" ", "__t")).alias("h")
+        out_id,
+        (F.size("__t") - 1).cast("long").alias("p"),
+        F.xxhash64(F.concat_ws(" ", "__t")).alias("h"),
     )
     return grams.unionByName(short)
 
@@ -189,3 +205,113 @@ def decontaminate(
     )
     clean = verdict.filter(~F.col("contaminated")).select(doc_id_col)
     return docs.join(clean, doc_id_col, "left_semi")
+
+
+def remove_contaminated_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    doc_id_col: str = "doc_id",
+    doc_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    n: int = 13,
+    margin: int = 0,
+    broadcast_benchmark: bool = True,
+    block_tokens: int = _BLOCK_TOKENS,
+) -> DataFrame:
+    """Surgical decontamination (the GPT-3 appendix-C REMOVAL step):
+    instead of dropping a contaminated document, cut out every token
+    that lies inside a matched benchmark n-gram window, ± ``margin``
+    context tokens, and stitch the remainder back together.
+
+    Per document: (doc_id, text_clean, n_tokens, n_removed).  Clean
+    documents pass through untouched — only documents with at least
+    one matched gram are re-tokenized and rebuilt, so the rebuild cost
+    scales with the contaminated subset, not the corpus.
+
+    Mechanics (all JVM-side, no UDFs):
+
+    1. matched gram END positions: the position-carrying fingerprint
+       stream (``_ngram_hash_ends``) semi-joined against the broadcast
+       benchmark hash set;
+    2. token kill flags: a token at position p dies iff some matched
+       end e sits in [p − margin, p + n − 1 + margin] — one bounded
+       RANGE-frame window max over end-markers per document (never a
+       per-token × per-end join);
+    3. rebuild: surviving tokens re-assembled in position order with
+       ``array_sort`` + ``concat_ws`` (one aggregate, no window sort).
+
+    Overlapping or adjacent matched windows merge for free — the kill
+    flag is a max over the covering frame.  The kill-flag window
+    partitions by document; the block-salt guard of the fingerprint
+    stage does not apply here because only CONTAMINATED documents
+    reach this window (bounded by the eval-suite overlap, not by
+    corpus document length — a pathological giant doc that is also
+    contaminated re-serializes one task, accepted and documented).
+    """
+    doc_ng = _ngram_hash_ends(
+        docs, doc_id_col, doc_text_col, n, "id", block_tokens
+    )
+    bench_ng = _ngram_hashes(
+        benchmark, bench_id_col, bench_text_col, n, "bid"
+    ).select("h").distinct()
+    bench_side = (
+        F.broadcast(bench_ng) if broadcast_benchmark else bench_ng
+    )
+    ends = doc_ng.join(bench_side, "h", "left_semi").select("id", "p")
+    dirty_ids = ends.select("id").distinct()
+
+    staged = docs.select(
+        F.col(doc_id_col).cast("long").alias("id"),
+        F.col(doc_text_col).alias("__text"),
+    )
+    dirty = staged.join(dirty_ids, "id", "left_semi")
+    tok = dirty.select(
+        "id",
+        F.posexplode(T.tokens(F.col("__text"))).alias("p", "t"),
+    ).select("id", F.col("p").cast("long").alias("p"), "t")
+    marks = ends.withColumn("__end", F.lit(1))
+    flagged = tok.join(marks, ["id", "p"], "left").select(
+        "id", "p", "t", F.coalesce("__end", F.lit(0)).alias("__end")
+    )
+    w = (
+        Window.partitionBy("id")
+        .orderBy("p")
+        .rangeBetween(-margin, n - 1 + margin)
+    )
+    # a gram ending at e covers tokens [e-n+1, e]; the frame looks
+    # FORWARD from each token for an end within reach (± margin)
+    killed = flagged.withColumn("__kill", F.max("__end").over(w))
+    rebuilt = (
+        killed.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__kill").alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__kill") == 0,
+                                F.struct(F.col("p"), F.col("t")),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+            ).alias("text_clean"),
+        )
+    )
+    return staged.join(rebuilt, "id", "left").select(
+        F.col("id").alias(doc_id_col),
+        F.coalesce(F.col("text_clean"), F.col("__text")).alias(
+            "text_clean"
+        ),
+        F.coalesce(
+            F.col("n_tokens"), F.size(T.tokens(F.col("__text"))).cast("long")
+        ).alias("n_tokens"),
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias(
+            "n_removed"
+        ),
+    )

@@ -673,6 +673,31 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_hits(docs, bench, n=13)
 
 
+@query("doc_span_decontaminated")  # xxhash64 n-grams: rows-only (golden)
+def doc_span_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical decontamination (the removal step after the
+    q:doc_decontamination verdict): matched benchmark 13-gram windows
+    are cut out token-exactly and the remainder stitched back
+    (operators/decontaminate.remove_contaminated_spans).  Same
+    every-50th-doc benchmark as the verdict query, so those docs wipe
+    themselves to empty text and clean docs pass through byte-equal.
+    Emits md5(text_clean), not the text — rows stay scalar and small
+    for the driver's canonicalizer."""
+    from ..operators.decontaminate import remove_contaminated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    out = remove_contaminated_spans(docs, bench, n=13)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("text_clean")).alias("clean_md5"),
+    )
+
+
 @query("doc_repetition_signals")  # HOF/groupBy fractions: rows-only (golden)
 def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document (Rae et al.

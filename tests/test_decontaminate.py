@@ -220,3 +220,98 @@ def test_log_kgram_combine_bit_identical_to_sequential(spark):
             .count()
         )
         assert mism == 0, f"k={k}: doubling combine diverged"
+
+
+def test_remove_spans_cuts_exactly_the_matched_windows(spark):
+    """Verbatim benchmark inclusion: exactly the 15 benchmark tokens
+    vanish (the three overlapping 13-grams merge); the surrounding
+    filler survives in order.  Clean docs pass through untouched."""
+    from org_revue_de_presse_trends_spark.operators.decontaminate import (
+        remove_contaminated_spans,
+    )
+
+    out = {
+        r["doc_id"]: r
+        for r in remove_contaminated_spans(
+            _docs(spark), _bench(spark)
+        ).collect()
+    }
+    filler = " ".join(f"tok{i}" for i in range(30))
+    r1 = out[1]
+    assert r1["text_clean"] == f"{filler} {filler}"
+    assert r1["n_tokens"] == 75 and r1["n_removed"] == 15
+    # clean doc and the sub-n partial overlap are untouched
+    for did in (2, 3):
+        assert out[did]["n_removed"] == 0
+        assert out[did]["text_clean"] == {
+            r["doc_id"]: r["text"] for r in _docs(spark).collect()
+        }[did]
+
+
+def test_remove_spans_margin_extends_cut(spark):
+    """margin=2 also removes the two filler tokens on each side of the
+    planted span."""
+    from org_revue_de_presse_trends_spark.operators.decontaminate import (
+        remove_contaminated_spans,
+    )
+
+    out = {
+        r["doc_id"]: r
+        for r in remove_contaminated_spans(
+            _docs(spark), _bench(spark), margin=2
+        ).collect()
+    }
+    r1 = out[1]
+    assert r1["n_removed"] == 19
+    left = " ".join(f"tok{i}" for i in range(28))
+    right = " ".join(f"tok{i}" for i in range(2, 30))
+    assert r1["text_clean"] == f"{left} {right}"
+
+
+def test_remove_spans_short_doc_match_removes_whole_text(spark):
+    """A sub-n document that exactly equals a benchmark text is wiped
+    (whole-text fallback hash; the clamped span covers every token)."""
+    from org_revue_de_presse_trends_spark.operators.decontaminate import (
+        remove_contaminated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "tiny document"), (2, "other tiny document")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "tiny document")], ["bench_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_contaminated_spans(docs, bench, n=13).collect()
+    }
+    assert out[1]["text_clean"] == "" and out[1]["n_removed"] == 2
+    assert out[2]["text_clean"] == "other tiny document"
+    assert out[2]["n_removed"] == 0
+
+
+def test_remove_spans_block_salt_bit_identical(spark):
+    """Tiny block size forces many window blocks; output must equal the
+    default-block run token for token."""
+    from org_revue_de_presse_trends_spark.operators.decontaminate import (
+        remove_contaminated_spans,
+    )
+
+    a = sorted(
+        map(
+            tuple,
+            remove_contaminated_spans(
+                _docs(spark), _bench(spark), block_tokens=16
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            remove_contaminated_spans(
+                _docs(spark), _bench(spark)
+            ).collect(),
+        )
+    )
+    assert a == b

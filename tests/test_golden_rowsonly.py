@@ -62,6 +62,9 @@ GOLDEN_SHA256 = {
     "doc_decontamination": (
         500, "d281321548c9a4c000ece556564309986093f17a4981421f2c0124a133c4e413"
     ),
+    "doc_span_decontaminated": (
+        500, "64b503fa5a3f2a087dce6db28dd20010af78d37922c8586048c6412fb62d4d60"
+    ),
     "doc_repetition_signals": (
         500, "0209fb5239f19ce3c56de0bd14d1914033cce0a7cf38e4294afe3a2864365b65"
     ),
