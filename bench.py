@@ -79,6 +79,7 @@ HEADLINE = [
     "source_js_divergence",
     "doc_perplexity_buckets",
     "doc_span_decontaminated",
+    "event_type_daily_bursts",
 ]
 
 

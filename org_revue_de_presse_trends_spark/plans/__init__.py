@@ -6,5 +6,6 @@ from . import (  # noqa: F401  (register on import)
     trends,
     analytics_ext,  # registers past the driver's 50-slot window
     analytics_tpch,  # also past the window
-    corpus_stats,  # registers LAST: also past the window
+    corpus_stats,  # also past the window
+    events_analytics,  # registers LAST: also past the window
 )

@@ -1,0 +1,115 @@
+"""Event-stream analytics extensions (round 5, cont.): burst/spike
+detection — the statistical heart of a "trends" engine: a day is a
+burst for an event type when its count clears the rolling baseline by
+k sample standard deviations.
+
+Registered after corpus_stats — past the driver's 50-slot window; the
+in-repo contract test is the oracle gate.
+
+Cross-engine discipline: the baseline window is ROWS-framed over a
+total order (one row per (type, day)); mean and variance come from
+EXACT integer sums (n·Σx² − (Σx)² arithmetic in decimals), with the
+final threshold comparison written textually identically in IEEE
+doubles — no float accumulates across rows in either engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.expressions import civil_day
+from .registry import query
+
+#: sample variance of the trailing window from exact sums:
+#: (n·Σx² − (Σx)²) / (n·(n−1)) — numerator exact in decimals, one
+#: double division at the end
+_VAR = (
+    "(CAST(CAST(np AS DECIMAL(18,0)) * s2 - s1 * s1 AS DOUBLE))"
+    " / (CAST(np AS DOUBLE) * CAST(np - 1 AS DOUBLE))"
+)
+
+#: burst: count clears mean + 2·stddev of the trailing baseline
+#: (needs ≥ 3 prior days; sqrt is IEEE correctly-rounded — identical
+#: in both engines given identical inputs)
+_BURST = (
+    f"np >= 3 AND CAST(c AS DOUBLE) >"
+    f" CAST(s1 AS DOUBLE) / CAST(np AS DOUBLE) + 2.0 * SQRT({_VAR})"
+)
+
+
+@query(
+    "event_type_daily_bursts",
+    f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts - INTERVAL 1 HOUR AS DATE) AS day,
+               COUNT(*) AS c
+        FROM events
+        GROUP BY event_type, day
+    ),
+    based AS (
+        SELECT event_type, day, c,
+               COUNT(*) OVER w AS np,
+               SUM(CAST(c AS DECIMAL(18,0))) OVER w AS s1,
+               SUM(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0)))
+                   OVER w AS s2
+        FROM daily
+        WINDOW w AS (
+            PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+        )
+    )
+    SELECT event_type, day, CAST(c AS BIGINT) AS n_events,
+           CAST(np AS BIGINT) AS n_baseline_days,
+           CASE WHEN np > 0 THEN CAST(ROUND(
+               CAST(s1 AS DOUBLE) / CAST(np AS DOUBLE), 6) AS DOUBLE)
+           END AS baseline_mean,
+           COALESCE({_BURST}, FALSE) AS burst
+    FROM based
+    """,
+)
+def event_type_daily_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily burst detection per event type: a day is a burst when its
+    count exceeds the trailing 7-day baseline's mean by two sample
+    standard deviations (min 3 baseline days).  The trends-engine
+    spike primitive — the reference surfaces "what peaked today";
+    this says "what peaked ABNORMALLY today".
+
+    One civil-day aggregate (corpus-scale work, map-side combined),
+    then a ROWS-framed window over (type, day) rows — bounded by
+    types × days, never event-scale.  Mean/variance derive from exact
+    integer window sums; only the final threshold comparison touches
+    doubles, identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", civil_day(F.col("ts")).alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    based = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.count(F.lit(1)).over(w).alias("np"),
+        F.sum(F.expr("CAST(c AS DECIMAL(18,0))")).over(w).alias("s1"),
+        F.sum(
+            F.expr("CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))")
+        ).over(w).alias("s2"),
+    )
+    return based.select(
+        "event_type",
+        "day",
+        F.col("c").cast("long").alias("n_events"),
+        F.col("np").cast("long").alias("n_baseline_days"),
+        F.expr(
+            "CASE WHEN np > 0 THEN CAST(ROUND("
+            "CAST(s1 AS DOUBLE) / CAST(np AS DOUBLE), 6) AS DOUBLE) END"
+        ).alias("baseline_mean"),
+        F.expr(f"COALESCE({_BURST}, FALSE)").alias("burst"),
+    )

@@ -231,6 +231,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "q22_idle_customers", "doc_overlap_pairs", "doc_token_entropy",
         "source_zipf_slope", "vocab_coverage_curve",
         "source_js_divergence", "doc_perplexity_buckets",
+        "event_type_daily_bursts",
     ], f"unexpected overflow oracled set: {overflow}"
 
 
