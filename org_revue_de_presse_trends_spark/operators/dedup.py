@@ -716,6 +716,8 @@ def _srp_banded_vecs(
 
     def gen(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
             x = np.stack(pdf["v"].to_numpy()).astype("float64")[:, :dim]
             dots = x @ w
             bits = (dots >= 0.0).astype(np.uint64)
