@@ -80,6 +80,7 @@ HEADLINE = [
     "doc_perplexity_buckets",
     "doc_span_decontaminated",
     "event_type_daily_bursts",
+    "q15_top_suppliers",
 ]
 
 

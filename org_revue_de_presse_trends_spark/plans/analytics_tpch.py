@@ -379,3 +379,48 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct"),
         F.sum(F.expr(_ENTROPY_TERM)).alias("entropy_scaled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q15 shape: aggregate view + uncorrelated scalar-max subquery
+# ---------------------------------------------------------------------------
+
+@query(
+    "q15_top_suppliers",
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(ROUND(SUM({REVENUE}), 3) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE year(l_shipdate) = 1997
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): an aggregated revenue view
+    filtered by an uncorrelated scalar MAX over ITSELF — the
+    aggregate-vs-its-own-extreme pattern.  The view computes once and
+    both consumers (rows + max) read the same shuffle output (AQE
+    exchange reuse); the one-row max broadcasts; ties all survive, and
+    the decimal-exact rounded revenue makes the equality comparison
+    engine-stable."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1997
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.expr(REVENUE)), 3).cast("double").alias(
+            "total_revenue"
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("__mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

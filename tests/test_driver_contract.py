@@ -229,6 +229,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "q9_profit_by_nation_year", "q14_promo_revenue_ratio",
         "q16_supplier_part_counts", "q19_bracket_revenue",
         "q22_idle_customers", "doc_overlap_pairs", "doc_token_entropy",
+        "q15_top_suppliers",
         "source_zipf_slope", "vocab_coverage_curve",
         "source_js_divergence", "doc_perplexity_buckets",
         "event_type_daily_bursts",

@@ -305,3 +305,34 @@ def test_semantic_dedup_scales_linearly_10x(spark):
     s_ratio = results[20_000][1] / max(results[2_000][1], 1)
     assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× vectors"
     assert s_ratio < 30, f"shuffle grew {s_ratio:.1f}× for 10× vectors"
+
+
+def test_span_decontamination_scales_linearly_10x(spark):
+    """remove_contaminated_spans over 10× docs: runtime and shuffle
+    grow < 30×.  A fixed small benchmark (20 docs sampled from the
+    corpus generator) stays broadcast; the rebuild stage touches only
+    the contaminated subset, so corpus growth must not drag the whole
+    pipeline super-linearly."""
+    from org_revue_de_presse_trends_spark.operators.decontaminate import (
+        remove_contaminated_spans,
+    )
+
+    mc = MetricsCollector(spark)
+    results = {}
+    for n in (500, 5_000):
+        docs = _synthetic_docs(spark, n)
+        bench = (
+            _synthetic_docs(spark, 20)
+            .select(F.col("doc_id").alias("bench_id"), "text")
+        )
+        out = remove_contaminated_spans(docs, bench, n=13)
+        t0 = _time.perf_counter()
+        rows, qm = mc.measure(
+            f"span_decon_{n}", out, action=lambda d: d.count()
+        )
+        results[n] = (_time.perf_counter() - t0, qm.shuffle_bytes_written)
+        assert rows == n
+    t_ratio = results[5_000][0] / results[500][0]
+    s_ratio = results[5_000][1] / max(results[500][1], 1)
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× docs"
+    assert s_ratio < 30, f"shuffle grew {s_ratio:.1f}× for 10× docs"
