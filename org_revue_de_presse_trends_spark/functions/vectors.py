@@ -65,3 +65,41 @@ def cosine_exact(a: Column, b: Column) -> Column:
         / F.sqrt(dot_scaled(a, a).cast("double"))
         / F.sqrt(dot_scaled(b, b).cast("double"))
     )
+
+
+def blocked_cosine_pairs(vecs, threshold: float, block: int):
+    """Numpy kernel shared by the applyInPandas pair stages
+    (semdedup cells, SRP-LSH buckets): all strict-upper-triangle index
+    pairs (i, j), i < j, whose cosine ≥ ``threshold``, computed as a
+    row-blocked matmul over the unit-normalized matrix — per-block
+    memory is |block| × n similarity rows, never n × n.
+
+    ``vecs`` is an object ndarray of per-row vectors (a pandas column's
+    ``.to_numpy()``); rows must already be in the caller's canonical
+    order (sort by id first — makes the BLAS input layout independent
+    of shuffle arrival order).  Returns (rows, cols, cos) index arrays
+    — empty arrays when n < 2.
+    """
+    import numpy as np
+
+    n = len(vecs)
+    if n < 2:
+        z = np.array([], dtype="int64")
+        return z, z, np.array([], dtype="float64")
+    u = np.stack(vecs).astype("float64")
+    nrm = np.linalg.norm(u, axis=1)
+    nrm[nrm == 0.0] = 1.0
+    u /= nrm[:, None]
+    out_r, out_c, out_s = [], [], []
+    for s in range(0, n, block):
+        sm = u[s : s + block] @ u.T
+        rows, cols = np.nonzero(sm >= threshold)
+        keep = cols > rows + s  # strict upper triangle, global index
+        out_r.append(rows[keep] + s)
+        out_c.append(cols[keep])
+        out_s.append(sm[rows[keep], cols[keep]])
+    return (
+        np.concatenate(out_r),
+        np.concatenate(out_c),
+        np.concatenate(out_s),
+    )

@@ -258,7 +258,17 @@ def remove_contaminated_spans(
     bench_side = (
         F.broadcast(bench_ng) if broadcast_benchmark else bench_ng
     )
-    ends = doc_ng.join(bench_side, "h", "left_semi").select("id", "p")
+    # narrow repartition barrier: ``ends`` feeds BOTH the dirty-doc
+    # semi-join and the kill-mark join; without an exchange between
+    # them each branch re-runs the corpus-wide fingerprint window and
+    # benchmark probe (the self-join-sides lesson, CLAUDE.md — same
+    # fix as dsir.importance_weights).  The matched-end stream is tiny
+    # (bounded by the contamination overlap), so the shuffle is cheap.
+    ends = (
+        doc_ng.join(bench_side, "h", "left_semi")
+        .select("id", "p")
+        .repartition("id")
+    )
     dirty_ids = ends.select("id").distinct()
 
     staged = docs.select(

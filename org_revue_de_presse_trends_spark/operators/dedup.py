@@ -741,8 +741,12 @@ def _srp_banded_vecs(
     proj = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
     )
+    # declare v with the INPUT element type: a fixed array<float> would
+    # silently round double-typed embeddings to float32 through Arrow,
+    # shifting the exact-cosine verify at threshold boundaries
+    vec_type = proj.schema["v"].dataType.simpleString()
     return proj.mapInPandas(
-        gen, f"id long, band int, key long, sig long, v array<float>"
+        gen, f"id long, band int, key long, sig long, v {vec_type}"
     )
 
 
@@ -750,38 +754,26 @@ def _srp_bucket_pair_fn(
     threshold: float, bands: int, rows_per_band: int, block: int
 ):
     """applyInPandas factory for one (band, key) bucket: exact-cosine
-    pairs ≥ threshold via the blocked matmul (the semantic-dedup
-    ``_cell_pair_fn`` template), then the first-colliding-band filter
+    pairs ≥ threshold via the shared blocked-matmul kernel
+    (``functions.vectors.blocked_cosine_pairs`` — same kernel as the
+    semantic-dedup cell stage), then the first-colliding-band filter
     applied IN-GROUP from the packed signatures — a pair colliding in
     several bands is emitted only by the bucket of its first band, so
     exactly-once emission needs no cross-bucket dedup exchange."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"id_a": [], "id_b": [], "cos": []}
-        ).astype({"id_a": "int64", "id_b": "int64", "cos": "float64"})
         pdf = pdf.sort_values("id", ignore_index=True)
         ids = pdf["id"].to_numpy()
-        n = len(ids)
-        if n < 2:
-            return empty
-        band = int(pdf["band"].iloc[0])
-        sig = pdf["sig"].to_numpy().astype(np.uint64)
-        u = np.stack(pdf["v"].to_numpy()).astype("float64")
-        nrm = np.linalg.norm(u, axis=1)
-        nrm[nrm == 0.0] = 1.0
-        u /= nrm[:, None]
-        out_a, out_b, out_c = [], [], []
-        for s in range(0, n, block):
-            sm = u[s : s + block] @ u.T  # |block| × n, never n × n
-            rows, cols = np.nonzero(sm >= threshold)
-            keep = cols > rows + s  # strict upper triangle, global idx
-            rows, cols = rows[keep], cols[keep]
-            if not len(rows):
-                continue
+        rows, cols, cos = V.blocked_cosine_pairs(
+            pdf["v"].to_numpy(), threshold, block
+        )
+        if len(rows):
+            band = int(pdf["band"].iloc[0])
+            sig = pdf["sig"].to_numpy().astype(np.uint64)
             # first colliding band of each surviving pair: chunk b of
-            # sig_a ^ sig_b is zero iff band b collides
-            xor = sig[rows + s] ^ sig[cols]
+            # sig_a ^ sig_b is zero iff band b collides; keep the pair
+            # only in its first band's bucket (exactly-once emission)
+            xor = sig[rows] ^ sig[cols]
             first = np.full(len(xor), bands - 1, dtype=np.int64)
             for bi in range(bands - 2, -1, -1):
                 chunk = (
@@ -789,18 +781,10 @@ def _srp_bucket_pair_fn(
                 ) & np.uint64((1 << rows_per_band) - 1)
                 first = np.where(chunk == 0, bi, first)
             mine = first == band
-            out_a.append(ids[rows[mine] + s])
-            out_b.append(ids[cols[mine]])
-            out_c.append(sm[rows[mine], cols[mine]])
-        if not out_a:
-            return empty
+            rows, cols, cos = rows[mine], cols[mine], cos[mine]
         return pd.DataFrame(
-            {
-                "id_a": np.concatenate(out_a),
-                "id_b": np.concatenate(out_b),
-                "cos": np.concatenate(out_c),
-            }
-        )
+            {"id_a": ids[rows], "id_b": ids[cols], "cos": cos}
+        ).astype({"id_a": "int64", "id_b": "int64", "cos": "float64"})
 
     return fn
 

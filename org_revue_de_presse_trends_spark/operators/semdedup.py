@@ -41,7 +41,6 @@ materializes on the driver except the centroid list.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window
@@ -63,30 +62,12 @@ def _cell_pair_fn(threshold: float, block: int):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id", ignore_index=True)
         ids = pdf["id"].to_numpy()
-        n = len(ids)
-        if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
-            )
-        U = np.stack(pdf["v"].to_numpy()).astype("float64")
-        nrm = np.linalg.norm(U, axis=1)
-        nrm[nrm == 0.0] = 1.0
-        U /= nrm[:, None]
-        out_a, out_b, out_c = [], [], []
-        for s in range(0, n, block):
-            S = U[s : s + block] @ U.T  # |block| × n, never n × n
-            rows, cols = np.nonzero(S >= threshold)
-            keep = cols > rows + s  # strict upper triangle, global idx
-            out_a.append(ids[rows[keep] + s])
-            out_b.append(ids[cols[keep]])
-            out_c.append(S[rows[keep], cols[keep]])
-        return pd.DataFrame(
-            {
-                "id_a": np.concatenate(out_a),
-                "id_b": np.concatenate(out_b),
-                "cos": np.concatenate(out_c),
-            }
+        rows, cols, cos = V.blocked_cosine_pairs(
+            pdf["v"].to_numpy(), threshold, block
         )
+        return pd.DataFrame(
+            {"id_a": ids[rows], "id_b": ids[cols], "cos": cos}
+        ).astype({"id_a": "int64", "id_b": "int64", "cos": "float64"})
 
     return fn
 

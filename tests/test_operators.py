@@ -886,3 +886,39 @@ def test_pack_sequences_carries_input_column_types(spark):
     assert dict(packed.dtypes)["chunk_id"] == "bigint"
     out = {r["chunk_id"] for r in packed.collect()}
     assert out == {big + 1, big + 2, big + 3}
+
+
+def test_embedding_lsh_preserves_double_typed_vectors(spark):
+    """array<double> embeddings must NOT round-trip through float32 in
+    the banded mapInPandas schema: every emitted cos must equal the
+    pure-Python double cosine of the original vectors (review finding:
+    a fixed 'array<float>' output schema truncated doubles through
+    Arrow and shifted threshold-boundary pairs)."""
+    import math
+
+    from org_revue_de_presse_trends_spark.operators.dedup import (
+        embedding_lsh_pairs,
+    )
+
+    rows = [
+        (i, [0.1 * ((i + j) % 7) - 0.3 for j in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assert df.schema["embedding"].dataType.simpleString() == "array<double>"
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_lsh_pairs(
+            df, dim=8, threshold=0.99, n_bits=8, bands=2
+        ).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / na / nb
+
+    assert got, "no pairs — weak test"
+    for (i, j), c in got.items():
+        assert abs(c - cos(rows[i][1], rows[j][1])) < 1e-12
