@@ -257,3 +257,46 @@ def test_band_interval_join_matches_brute_force_fuzz(spark, lv, rv, radius):
         if abs(a - b) <= radius
     )
     assert got == brute
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=25),
+    st.integers(min_value=1, max_value=9),
+    st.floats(min_value=-0.5, max_value=0.99),
+    st.integers(min_value=0, max_value=10_000),
+)
+def test_blocked_cosine_pairs_matches_brute_force(n, block, threshold, seed):
+    """The shared row-blocked matmul kernel (semdedup cells + SRP
+    buckets) must emit exactly the brute-force O(n²) upper-triangle
+    pair set for every block size — block boundaries are where an
+    off-by-one would hide."""
+    import numpy as np
+
+    from org_revue_de_presse_trends_spark.functions.vectors import (
+        blocked_cosine_pairs,
+    )
+
+    rng = np.random.RandomState(seed)
+    vecs = np.empty(n, dtype=object)
+    for i in range(n):
+        vecs[i] = rng.randn(6)
+    if n > 2:
+        vecs[n - 1] = np.zeros(6)  # zero-norm guard path
+    rows, cols, cos = blocked_cosine_pairs(vecs, threshold, block)
+    got = {(int(r), int(c)): s for r, c, s in zip(rows, cols, cos)}
+    # brute force over unit-normalized doubles
+    want = {}
+    if n >= 2:
+        u = np.stack(vecs).astype("float64")
+        nrm = np.linalg.norm(u, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        u = u / nrm[:, None]
+        full = u @ u.T
+        for i in range(n):
+            for j in range(i + 1, n):
+                if full[i, j] >= threshold:
+                    want[(i, j)] = full[i, j]
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-12
