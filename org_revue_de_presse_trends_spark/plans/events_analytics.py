@@ -39,6 +39,40 @@ _BURST = (
 )
 
 
+def burst_flags(daily: DataFrame) -> DataFrame:
+    """Burst verdicts over a (event_type, day, c) daily-count frame —
+    the formula core shared by the batch query below and the streaming
+    accumulator (``streaming.incremental.foreach_batch_burst_detect``).
+    The window input is one row per (type, day): bounded by
+    types × days, never event-scale."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    based = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.count(F.lit(1)).over(w).alias("np"),
+        F.sum(F.expr("CAST(c AS DECIMAL(18,0))")).over(w).alias("s1"),
+        F.sum(
+            F.expr("CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))")
+        ).over(w).alias("s2"),
+    )
+    return based.select(
+        "event_type",
+        "day",
+        F.col("c").cast("long").alias("n_events"),
+        F.col("np").cast("long").alias("n_baseline_days"),
+        F.expr(
+            "CASE WHEN np > 0 THEN CAST(ROUND("
+            "CAST(s1 AS DOUBLE) / CAST(np AS DOUBLE), 6) AS DOUBLE) END"
+        ).alias("baseline_mean"),
+        F.expr(f"COALESCE({_BURST}, FALSE)").alias("burst"),
+    )
+
+
 @query(
     "event_type_daily_bursts",
     f"""
@@ -77,39 +111,13 @@ def event_type_daily_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     this says "what peaked ABNORMALLY today".
 
     One civil-day aggregate (corpus-scale work, map-side combined),
-    then a ROWS-framed window over (type, day) rows — bounded by
-    types × days, never event-scale.  Mean/variance derive from exact
-    integer window sums; only the final threshold comparison touches
-    doubles, identically in both engines."""
+    then the shared ``burst_flags`` window.  Mean/variance derive from
+    exact integer window sums; only the final threshold comparison
+    touches doubles, identically in both engines."""
     ev = load_table(spark, sf_dir, "events")
     daily = (
         ev.select("event_type", civil_day(F.col("ts")).alias("day"))
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(-7, -1)
-    )
-    based = daily.select(
-        "event_type",
-        "day",
-        "c",
-        F.count(F.lit(1)).over(w).alias("np"),
-        F.sum(F.expr("CAST(c AS DECIMAL(18,0))")).over(w).alias("s1"),
-        F.sum(
-            F.expr("CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))")
-        ).over(w).alias("s2"),
-    )
-    return based.select(
-        "event_type",
-        "day",
-        F.col("c").cast("long").alias("n_events"),
-        F.col("np").cast("long").alias("n_baseline_days"),
-        F.expr(
-            "CASE WHEN np > 0 THEN CAST(ROUND("
-            "CAST(s1 AS DOUBLE) / CAST(np AS DOUBLE), 6) AS DOUBLE) END"
-        ).alias("baseline_mean"),
-        F.expr(f"COALESCE({_BURST}, FALSE)").alias("burst"),
-    )
+    return burst_flags(daily)

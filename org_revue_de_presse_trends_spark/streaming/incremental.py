@@ -362,3 +362,59 @@ def foreach_batch_near_dup_index(
         sig.write.mode("append").parquet(index_path)
 
     return run
+
+
+def foreach_batch_burst_detect(
+    spark,
+    counts_path: str,
+    bursts_path: str,
+    ts_col: str = "ts",
+    shift_hours: int = 1,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming burst detection: accumulate per-(event_type, civil
+    day) counts across micro-batches and recompute burst verdicts with
+    the SAME formula as the batch query (``plans.events_analytics.
+    burst_flags``) after every batch.
+
+    Per micro-batch: (1) the batch's (type, day) count increments merge
+    into the counts table — a sum-merge, so LATE events simply add to
+    their (old) day and the affected baselines re-evaluate on the next
+    write; (2) burst flags recompute over the merged counts and
+    atomically replace the verdict table.  Both tables are bounded at
+    types × days rows (the corpus-scale work — counting events — is
+    the incremental part), so the per-batch rewrite is small and the
+    end state after any chunking of the input equals the batch
+    computation exactly.
+
+    At-least-once safety: the merge is a sum of counts, so a REPLAYED
+    batch would double-count — wrap the sink with checkpointing (as
+    writeStream foreachBatch does) so each batch commits once; the
+    test drives it through availableNow triggers with a checkpoint.
+    """
+    from ..plans.events_analytics import burst_flags
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        b = (
+            batch_df.select(
+                "event_type",
+                civil_day(F.col(ts_col), shift_hours).alias("day"),
+            )
+            .groupBy("event_type", "day")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        try:
+            old = spark.read.parquet(counts_path)
+            merged = (
+                old.unionByName(b)
+                .groupBy("event_type", "day")
+                .agg(F.sum("c").alias("c"))
+            )
+        except Exception:  # noqa: BLE001 — first batch: no table yet
+            merged = b
+        # materialize BEFORE overwriting the path being read
+        rows = merged.localCheckpoint(eager=True)
+        rows.write.mode("overwrite").parquet(counts_path)
+        counts = spark.read.parquet(counts_path)
+        burst_flags(counts).write.mode("overwrite").parquet(bursts_path)
+
+    return run

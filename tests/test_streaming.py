@@ -761,3 +761,60 @@ def test_streaming_near_dup_index_loop_matches_batch(spark, tmp_path):
     idx = spark.read.parquet(index_path)
     assert idx.count() == docs.count()
     assert idx.select("id").distinct().count() == docs.count()
+
+
+def test_streaming_burst_detect_matches_batch(spark, tmp_path):
+    """Streaming burst detection: events arrive in three chunks split
+    by event_id (so every chunk carries LATE data for every day); the
+    accumulated counts and the final burst verdict table must equal
+    the batch computation over all events exactly — same formula, same
+    exact-integer baselines."""
+    from org_revue_de_presse_trends_spark.plans.events_analytics import (
+        burst_flags,
+    )
+    from org_revue_de_presse_trends_spark.streaming.incremental import (
+        foreach_batch_burst_detect,
+    )
+
+    ev = load_table(spark, SF, "events").select("ts", "event_type")
+    src = str(tmp_path / "events_in")
+    for part in range(3):
+        ev.filter(F.crc32(F.col("ts").cast("string")) % 3 == part).write.parquet(
+            src, mode="append"
+        )
+    counts_path = str(tmp_path / "burst_counts")
+    bursts_path = str(tmp_path / "bursts_out")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_burst_detect(spark, counts_path, bursts_path)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_burst"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["event_type"], str(r["day"])): (
+            r["n_events"], r["n_baseline_days"], r["baseline_mean"],
+            r["burst"],
+        )
+        for r in spark.read.parquet(bursts_path).collect()
+    }
+    daily = (
+        ev.select("event_type", civil_day(F.col("ts")).alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    want = {
+        (r["event_type"], str(r["day"])): (
+            r["n_events"], r["n_baseline_days"], r["baseline_mean"],
+            r["burst"],
+        )
+        for r in burst_flags(daily).collect()
+    }
+    assert got == want and got, "streamed bursts diverge from batch"
