@@ -81,6 +81,11 @@ HEADLINE = [
     "doc_span_decontaminated",
     "event_type_daily_bursts",
     "q15_top_suppliers",
+    "q4_priority_with_late_lines",
+    "q6_forecast_revenue_change",
+    "q8_market_share",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
 ]
 
 

@@ -7,5 +7,6 @@ from . import (  # noqa: F401  (register on import)
     analytics_ext,  # registers past the driver's 50-slot window
     analytics_tpch,  # also past the window
     corpus_stats,  # also past the window
-    events_analytics,  # registers LAST: also past the window
+    events_analytics,  # also past the window
+    analytics_tpch2,  # registers LAST: also past the window
 )

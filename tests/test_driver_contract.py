@@ -233,6 +233,9 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "source_zipf_slope", "vocab_coverage_curve",
         "source_js_divergence", "doc_perplexity_buckets",
         "event_type_daily_bursts",
+        "q4_priority_with_late_lines", "q6_forecast_revenue_change",
+        "q8_market_share", "q17_small_quantity_revenue",
+        "q21_waiting_suppliers",
     ], f"unexpected overflow oracled set: {overflow}"
 
 
