@@ -152,3 +152,35 @@ def test_bigram_pmi_broadcast_counts_and_topk(spark):
     plan = plan_of(spark, "token_bigram_pmi")
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q4_exists_is_semi_join(spark):
+    """The decorrelated EXISTS: left-semi, never a full join + dedup."""
+    plan = plan_of(spark, "q4_priority_with_late_lines")
+    assert "LeftSemi" in plan
+
+
+def test_q6_predicates_reach_the_scan(spark):
+    """The canonical pushdown scan: both range predicates appear as
+    PushedFilters on the lineitem parquet scan, and ReadSchema carries
+    only the three needed columns."""
+    plan = plan_of(spark, "q6_forecast_revenue_change")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_discount" in pushed and "l_quantity" in pushed
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" in read and "l_orderkey" not in read
+
+
+def test_q8_dims_broadcast(spark):
+    """lineitem⋈orders is the only big join; the supplier-nation and
+    customer-nation-region dims broadcast."""
+    plan = plan_of(spark, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q21_decorrelated_to_aggregates(spark):
+    """EXISTS + NOT EXISTS became per-order aggregates: the plan joins
+    lineitem-derived frames, with no nested-loop / cartesian anywhere."""
+    plan = plan_of(spark, "q21_waiting_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
