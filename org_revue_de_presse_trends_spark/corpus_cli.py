@@ -1,0 +1,227 @@
+"""``prepare-corpus`` — the end-to-end training-corpus curation CLI.
+
+One command from a raw ``documents.parquet`` to curated, split,
+optionally packed training data, wired entirely from the tested
+operators:
+
+    quality rules (Gopher) → exact dedup → near-dup dedup (MinHash
+    LSH + connected components) → benchmark decontamination (drop or
+    span-removal) → deterministic train/val/test split → chunk + pack
+    (optional) → split-partitioned parquet + a per-stage funnel report.
+
+Every stage is the same code the driver queries exercise
+(plans.analytics_ext.gopher_rule_flags, operators.dedup,
+operators.decontaminate, operators.splits, operators.packing), so the
+CLI adds orchestration only — no new semantics.  The funnel report
+(one JSON line on stdout, also written next to the output) records
+per-stage survivor counts: the audit a pipeline operator reads before
+trusting a corpus.
+
+Scale shape: stages are the operators' own (broadcast probes, banded
+equi-joins, hash-coin filters); the CLI materializes only the bounded
+funnel counters on the driver.
+
+Usage::
+
+    python -m org_revue_de_presse_trends_spark.corpus_cli \
+        --source-dir /root/testdata/sf0.001 --out-dir /tmp/corpus \
+        [--benchmark-parquet eval.parquet --decontaminate-mode spans] \
+        [--lsh-threshold 0.5] [--no-gopher] [--pack-budget 512]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="prepare-corpus",
+        description="Curate a documents corpus into training data",
+    )
+    p.add_argument("--source-dir", required=True,
+                   help="directory containing documents.parquet")
+    p.add_argument("--out-dir", required=True,
+                   help="output root (created; split-partitioned docs, "
+                   "optional packed chunks, funnel.json)")
+    p.add_argument("--no-gopher", action="store_true",
+                   help="skip the Gopher rule-set quality filter")
+    p.add_argument("--lsh-threshold", type=float, default=0.5,
+                   help="MinHash-LSH near-dup similarity threshold "
+                   "(0 disables near-dup dedup)")
+    p.add_argument("--benchmark-parquet", default=None,
+                   help="eval-set parquet (bench_id/text or "
+                   "doc_id/text) to decontaminate against")
+    p.add_argument("--decontaminate-mode", choices=("drop", "spans"),
+                   default="drop",
+                   help="drop contaminated docs, or cut only the "
+                   "matched spans (GPT-3 removal step)")
+    p.add_argument("--split-weights", default="train:0.9,val:0.05,test:0.05",
+                   help="name:weight comma list, weights sum to 1")
+    p.add_argument("--split-seed", type=int, default=7)
+    p.add_argument("--pack-budget", type=int, default=0,
+                   help="token budget per packed sequence "
+                   "(0 disables chunk+pack)")
+    p.add_argument("--chunk-size", type=int, default=50)
+    p.add_argument("--chunk-overlap", type=int, default=10)
+    p.add_argument("--master", default=None)
+    return p
+
+
+def _parse_weights(spec: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for part in spec.split(","):
+        name, w = part.split(":")
+        out[name.strip()] = float(w)
+    return out
+
+
+def curate(
+    spark: SparkSession,
+    docs: DataFrame,
+    *,
+    gopher: bool = True,
+    lsh_threshold: float = 0.5,
+    benchmark: DataFrame | None = None,
+    decontaminate_mode: str = "drop",
+    split_weights: dict[str, float] | None = None,
+    split_seed: int = 7,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Run the curation funnel; returns (curated docs with ``split``
+    column, per-stage survivor counts).  Pure DataFrame composition —
+    callers can extend the plan before writing."""
+    from .operators import dedup as D
+    from .operators.splits import assign_split
+    from .plans.analytics_ext import gopher_rule_flags
+
+    funnel: dict[str, int] = {"input": docs.count()}
+    cur = docs
+
+    if gopher:
+        passing = gopher_rule_flags(cur).filter(F.col("pass_gopher"))
+        cur = cur.join(passing.select("doc_id"), "doc_id", "left_semi")
+        funnel["gopher_quality"] = cur.count()
+
+    exact = D.dedup_exact(cur)
+    cur = cur.join(
+        exact.select(F.col("keep_id").alias("doc_id")), "doc_id",
+        "left_semi",
+    )
+    funnel["exact_dedup"] = cur.count()
+
+    if lsh_threshold > 0:
+        pairs = D.minhash_lsh_pairs(cur, threshold=lsh_threshold)
+        verdicts = D.dedup_assignments(cur, pairs)
+        keep = verdicts.filter(F.col("keep")).select(
+            F.col("id").alias("doc_id")
+        )
+        cur = cur.join(keep, "doc_id", "left_semi")
+        funnel["near_dup_dedup"] = cur.count()
+
+    if benchmark is not None:
+        from .operators import decontaminate as DC
+
+        if decontaminate_mode == "drop":
+            cur = DC.decontaminate(cur, benchmark)
+        else:
+            cleaned = DC.remove_contaminated_spans(cur, benchmark)
+            cur = (
+                cur.drop("text")
+                .join(
+                    cleaned.select(
+                        "doc_id", F.col("text_clean").alias("text")
+                    ),
+                    "doc_id",
+                )
+                .filter(F.length("text") > 0)
+            )
+        funnel["decontaminated"] = cur.count()
+
+    weights = split_weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    cur = assign_split(cur, weights, seed=split_seed)
+    # split assignment drops nothing: output == last surviving count
+    funnel["output"] = list(funnel.values())[-1]
+    return cur, funnel
+
+
+def main(argv: list[str] | None = None,
+         spark: SparkSession | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    own_spark = spark is None
+    if own_spark:
+        from .session import get_spark
+
+        spark = get_spark(app_name="prepare-corpus", master=args.master)
+    try:
+        from .catalog import load_table
+        from .functions import text as T
+        from .operators.packing import pack_sequences
+
+        docs = load_table(spark, args.source_dir, "documents")
+        benchmark = None
+        if args.benchmark_parquet:
+            raw = spark.read.parquet(args.benchmark_parquet)
+            bid = "bench_id" if "bench_id" in raw.columns else "doc_id"
+            benchmark = raw.select(
+                F.col(bid).alias("bench_id"), "text"
+            )
+        curated, funnel = curate(
+            spark,
+            docs,
+            gopher=not args.no_gopher,
+            lsh_threshold=args.lsh_threshold,
+            benchmark=benchmark,
+            decontaminate_mode=args.decontaminate_mode,
+            split_weights=_parse_weights(args.split_weights),
+            split_seed=args.split_seed,
+        )
+        os.makedirs(args.out_dir, exist_ok=True)
+        docs_out = os.path.join(args.out_dir, "documents")
+        curated.write.mode("overwrite").partitionBy("split").parquet(
+            docs_out
+        )
+        if args.pack_budget > 0:
+            staged = curated.withColumn("__toks", T.tokens(F.col("text")))
+            chunks = staged.select(
+                "doc_id",
+                "split",
+                F.explode(
+                    T.chunks_from_tokens(
+                        F.col("__toks"),
+                        size=args.chunk_size,
+                        overlap=args.chunk_overlap,
+                    )
+                ).alias("c"),
+            ).select(
+                "doc_id", "split", F.col("c.chunk_id").alias("chunk_id"),
+                F.col("c.chunk").alias("chunk"),
+                F.col("c.n_tokens").alias("n_tokens"),
+            )
+            packed = pack_sequences(
+                chunks.select("doc_id", "chunk_id", "n_tokens"),
+                budget=args.pack_budget,
+            )
+            out = chunks.join(packed.select("doc_id", "chunk_id", "seq_id"),
+                              ["doc_id", "chunk_id"])
+            out.write.mode("overwrite").partitionBy("split").parquet(
+                os.path.join(args.out_dir, "packed_chunks")
+            )
+            funnel["packed_chunks"] = out.count()
+        report = json.dumps(funnel)
+        with open(os.path.join(args.out_dir, "funnel.json"), "w") as f:
+            f.write(report + "\n")
+        print(report)
+        return 0
+    finally:
+        if own_spark:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

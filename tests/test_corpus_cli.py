@@ -1,0 +1,87 @@
+"""prepare-corpus CLI: the end-to-end curation funnel wired from the
+tested operators — e2e on the sf0.001 fixtures."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from org_revue_de_presse_trends_spark.corpus_cli import curate, main
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_prepare_corpus_e2e_funnel_and_outputs(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    rc = main(
+        [
+            "--source-dir", SF,
+            "--out-dir", out,
+            "--lsh-threshold", "0.5",
+            "--pack-budget", "128",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    funnel = json.load(open(os.path.join(out, "funnel.json")))
+    # monotone non-increasing through the filtering stages
+    stages = ["input", "gopher_quality", "exact_dedup", "near_dup_dedup"]
+    vals = [funnel[s] for s in stages]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    assert funnel["output"] == vals[-1] > 0
+    # split-partitioned outputs exist and re-read to the output count
+    docs = spark.read.parquet(os.path.join(out, "documents"))
+    assert docs.count() == funnel["output"]
+    assert set(
+        r["split"] for r in docs.select("split").distinct().collect()
+    ) <= {"train", "val", "test"}
+    # packed chunks: every chunk has a sequence, budget respected
+    packed = spark.read.parquet(os.path.join(out, "packed_chunks"))
+    assert funnel["packed_chunks"] == packed.count() > 0
+    over = (
+        packed.groupBy("seq_id")
+        .agg(F.sum("n_tokens").alias("t"), F.count("*").alias("n"))
+        .filter((F.col("t") > 128) & (F.col("n") > 1))
+        .count()
+    )
+    assert over == 0, "a multi-chunk sequence exceeds the token budget"
+
+
+def test_prepare_corpus_rerun_is_deterministic(spark, tmp_path):
+    from org_revue_de_presse_trends_spark.catalog import load_table
+
+    docs = load_table(spark, SF, "documents")
+    a, fa = curate(spark, docs, lsh_threshold=0.5)
+    b, fb = curate(spark, docs, lsh_threshold=0.5)
+    assert fa == fb
+    sa = sorted((r["doc_id"], r["split"]) for r in a.collect())
+    sb = sorted((r["doc_id"], r["split"]) for r in b.collect())
+    assert sa == sb
+
+
+def test_prepare_corpus_span_decontamination_rewrites_text(spark, tmp_path):
+    """spans mode: contaminated docs survive with the matched windows
+    cut; drop mode removes them entirely."""
+    from org_revue_de_presse_trends_spark.catalog import load_table
+
+    docs = load_table(spark, SF, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    dropped, fd = curate(
+        spark, docs, gopher=False, lsh_threshold=0.0,
+        benchmark=bench, decontaminate_mode="drop",
+    )
+    spans, fs = curate(
+        spark, docs, gopher=False, lsh_threshold=0.0,
+        benchmark=bench, decontaminate_mode="spans",
+    )
+    # drop mode loses every benchmark-matching doc; spans mode keeps
+    # survivors whose non-matched text is non-empty, so it keeps >= drop
+    assert fs["decontaminated"] >= fd["decontaminated"]
+    # no surviving doc in spans mode still contains a benchmark text
+    bench_texts = {r["text"] for r in bench.collect()}
+    for r in spans.select("text").collect():
+        assert all(bt not in r["text"] for bt in bench_texts)
