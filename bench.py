@@ -86,6 +86,7 @@ HEADLINE = [
     "q8_market_share",
     "q17_small_quantity_revenue",
     "q21_waiting_suppliers",
+    "doc_bpe_token_stats",
 ]
 
 

@@ -698,6 +698,31 @@ def doc_span_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("doc_bpe_token_stats")  # iterative BPE training: rows-only (golden)
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer trained on the corpus (operators/bpe.py, Sennrich
+    et al. 2016), then every document encoded with it: per-doc
+    whitespace-token vs BPE-token counts — the fertility statistic
+    tokenizer work optimizes.  20 merges on the fixture vocabulary
+    leave partial subword splits, so the ratio is non-degenerate.
+    Training is deterministic (lexicographic tie-breaks), pinned by
+    the sf0.01 golden + closed-form tests in tests/test_bpe.py."""
+    from ..operators.bpe import bpe_encode, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=20)
+    enc = bpe_encode(docs, merges)
+    return enc.select("doc_id", "n_bpe_tokens").join(
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias(
+                "n_words"
+            ),
+        ),
+        "doc_id",
+    )
+
+
 @query("doc_repetition_signals")  # HOF/groupBy fractions: rows-only (golden)
 def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document (Rae et al.

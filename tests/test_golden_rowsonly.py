@@ -65,6 +65,9 @@ GOLDEN_SHA256 = {
     "doc_span_decontaminated": (
         500, "64b503fa5a3f2a087dce6db28dd20010af78d37922c8586048c6412fb62d4d60"
     ),
+    "doc_bpe_token_stats": (
+        500, "2feb5ed84141a1b52972fc01ad9d58d32cf23b3cd8a8ae02e4cb79e5392200f0"
+    ),
     "doc_repetition_signals": (
         500, "0209fb5239f19ce3c56de0bd14d1914033cce0a7cf38e4294afe3a2864365b65"
     ),
