@@ -87,6 +87,8 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q21_waiting_suppliers",
     "doc_bpe_token_stats",
+    "source_data_card",
+    "doc_contrastive_negatives",
 ]
 
 

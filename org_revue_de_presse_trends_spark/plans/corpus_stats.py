@@ -400,3 +400,234 @@ def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_surprisal"),
         F.ntile(3).over(w).cast("long").alias("ppl_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source data card (the datasheet summary)
+# ---------------------------------------------------------------------------
+
+#: DuckDB per-doc gopher-pass flag (mirrors q:doc_gopher_rules)
+_GOPHER_PASS_SQL = """
+    SELECT doc_id, source,
+           (n_words BETWEEN 20 AND 1000)
+             AND wchars >= 3 * n_words AND wchars <= 10 * n_words
+             AND stop_cnt >= 2
+             AND alpha_cnt * 5 >= n_words * 4
+             AND stop_cnt * 10 <= n_words * 3 AS pass_gopher
+    FROM (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_words,
+               length(text) - (len(string_split(text, ' ')) - 1) AS wchars,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the','a','of','and','to'))) AS stop_cnt,
+               len(list_filter(string_split(text, ' '),
+                   x -> regexp_full_match(x, '[A-Za-z]+'))) AS alpha_cnt
+        FROM documents
+    )
+"""
+
+
+@query(
+    "source_data_card",
+    f"""
+    WITH toks AS (
+        SELECT source, doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    tstats AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_size
+        FROM toks GROUP BY source
+    ),
+    gp AS ({_GOPHER_PASS_SQL}),
+    dstats AS (
+        SELECT d.source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN gp.pass_gopher THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_gopher_pass,
+               CAST(COUNT(DISTINCT md5(lower(trim(d.text))))
+                    AS BIGINT) AS n_distinct_texts
+        FROM documents d JOIN gp USING (doc_id)
+        GROUP BY d.source
+    )
+    SELECT d.source, d.n_docs, t.n_tokens, t.vocab_size,
+           CAST(ROUND(CAST(t.n_tokens AS DOUBLE)
+                      / CAST(d.n_docs AS DOUBLE), 6) AS DOUBLE)
+               AS mean_doc_tokens,
+           CAST(ROUND(CAST(d.n_gopher_pass AS DOUBLE)
+                      / CAST(d.n_docs AS DOUBLE), 6) AS DOUBLE)
+               AS gopher_pass_rate,
+           CAST(ROUND(1.0 - CAST(d.n_distinct_texts AS DOUBLE)
+                      / CAST(d.n_docs AS DOUBLE), 6) AS DOUBLE)
+               AS exact_dup_rate
+    FROM dstats d JOIN tstats t USING (source)
+    """,
+)
+def source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source datasheet (Gebru et al., "Datasheets for
+    Datasets" — the summary a data team publishes with a corpus):
+    document and token counts, vocabulary size, mean document length,
+    Gopher quality pass rate, and exact-duplicate rate, one row per
+    source.
+
+    Three corpus-scale aggregates (token counts, per-doc gopher flags,
+    fingerprint distincts), all map-side combined to |sources| rows;
+    ratios computed in identical IEEE doubles at the end."""
+    from .analytics_ext import gopher_rule_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tstats = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("tok").alias("vocab_size"),
+    )
+    gp = gopher_rule_flags(docs).select("doc_id", "pass_gopher")
+    dstats = (
+        docs.join(gp, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("pass_gopher").cast("int"))
+            .cast("long")
+            .alias("n_gopher_pass"),
+            F.count_distinct(F.md5(F.lower(F.trim(F.col("text")))))
+            .alias("n_distinct_texts"),
+        )
+    )
+    return dstats.join(tstats, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "vocab_size",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).cast("double").alias("mean_doc_tokens"),
+        F.round(
+            F.col("n_gopher_pass").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).cast("double").alias("gopher_pass_rate"),
+        F.round(
+            1.0
+            - F.col("n_distinct_texts").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).cast("double").alias("exact_dup_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic contrastive negative sampling
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_contrastive_negatives",
+    """
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    cand AS (
+        SELECT d.doc_id, j.j,
+               (d.doc_id * 2654435761 + j.j * 40503) %
+                   (SELECT n_docs FROM n) AS neg_id
+        FROM documents d
+        CROSS JOIN (SELECT unnest(range(1, 4)) AS j) j
+    )
+    SELECT c.doc_id, CAST(c.j AS INT) AS j, c.neg_id
+    FROM cand c
+    WHERE c.neg_id <> c.doc_id
+      AND NOT EXISTS (
+          SELECT 1 FROM (
+              WITH base AS (
+                  SELECT doc_id AS id, source,
+                         list_distinct(list_transform(
+                             range(1, greatest(len(string_split(text,' '))
+                                               - 2, 1) + 1),
+                             i -> string_split(text,' ')[i] || ' ' ||
+                                  string_split(text,' ')[i+1] || ' ' ||
+                                  string_split(text,' ')[i+2]
+                         )) AS sh
+                  FROM documents
+              ),
+              ex0 AS (SELECT id, source, unnest(sh) AS shingle FROM base),
+              exf AS (
+                  SELECT id, source, shingle
+                  FROM (SELECT id, source, shingle,
+                               COUNT(*) OVER (PARTITION BY source, shingle)
+                                   AS df
+                        FROM ex0)
+                  WHERE df <= 1000
+              ),
+              ex AS (
+                  SELECT id, source, shingle,
+                         COUNT(*) OVER (PARTITION BY id) AS n_sh
+                  FROM exf
+              ),
+              inter AS (
+                  SELECT a.id AS id_a, b.id AS id_b,
+                         a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_inter
+                  FROM ex a JOIN ex b
+                    ON a.shingle = b.shingle AND a.source = b.source
+                       AND a.id < b.id
+                  GROUP BY a.id, b.id, a.n_sh, b.n_sh
+              )
+              SELECT id_a, id_b FROM inter
+              WHERE CAST(n_inter AS DOUBLE)
+                    / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.1
+          ) p
+          WHERE (p.id_a = c.doc_id AND p.id_b = c.neg_id)
+             OR (p.id_a = c.neg_id AND p.id_b = c.doc_id)
+      )
+    """,
+)
+def doc_contrastive_negatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic random-negative sampling for contrastive training:
+    each document draws 3 pseudo-random partners (integer hash
+    arithmetic over the dense id space — rerun/layout-independent and
+    DuckDB-reproducible), then drops self-pairs and any partner that is
+    a near-duplicate (exact 3-gram Jaccard ≥ 0.1 — a near-dup is a
+    false negative that would poison the contrastive loss).
+
+    Scale shape: the candidate fan-out is a per-row map (k rows/doc);
+    the near-dup exclusion is one anti-join against the pair table the
+    dedup pipeline already produces.  NOT EXISTS in the oracle, a
+    symmetric-key anti-join in the plan."""
+    from ..operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    cand = (
+        docs.select("doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.expr("sequence(1, 3)")).alias("j"),
+        )
+        .select(
+            "doc_id",
+            F.col("j").cast("int").alias("j"),
+            (
+                (F.col("doc_id") * F.lit(2654435761) + F.col("j") * F.lit(40503))
+                % F.lit(int(n_docs))
+            ).alias("neg_id"),
+        )
+        .filter(F.col("neg_id") != F.col("doc_id"))
+    )
+    pairs = D.shingle_pairs_jaccard(
+        docs, block_cols=["source"], k=3, threshold=0.1
+    ).select(
+        F.least("id_a", "id_b").alias("lo"),
+        F.greatest("id_a", "id_b").alias("hi"),
+    )
+    keyed = cand.withColumn(
+        "lo", F.least(F.col("doc_id"), F.col("neg_id"))
+    ).withColumn("hi", F.greatest(F.col("doc_id"), F.col("neg_id")))
+    # no broadcast hint: the near-dup pair table is sparse but
+    # corpus-scale — the equi anti-join on (lo, hi) shuffles both
+    # sides; AQE may still broadcast when the pair side is small
+    return keyed.join(pairs, ["lo", "hi"], "left_anti").select(
+        "doc_id", "j", "neg_id"
+    )
