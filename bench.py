@@ -89,6 +89,7 @@ HEADLINE = [
     "doc_bpe_token_stats",
     "source_data_card",
     "doc_contrastive_negatives",
+    "doc_compression_signals",
 ]
 
 

@@ -77,3 +77,41 @@ def quality_classifier_scores(
         .alias("quality_prob"),
         (F.col("prediction") == 1.0).alias("quality_pred"),
     )
+
+
+def compression_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id_col, raw_len, zlib_len, compression_ratio): per-document
+    zlib compression ratio — the RedPajama-v2 quality signal
+    (ccnet_* family): highly compressible text is repetitive
+    boilerplate, incompressible text is often junk/binary; natural
+    prose sits in a mid band.
+
+    Arrow-batched map stage (mapInPandas + stdlib zlib, level 6 —
+    pinned so the ratio is a pure function of the text): no shuffle,
+    no external deps.  ratio = deflated/raw, exact integer division
+    in doubles."""
+    import zlib
+
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = pdf[text_col].str.encode("utf-8")
+            zl = raw.map(lambda b: len(zlib.compress(b, 6)))
+            rl = raw.map(len)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "raw_len": rl,
+                    "zlib_len": zl,
+                    "compression_ratio": zl / rl,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, "id long, raw_len long, zlib_len long, compression_ratio double"
+    ).withColumnRenamed("id", id_col)

@@ -723,6 +723,18 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("doc_compression_signals")  # stdlib zlib: rows-only (golden)
+def doc_compression_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio (operators/quality.py —
+    the RedPajama-v2 boilerplate/junk signal): Arrow-batched stdlib
+    deflate at pinned level 6, so the value is a pure function of the
+    text.  No DuckDB zlib — pinned by the sf0.01 golden + planted
+    monotonicity tests in tests/test_quality.py."""
+    from ..operators.quality import compression_signals
+
+    return compression_signals(load_table(spark, sf_dir, "documents"))
+
+
 @query("doc_repetition_signals")  # HOF/groupBy fractions: rows-only (golden)
 def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document (Rae et al.

@@ -68,6 +68,9 @@ GOLDEN_SHA256 = {
     "doc_bpe_token_stats": (
         500, "2feb5ed84141a1b52972fc01ad9d58d32cf23b3cd8a8ae02e4cb79e5392200f0"
     ),
+    "doc_compression_signals": (
+        500, "9a90af3c516d03d9ef0dd42193c45c72c001cb8cf3ea7502c4519b1dc701ea7f"
+    ),
     "doc_repetition_signals": (
         500, "0209fb5239f19ce3c56de0bd14d1914033cce0a7cf38e4294afe3a2864365b65"
     ),
