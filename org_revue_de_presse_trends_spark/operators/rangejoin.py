@@ -19,7 +19,11 @@ rows themselves survive.
 
 Band width = radius: with bands b = floor(v / radius) and probe
 exploded to {b−1, b, b+1}, any partner within ±radius shares one of
-those bands (|v1 − v2| ≤ radius ⇒ their bands differ by ≤ 1).
+those bands (|v1 − v2| ≤ radius ⇒ their bands differ by ≤ 1) — exact
+for the long-arithmetic (integral) path.  The double path probes
+{b−2 … b+2}: the residual predicate is evaluated in doubles, whose
+rounding can accept a pair whose true distance is one ulp past the
+radius, and that pair can sit two bands apart at a band boundary.
 """
 
 from __future__ import annotations
@@ -91,10 +95,21 @@ def band_interval_join(
 
     build = right.withColumn("__band", band(right_val))
     lband = band(left_val)
-    probe = left.withColumn(
-        "__band",
-        F.explode(F.array(lband - 1, lband, lband + 1)),
-    )
+    if integral:
+        # long arithmetic is exact: |a−b| ≤ r ⟹ bands differ by ≤ 1
+        probe_bands = F.array(lband - 1, lband, lband + 1)
+    else:
+        # double slack: the residual |a−b| ≤ r is evaluated in doubles,
+        # whose one-ulp rounding can accept a pair whose TRUE distance
+        # exceeds r — and such a pair can sit 2 bands apart when a
+        # value lies within an ulp of a band boundary (hypothesis
+        # counterexample: a=0.5, b=−2.2e−308, r=0.5: a−b rounds to
+        # exactly 0.5 but b's band is −1 vs a's 1).  ±2 covers every
+        # pair the double residual can accept.
+        probe_bands = F.array(
+            lband - 2, lband - 1, lband, lband + 1, lband + 2
+        )
+    probe = left.withColumn("__band", F.explode(probe_bands))
     residual = (
         F.abs(F.col(left_val) - F.col(right_val)) <= F.lit(radius)
     )

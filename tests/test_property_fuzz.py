@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import hashlib
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -235,7 +235,11 @@ def test_wav_roundtrip_fuzz(n, ch, rate, seed):
     ),
     st.sampled_from([0.5, 1, 7, 100]),
 )
+@example(lv=[0.5], rv=[-2.2250738585072014e-308], radius=0.5)
 def test_band_interval_join_matches_brute_force_fuzz(spark, lv, rv, radius):
+    # the pinned @example is the double-slack boundary bug hypothesis
+    # found: a-b rounds to exactly the radius while the operands sit
+    # two bands apart (fixed by the float path's +-2 band probe)
     from org_revue_de_presse_trends_spark.operators.rangejoin import (
         band_interval_join,
     )
