@@ -90,6 +90,8 @@ HEADLINE = [
     "source_data_card",
     "doc_contrastive_negatives",
     "doc_compression_signals",
+    "q12_priority_by_lateness",
+    "q20_excess_shippers",
 ]
 
 

@@ -305,3 +305,84 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "q12_priority_by_lateness",
+    f"""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE {_LATE} AND year(l_shipdate) = 1997
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_by_lateness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority audit, shipmode →
+    returnflag on this schema): late lineitems classified by whether
+    their order was high-priority — two conditional counts per group.
+    One fact-fact equi-join, predicates pushed to both scans."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1997
+    )
+    o = load_table(spark, sf_dir, "orders")
+    hi = F.expr(
+        "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+        " THEN 1 ELSE 0 END"
+    )
+    lo = F.expr(
+        "CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')"
+        " THEN 1 ELSE 0 END"
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.expr(_LATE))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(hi).cast("long").alias("high_line_count"),
+            F.sum(lo).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q20_excess_shippers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#5' AND year(l_shipdate) = 1997
+        GROUP BY l_suppkey
+        HAVING SUM(l_quantity) > 100
+    )
+    """,
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-inventory suppliers; partsupp's
+    availqty proxied by shipped quantity): IN over a grouped HAVING
+    subquery — the plan aggregates once and semi-joins the supplier
+    dim against the qualifying keys."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1997
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#5"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    qualifying = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 100)
+        .select("l_suppkey")
+    )
+    return s.join(
+        qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
