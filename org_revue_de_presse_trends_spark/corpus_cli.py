@@ -94,8 +94,14 @@ def curate(
     split_seed: int = 7,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the curation funnel; returns (curated docs with ``split``
-    column, per-stage survivor counts).  Pure DataFrame composition —
-    callers can extend the plan before writing."""
+    column, per-stage survivor counts).
+
+    Each filtering stage is ``localCheckpoint``'d before its funnel
+    count: the count doubles as the one materialization, so downstream
+    stages (and the final writes) read the checkpointed survivors
+    instead of re-executing the whole prefix — without it the
+    LSH + connected-components stage alone re-ran ~5× across counts
+    and writes (review finding)."""
     from .operators import dedup as D
     from .operators.splits import assign_split
     from .plans.analytics_ext import gopher_rule_flags
@@ -105,14 +111,16 @@ def curate(
 
     if gopher:
         passing = gopher_rule_flags(cur).filter(F.col("pass_gopher"))
-        cur = cur.join(passing.select("doc_id"), "doc_id", "left_semi")
+        cur = cur.join(
+            passing.select("doc_id"), "doc_id", "left_semi"
+        ).localCheckpoint()
         funnel["gopher_quality"] = cur.count()
 
     exact = D.dedup_exact(cur)
     cur = cur.join(
         exact.select(F.col("keep_id").alias("doc_id")), "doc_id",
         "left_semi",
-    )
+    ).localCheckpoint()
     funnel["exact_dedup"] = cur.count()
 
     if lsh_threshold > 0:
@@ -121,7 +129,7 @@ def curate(
         keep = verdicts.filter(F.col("keep")).select(
             F.col("id").alias("doc_id")
         )
-        cur = cur.join(keep, "doc_id", "left_semi")
+        cur = cur.join(keep, "doc_id", "left_semi").localCheckpoint()
         funnel["near_dup_dedup"] = cur.count()
 
     if benchmark is not None:
@@ -141,6 +149,7 @@ def curate(
                 )
                 .filter(F.length("text") > 0)
             )
+        cur = cur.localCheckpoint()
         funnel["decontaminated"] = cur.count()
 
     weights = split_weights or {"train": 0.9, "val": 0.05, "test": 0.05}
@@ -203,12 +212,31 @@ def main(argv: list[str] | None = None,
                 F.col("c.chunk").alias("chunk"),
                 F.col("c.n_tokens").alias("n_tokens"),
             )
-            packed = pack_sequences(
-                chunks.select("doc_id", "chunk_id", "n_tokens"),
-                budget=args.pack_budget,
-            )
-            out = chunks.join(packed.select("doc_id", "chunk_id", "seq_id"),
-                              ["doc_id", "chunk_id"])
+            # pack PER SPLIT: a sequence must never mix train/val/test
+            # chunks (review finding — cross-split members would break
+            # both isolation and the partitioned layout); seq_ids are
+            # scoped per split, matching the split-partitioned output
+            chunks = chunks.localCheckpoint()
+            split_names = [
+                r["split"]
+                for r in chunks.select("split").distinct().collect()
+            ]
+            parts = []
+            for s in sorted(split_names):
+                part = chunks.filter(F.col("split") == s)
+                packed = pack_sequences(
+                    part.select("doc_id", "chunk_id", "n_tokens"),
+                    budget=args.pack_budget,
+                )
+                parts.append(
+                    part.join(
+                        packed.select("doc_id", "chunk_id", "seq_id"),
+                        ["doc_id", "chunk_id"],
+                    )
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
             out.write.mode("overwrite").partitionBy("split").parquet(
                 os.path.join(args.out_dir, "packed_chunks")
             )

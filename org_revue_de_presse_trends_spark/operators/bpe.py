@@ -152,7 +152,9 @@ def bpe_encode(
                 continue
             memo: dict[str, list[str]] = {}
 
-            def enc(text: str) -> list[str]:
+            def enc(text) -> list[str]:
+                if not isinstance(text, str):  # NULL text → no tokens
+                    return []
                 out: list[str] = []
                 for w in text.split(" "):
                     if not w:

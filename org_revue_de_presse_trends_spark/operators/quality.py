@@ -19,6 +19,8 @@ query.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -94,13 +96,14 @@ def compression_signals(
     in doubles."""
     import zlib
 
-    import pandas as pd
-
     def gen(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            raw = pdf[text_col].str.encode("utf-8")
+            # NULL text → empty string; empty docs get a NULL ratio
+            # (0/0 is undefined, and Infinity would poison downstream
+            # mid-band filters — review finding)
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
             zl = raw.map(lambda b: len(zlib.compress(b, 6)))
             rl = raw.map(len)
             yield pd.DataFrame(
@@ -108,7 +111,9 @@ def compression_signals(
                     "id": pdf[id_col],
                     "raw_len": rl,
                     "zlib_len": zl,
-                    "compression_ratio": zl / rl,
+                    "compression_ratio": [
+                        z / r if r else None for z, r in zip(zl, rl)
+                    ],
                 }
             )
 

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions import text as T
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -493,7 +494,7 @@ def source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("pass_gopher").cast("int"))
             .cast("long")
             .alias("n_gopher_pass"),
-            F.count_distinct(F.md5(F.lower(F.trim(F.col("text")))))
+            F.count_distinct(T.fingerprint(F.col("text")))
             .alias("n_distinct_texts"),
         )
     )
@@ -530,8 +531,8 @@ def source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
     cand AS (
         SELECT d.doc_id, j.j,
-               (d.doc_id * 2654435761 + j.j * 40503) %
-                   (SELECT n_docs FROM n) AS neg_id
+               ((d.doc_id % (SELECT n_docs FROM n)) * 40503
+                + j.j * 1009) % (SELECT n_docs FROM n) AS neg_id
         FROM documents d
         CROSS JOIN (SELECT unnest(range(1, 4)) AS j) j
     )
@@ -609,8 +610,15 @@ def doc_contrastive_negatives(
         .select(
             "doc_id",
             F.col("j").cast("int").alias("j"),
+            # overflow-safe under ANSI: (id % n) < n keeps the 16-bit
+            # multiplier product under 2^63 for any plausible corpus
+            # (n < 2.2e14), unlike the raw Knuth-constant multiply
             (
-                (F.col("doc_id") * F.lit(2654435761) + F.col("j") * F.lit(40503))
+                (
+                    (F.col("doc_id") % F.lit(int(n_docs)))
+                    * F.lit(40503)
+                    + F.col("j") * F.lit(1009)
+                )
                 % F.lit(int(n_docs))
             ).alias("neg_id"),
         )

@@ -402,14 +402,22 @@ def foreach_batch_burst_detect(
             .groupBy("event_type", "day")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        try:
+        # existence check, not a bare except: a transient read error
+        # must FAIL the batch (so the stream retries), never silently
+        # reset the accumulated counts to this batch's slice (review
+        # finding — that would destroy every prior day's baseline)
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(counts_path)
+        fs = jvm_path.getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        if fs.exists(jvm_path):
             old = spark.read.parquet(counts_path)
             merged = (
                 old.unionByName(b)
                 .groupBy("event_type", "day")
                 .agg(F.sum("c").alias("c"))
             )
-        except Exception:  # noqa: BLE001 — first batch: no table yet
+        else:
             merged = b
         # materialize BEFORE overwriting the path being read
         rows = merged.localCheckpoint(eager=True)

@@ -40,8 +40,11 @@ def test_prepare_corpus_e2e_funnel_and_outputs(spark, tmp_path):
     # packed chunks: every chunk has a sequence, budget respected
     packed = spark.read.parquet(os.path.join(out, "packed_chunks"))
     assert funnel["packed_chunks"] == packed.count() > 0
+    # budget and split isolation: seq_ids are scoped per split, so a
+    # sequence is identified by (split, seq_id) and can never mix
+    # train/val/test members
     over = (
-        packed.groupBy("seq_id")
+        packed.groupBy("split", "seq_id")
         .agg(F.sum("n_tokens").alias("t"), F.count("*").alias("n"))
         .filter((F.col("t") > 128) & (F.col("n") > 1))
         .count()
