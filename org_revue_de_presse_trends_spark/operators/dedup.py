@@ -384,6 +384,39 @@ def simhash_pairs(
         for j in range(64)
     )
     hashed = counts.select("id", F.expr(packed_sql).alias("sh"))
+    return hamming_pairs(hashed, max_hamming)
+
+
+def hamming_pairs(
+    hashed: DataFrame, max_hamming: int = 3, n_chunks: int | None = None
+) -> DataFrame:
+    """All (id_a, id_b, hamming) pairs of 64-bit hashes within
+    ``max_hamming``, from an (id, sh) frame — the chunk-blocked join
+    shared by SimHash text dedup and perceptual-hash image dedup
+    (operators/multimodal.image_near_dup_pairs).
+
+    Blocking: split the hash into ``n_chunks`` equal chunks; any pair
+    within hamming distance < n_chunks must agree on ≥ 1 chunk
+    (pigeonhole), so candidates = equi-join on (chunk_idx, value).
+    ``n_chunks`` defaults to the smallest divisor of 64 above
+    ``max_hamming`` — full recall at the minimum candidate fan-out;
+    a finer chunking (more, narrower chunks) trades selectivity for
+    the guarantee as the radius grows."""
+    if n_chunks is None:
+        n_chunks = next(
+            c for c in (1, 2, 4, 8, 16, 32, 64) if c > max_hamming
+        )
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            f"pigeonhole blocking needs n_chunks > max_hamming; got "
+            f"n_chunks={n_chunks}, max_hamming={max_hamming}"
+        )
+    if 64 % n_chunks:
+        raise ValueError(f"n_chunks must divide 64, got {n_chunks}")
+    width = 64 // n_chunks
+    # width 64 (n_chunks=1, exact-duplicate radius): the all-ones mask
+    # must be the signed -1, not the unsigned 2^64-1 literal
+    mask = -1 if width == 64 else (1 << width) - 1
     chunks = hashed.select(
         "id",
         "sh",
@@ -392,11 +425,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("ci"),
-                        F.shiftright(F.col("sh"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("sh"), i * width)
+                        .bitwiseAND(F.lit(mask))
                         .alias("cv"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("c"),

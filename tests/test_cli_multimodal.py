@@ -471,3 +471,79 @@ def test_cli_since_last_week_rejects_firebase_sink(spark, domain_dir, tmp_path):
             ],
             spark=spark,
         )
+
+
+def test_phash_identical_images_match_and_noise_stays_close(spark):
+    """pHash invariants on REAL decoded PNGs: identical images hash
+    identically; a lightly-noised copy stays within a small hamming
+    distance; a structurally different image is far."""
+    import numpy as np
+
+    from org_revue_de_presse_trends_spark.functions import codecs
+    from org_revue_de_presse_trends_spark.operators.multimodal import (
+        phash_images,
+    )
+
+    rng = np.random.RandomState(11)
+    base = (rng.rand(48, 48, 3) * 255).astype(np.uint8)
+    # smooth gradient structure so the DCT signature is non-trivial
+    grad = np.linspace(0, 255, 48, dtype=np.uint8)
+    base[:, :, 0] = grad[None, :]
+    noised = base.copy()
+    noised[::7, ::7, 1] ^= 4  # sparse low-amplitude perturbation
+    other = (rng.rand(48, 48, 3) * 255).astype(np.uint8)
+    rows = [
+        (1, "image", bytearray(codecs.encode_png(base)), None),
+        (2, "image", bytearray(codecs.encode_png(base)), None),
+        (3, "image", bytearray(codecs.encode_png(noised)), None),
+        (4, "image", bytearray(codecs.encode_png(other)), None),
+    ]
+    from org_revue_de_presse_trends_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+    )
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["id"]: r["phash"]
+        for r in phash_images(media, decoder="auto").collect()
+    }
+    assert got[1] == got[2]
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(got[1], got[3]) <= 3
+    assert ham(got[1], got[4]) > 10
+
+
+def test_image_near_dup_pairs_finds_planted_copy(spark):
+    import numpy as np
+
+    from org_revue_de_presse_trends_spark.functions import codecs
+    from org_revue_de_presse_trends_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(5)
+    imgs = []
+    for i in range(6):
+        img = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+        img[:, :, 2] = np.linspace(0, 255, 32, dtype=np.uint8)[None, :]
+        imgs.append(img)
+    dup = imgs[0].copy()
+    dup[::9, ::9, 0] ^= 2
+    rows = [
+        (i, "image", bytearray(codecs.encode_png(img)), None)
+        for i, img in enumerate(imgs)
+    ] + [(100, "image", bytearray(codecs.encode_png(dup)), None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dup_pairs(
+            media, decoder="auto", max_hamming=3
+        ).collect()
+    }
+    assert (0, 100) in pairs, f"planted near-dup missed: {pairs}"
+    # no spurious pairs among the 6 independent random images
+    assert all(a == 0 and b == 100 for a, b in pairs), pairs
