@@ -408,3 +408,98 @@ def image_near_dup_pairs(
         "id", F.col("phash").alias("sh")
     )
     return hamming_pairs(hashed, max_hamming)
+
+
+def _audio_fingerprint64(
+    samples, n_frames: int = 17, n_bands: int = 4
+) -> int:
+    """64-bit spectral fingerprint of a mono signal: frame the clip,
+    FFT each frame, bit = band energy rises from one frame to the
+    next (the energy-delta construction behind chromaprint/Shazam-
+    family fingerprints — public algorithm).  (n_frames−1) × n_bands
+    must equal 64.  Pure numpy, deterministic."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype="float64").reshape(-1)
+    if x.size < n_frames:
+        x = np.pad(x, (0, n_frames - x.size))
+    frame_len = x.size // n_frames
+    frames = x[: frame_len * n_frames].reshape(n_frames, frame_len)
+    spec = np.abs(np.fft.rfft(frames, axis=1))
+    nbins = spec.shape[1]
+    edges = [(b * nbins) // n_bands for b in range(n_bands)] + [nbins]
+    energy = np.stack(
+        [
+            spec[:, edges[b] : edges[b + 1]].sum(axis=1)
+            for b in range(n_bands)
+        ],
+        axis=1,
+    )  # n_frames × n_bands
+    delta = energy[1:] > energy[:-1]  # (n_frames−1) × n_bands
+    bits = 0
+    for i, v in enumerate(delta.flatten()):
+        if v:
+            bits |= 1 << i
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def audio_fingerprints(
+    media: DataFrame,
+    decoder: str = "auto",
+    id_col: str = "media_id",
+    bytes_col: str = "payload",
+) -> DataFrame:
+    """(id, afp): 64-bit spectral fingerprint per audio row — the
+    audio twin of ``phash_images`` (decoder='auto' decodes WAV with
+    the stdlib codec; 'fake' fingerprints a pseudo-signal from the
+    raw bytes)."""
+    import numpy as np
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from ..functions import codecs
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for payload in pdf[bytes_col]:
+                if not payload:
+                    out.append(0)
+                elif decoder in ("auto", "real"):
+                    samples, _rate = codecs.decode_wav(bytes(payload))
+                    if samples.ndim == 2:  # stereo → mono mean
+                        samples = samples.mean(axis=1)
+                    out.append(_audio_fingerprint64(samples))
+                elif decoder == "fake":
+                    raw = np.frombuffer(
+                        bytes(payload), dtype=np.uint8
+                    ).astype("float64")
+                    out.append(_audio_fingerprint64(raw / 127.5 - 1.0))
+                else:
+                    raise NotImplementedError(
+                        f"no audio decoder {decoder!r} in this environment"
+                    )
+            yield pd.DataFrame({"id": pdf[id_col], "afp": out})
+
+    return media.select(id_col, bytes_col).mapInPandas(
+        run, "id long, afp long"
+    )
+
+
+def audio_near_dup_pairs(
+    media: DataFrame,
+    decoder: str = "auto",
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    bytes_col: str = "payload",
+) -> DataFrame:
+    """Near-duplicate audio pairs: spectral fingerprints + the shared
+    chunk-blocked hamming join.  Returns (id_a, id_b, hamming)."""
+    from .dedup import hamming_pairs
+
+    hashed = audio_fingerprints(media, decoder, id_col, bytes_col).select(
+        "id", F.col("afp").alias("sh")
+    )
+    return hamming_pairs(hashed, max_hamming)

@@ -547,3 +547,53 @@ def test_image_near_dup_pairs_finds_planted_copy(spark):
     assert (0, 100) in pairs, f"planted near-dup missed: {pairs}"
     # no spurious pairs among the 6 independent random images
     assert all(a == 0 and b == 100 for a, b in pairs), pairs
+
+
+def test_audio_fingerprint_identity_noise_and_pairs(spark):
+    """Audio twin of the pHash tests on REAL stdlib WAVs: identical
+    clips fingerprint identically, a lightly-noised copy stays within
+    hamming 3, an unrelated clip is far, and the blocked hamming join
+    finds exactly the planted pair."""
+    import numpy as np
+
+    from org_revue_de_presse_trends_spark.functions import codecs
+    from org_revue_de_presse_trends_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprints,
+        audio_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(3)
+    t = np.linspace(0, 1, 8000)
+    base = (
+        0.5 * np.sin(2 * np.pi * 440 * t)
+        + 0.3 * np.sin(2 * np.pi * 880 * t * (1 + 0.3 * t))
+    )
+    noised = base + rng.randn(len(t)) * 0.003
+    other = 0.6 * np.sign(np.sin(2 * np.pi * 123 * t)) * (1 - t)
+    clips = {1: base, 2: base, 3: noised, 4: other}
+    rows = [
+        (i, "audio", bytearray(codecs.encode_wav(
+            np.clip(c, -1, 1).astype("float64"), 8000)), None)
+        for i, c in clips.items()
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["id"]: r["afp"]
+        for r in audio_fingerprints(media, decoder="auto").collect()
+    }
+    assert got[1] == got[2]
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(got[1], got[3]) <= 3
+    assert ham(got[1], got[4]) > 8
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in audio_near_dup_pairs(
+            media, decoder="auto", max_hamming=3
+        ).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
