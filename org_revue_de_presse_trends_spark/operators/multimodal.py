@@ -503,3 +503,66 @@ def audio_near_dup_pairs(
         "id", F.col("afp").alias("sh")
     )
     return hamming_pairs(hashed, max_hamming)
+
+
+def video_near_dup_pairs(
+    media: DataFrame,
+    every_ms: int = 1000,
+    threshold: float = 0.5,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Near-duplicate video pairs by frame-set overlap: sample frames
+    (``sample_video_frames`` — the codec boundary), treat each video
+    as its SET of frame hashes, and score pairs by the overlap
+    coefficient |A∩B| / min(|A|,|B|) — robust to one video being a
+    clipped or extended cut of the other, the common video-dup case.
+
+    Same candidate shape as the text containment/winnowing family: an
+    equi self-join on the frame hash (videos sharing zero frames never
+    pair), intersection counts grouped per pair, set sizes attached
+    after.  Returns (id_a, id_b, n_shared, overlap)."""
+    frames = (
+        sample_video_frames(media, every_ms=every_ms, decoder=decoder)
+        .select(
+            F.col("media_id").cast("long").alias("id"),
+            F.col("frame_hash").alias("fh"),
+        )
+        .distinct()
+    )
+    sizes = frames.groupBy("id").agg(F.count(F.lit(1)).alias("n_frames"))
+    a, b = frames.alias("a"), frames.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.fh") == F.col("b.fh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(
+            sizes.select(
+                F.col("id").alias("id_a"), F.col("n_frames").alias("n_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.select(
+                F.col("id").alias("id_b"), F.col("n_frames").alias("n_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.least(F.col("n_a"), F.col("n_b")).cast("double")
+            ).alias("overlap"),
+        )
+        .filter(F.col("overlap") >= threshold)
+    )

@@ -597,3 +597,33 @@ def test_audio_fingerprint_identity_noise_and_pairs(spark):
     }
     assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
     assert not any(4 in p for p in pairs)
+
+
+def test_video_near_dup_pairs_clipped_copy(spark):
+    """Fake-decoder path: a video and its CLIPPED copy (same payload
+    prefix → shared frame slices) pair with high overlap; unrelated
+    payloads never pair."""
+    from org_revue_de_presse_trends_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        video_near_dup_pairs,
+    )
+
+    full = bytes(range(256)) * 40
+    clipped = full[: len(full) * 3 // 4]
+    other = bytes(reversed(full))
+    rows = [
+        (1, "video", bytearray(full), (None, None, None, 8000)),
+        (2, "video", bytearray(full), (None, None, None, 8000)),
+        (3, "video", bytearray(clipped), (None, None, None, 6000)),
+        (4, "video", bytearray(other), (None, None, None, 8000)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["overlap"]
+        for r in video_near_dup_pairs(
+            media, every_ms=1000, threshold=0.5, decoder="fake"
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical videos share every frame
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5  # clipped copy
+    assert not any(4 in p for p in pairs)
