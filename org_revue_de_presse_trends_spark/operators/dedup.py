@@ -402,6 +402,11 @@ def hamming_pairs(
     ``max_hamming`` — full recall at the minimum candidate fan-out;
     a finer chunking (more, narrower chunks) trades selectivity for
     the guarantee as the radius grows."""
+    if not 0 <= max_hamming < 64:
+        raise ValueError(
+            f"max_hamming must be in [0, 64) for 64-bit hashes, got "
+            f"{max_hamming}"
+        )
     if n_chunks is None:
         n_chunks = next(
             c for c in (1, 2, 4, 8, 16, 32, 64) if c > max_hamming

@@ -312,11 +312,30 @@ def sample_video_frames(
     return media.mapInPandas(run, schema=out_schema)
 
 
+_DCT_BASIS_CACHE: dict = {}
+
+
+def _dct_basis(n: int):
+    """Cached DCT-II basis matrix (constant per img_size — rebuilding
+    the 32×32 cos outer product per image row wastes linear work in
+    the hot mapInPandas loop; a module-level dict survives across
+    rows within each Python worker)."""
+    import numpy as np
+
+    got = _DCT_BASIS_CACHE.get(n)
+    if got is None:
+        k = np.arange(n)[:, None]
+        x = np.arange(n)[None, :]
+        got = np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+        _DCT_BASIS_CACHE[n] = got
+    return got
+
+
 def _phash64(pixels, hash_size: int = 8, img_size: int = 32) -> int:
-    """64-bit perceptual hash of a decoded image array (pHash: DCT-II
-    of the downsampled grayscale, top-left hash_size² coefficients vs
-    their median, DC excluded — the public algorithm behind
-    pHash/imagehash).  Pure numpy, deterministic."""
+    """64-bit perceptual hash of a decoded image array (pHash, the
+    imagehash convention: DCT-II of the downsampled grayscale, all
+    hash_size² top-left coefficients compared against their median).
+    Pure numpy, deterministic."""
     import numpy as np
 
     a = np.asarray(pixels, dtype="float64")
@@ -330,17 +349,12 @@ def _phash64(pixels, hash_size: int = 8, img_size: int = 32) -> int:
     ri = (np.arange(img_size) * h) // img_size
     ci = (np.arange(img_size) * w) // img_size
     small = a[np.ix_(ri, ci)]
-    # DCT-II via the basis matrix: F = D @ small @ D.T
-    n = img_size
-    k = np.arange(n)[:, None]
-    x = np.arange(n)[None, :]
-    d = np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+    d = _dct_basis(img_size)
     freq = d @ small @ d.T
     block = freq[:hash_size, :hash_size].flatten()
-    coeffs = block[1:]  # drop the DC term (pure brightness)
-    med = np.median(coeffs)
+    med = np.median(block)
     bits = 0
-    for i, c in enumerate(coeffs):
+    for i, c in enumerate(block):
         if c > med:
             bits |= 1 << i
     # fold to a signed 64-bit long for the LongType column
@@ -357,8 +371,16 @@ def phash_images(
 
     decoder='auto' really decodes (stdlib PNG, PIL when installed);
     'fake' hashes a deterministic pseudo-image derived from the raw
-    bytes, keeping the plumbing testable with arbitrary payloads."""
+    bytes, keeping the plumbing testable with arbitrary payloads.
+
+    Non-image rows are filtered out when a ``kind`` column is present
+    (the MEDIA_SCHEMA contract every sibling operator follows); empty
+    or NULL payloads hash to NULL, never to a shared sentinel that
+    would cross-pair them downstream."""
     import numpy as np
+
+    if "kind" in media.columns:
+        media = media.filter(F.col("kind") == "image")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -371,7 +393,7 @@ def phash_images(
             out = []
             for payload in pdf[bytes_col]:
                 if not payload:
-                    out.append(0)
+                    out.append(None)
                 elif decoder in ("auto", "real"):
                     out.append(_phash64(codecs.decode_image(bytes(payload))))
                 elif decoder == "fake":
@@ -404,8 +426,10 @@ def image_near_dup_pairs(
     (id_a, id_b, hamming)."""
     from .dedup import hamming_pairs
 
-    hashed = phash_images(media, decoder, id_col, bytes_col).select(
-        "id", F.col("phash").alias("sh")
+    hashed = (
+        phash_images(media, decoder, id_col, bytes_col)
+        .filter(F.col("phash").isNotNull())
+        .select("id", F.col("phash").alias("sh"))
     )
     return hamming_pairs(hashed, max_hamming)
 
@@ -452,8 +476,14 @@ def audio_fingerprints(
     """(id, afp): 64-bit spectral fingerprint per audio row — the
     audio twin of ``phash_images`` (decoder='auto' decodes WAV with
     the stdlib codec; 'fake' fingerprints a pseudo-signal from the
-    raw bytes)."""
+    raw bytes).  Non-audio rows are filtered out when ``kind`` is
+    present; empty/NULL payloads fingerprint to NULL; non-WAV audio
+    raises the module's NotImplementedError codec boundary, matching
+    ``_decode_payload``."""
     import numpy as np
+
+    if "kind" in media.columns:
+        media = media.filter(F.col("kind") == "audio")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -466,8 +496,14 @@ def audio_fingerprints(
             out = []
             for payload in pdf[bytes_col]:
                 if not payload:
-                    out.append(0)
+                    out.append(None)
                 elif decoder in ("auto", "real"):
+                    if codecs.sniff_format(bytes(payload)) != "wav":
+                        raise NotImplementedError(
+                            "only WAV audio decodes natively; other "
+                            "formats need an audio library not present "
+                            "in this environment"
+                        )
                     samples, _rate = codecs.decode_wav(bytes(payload))
                     if samples.ndim == 2:  # stereo → mono mean
                         samples = samples.mean(axis=1)
@@ -499,8 +535,10 @@ def audio_near_dup_pairs(
     chunk-blocked hamming join.  Returns (id_a, id_b, hamming)."""
     from .dedup import hamming_pairs
 
-    hashed = audio_fingerprints(media, decoder, id_col, bytes_col).select(
-        "id", F.col("afp").alias("sh")
+    hashed = (
+        audio_fingerprints(media, decoder, id_col, bytes_col)
+        .filter(F.col("afp").isNotNull())
+        .select("id", F.col("afp").alias("sh"))
     )
     return hamming_pairs(hashed, max_hamming)
 
@@ -521,12 +559,19 @@ def video_near_dup_pairs(
     equi self-join on the frame hash (videos sharing zero frames never
     pair), intersection counts grouped per pair, set sizes attached
     after.  Returns (id_a, id_b, n_shared, overlap)."""
+    if "kind" in media.columns:
+        media = media.filter(F.col("kind") == "video")
+    # a NULL/empty payload yields frame slices of b'' whose md5 is a
+    # CONSTANT — two contentless videos would otherwise pair at
+    # overlap 1.0; drop the empty-slice hash from every frame set
+    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"
     frames = (
         sample_video_frames(media, every_ms=every_ms, decoder=decoder)
         .select(
             F.col("media_id").cast("long").alias("id"),
             F.col("frame_hash").alias("fh"),
         )
+        .filter(F.col("fh") != empty_md5)
         .distinct()
     )
     sizes = frames.groupBy("id").agg(F.count(F.lit(1)).alias("n_frames"))

@@ -601,29 +601,40 @@ def test_audio_fingerprint_identity_noise_and_pairs(spark):
 
 def test_video_near_dup_pairs_clipped_copy(spark):
     """Fake-decoder path: a video and its CLIPPED copy (same payload
-    prefix → shared frame slices) pair with high overlap; unrelated
-    payloads never pair."""
+    prefix, proportional duration → identical slice boundaries) pair
+    with high overlap; unrelated payloads never pair; contentless
+    videos never pair with anything (their empty-slice hash is
+    excluded).  The payload is seeded-random, so every frame slice is
+    DISTINCT — each video's frame set is genuinely multi-element."""
+    import numpy as np
+
     from org_revue_de_presse_trends_spark.operators.multimodal import (
         MEDIA_SCHEMA,
         video_near_dup_pairs,
     )
 
-    full = bytes(range(256)) * 40
+    rng = np.random.RandomState(17)
+    full = bytes(rng.randint(0, 256, 10240, dtype=np.uint8))
     clipped = full[: len(full) * 3 // 4]
-    other = bytes(reversed(full))
+    other = bytes(rng.randint(0, 256, 10240, dtype=np.uint8))
     rows = [
         (1, "video", bytearray(full), (None, None, None, 8000)),
         (2, "video", bytearray(full), (None, None, None, 8000)),
         (3, "video", bytearray(clipped), (None, None, None, 6000)),
         (4, "video", bytearray(other), (None, None, None, 8000)),
+        (5, "video", None, (None, None, None, 8000)),
+        (6, "video", bytearray(b""), (None, None, None, 8000)),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     pairs = {
-        (r["id_a"], r["id_b"]): r["overlap"]
+        (r["id_a"], r["id_b"]): (r["n_shared"], r["overlap"])
         for r in video_near_dup_pairs(
             media, every_ms=1000, threshold=0.5, decoder="fake"
         ).collect()
     }
-    assert pairs[(1, 2)] == 1.0  # identical videos share every frame
-    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5  # clipped copy
-    assert not any(4 in p for p in pairs)
+    # identical videos share all 8 distinct frames
+    assert pairs[(1, 2)] == (8, 1.0)
+    # clipped copy: 6 frames, all shared with the full video
+    assert pairs[(1, 3)] == (6, 1.0)
+    for bad in (4, 5, 6):
+        assert not any(bad in p for p in pairs), (bad, pairs)
