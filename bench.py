@@ -92,6 +92,7 @@ HEADLINE = [
     "doc_compression_signals",
     "q12_priority_by_lateness",
     "q20_excess_shippers",
+    "q10_returned_item_customers",
 ]
 
 

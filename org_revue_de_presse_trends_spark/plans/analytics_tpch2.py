@@ -386,3 +386,55 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(
         qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi"
     ).select("s_suppkey", "s_name")
+
+
+@query(
+    "q10_returned_item_customers",
+    f"""
+    WITH ranked AS (
+        SELECT c_custkey, c_name, n_name,
+               CAST(ROUND(SUM({REVENUE}), 3) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON n_nationkey = c_nationkey
+        WHERE l_returnflag = 'R' AND year(o_orderdate) = 1997
+        GROUP BY c_custkey, c_name, n_name
+    )
+    SELECT c_custkey, c_name, n_name, revenue
+    FROM ranked
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_item_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): customers ranked by
+    revenue they returned in a year — fact join + broadcast dims +
+    grouped decimal aggregate + total-ordered top-20
+    (TakeOrderedAndProject, the unique-key tiebreak discipline)."""
+    from ..operators.topk import top_k
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1997
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    agg = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.expr(REVENUE)), 3).cast("double").alias(
+                "revenue"
+            )
+        )
+    )
+    return top_k(
+        agg, [F.desc("revenue"), F.asc("c_custkey")], 20
+    ).select("c_custkey", "c_name", "n_name", "revenue")

@@ -237,7 +237,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "q4_priority_with_late_lines", "q6_forecast_revenue_change",
         "q8_market_share", "q17_small_quantity_revenue",
         "q21_waiting_suppliers", "q12_priority_by_lateness",
-        "q20_excess_shippers",
+        "q20_excess_shippers", "q10_returned_item_customers",
     ], f"unexpected overflow oracled set: {overflow}"
 
 
