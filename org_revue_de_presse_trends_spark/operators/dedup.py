@@ -806,6 +806,13 @@ def _srp_bucket_pair_fn(
             pdf["v"].to_numpy(), threshold, block
         )
         if len(rows):
+            # position-paired kernel: duplicate ids would surface as
+            # id_a == id_b self-pairs (cos 1.0) that also defeat the
+            # xor band filter (xor=0 → always band 0) — drop them,
+            # matching the replaced join's a.id < b.id predicate
+            distinct = ids[rows] != ids[cols]
+            rows, cols, cos = rows[distinct], cols[distinct], cos[distinct]
+        if len(rows):
             band = int(pdf["band"].iloc[0])
             sig = pdf["sig"].to_numpy().astype(np.uint64)
             # first colliding band of each surviving pair: chunk b of

@@ -444,6 +444,13 @@ def _audio_fingerprint64(
     must equal 64.  Pure numpy, deterministic."""
     import numpy as np
 
+    if (n_frames - 1) * n_bands != 64:
+        raise ValueError(
+            "(n_frames - 1) * n_bands must equal 64, got "
+            f"({n_frames} - 1) * {n_bands} = {(n_frames - 1) * n_bands}"
+            " — bits above position 63 would overflow the signed-int64"
+            " fold and corrupt the Arrow long conversion"
+        )
     x = np.asarray(samples, dtype="float64").reshape(-1)
     if x.size < n_frames:
         x = np.pad(x, (0, n_frames - x.size))

@@ -65,6 +65,12 @@ def _cell_pair_fn(threshold: float, block: int):
         rows, cols, cos = V.blocked_cosine_pairs(
             pdf["v"].to_numpy(), threshold, block
         )
+        # the kernel pairs by POSITION: duplicate input ids would emit
+        # id_a == id_b rows the replaced join formulation's a.id < b.id
+        # predicate excluded — preserve that contract
+        if len(rows):
+            distinct = ids[rows] != ids[cols]
+            rows, cols, cos = rows[distinct], cols[distinct], cos[distinct]
         return pd.DataFrame(
             {"id_a": ids[rows], "id_b": ids[cols], "cos": cos}
         ).astype({"id_a": "int64", "id_b": "int64", "cos": "float64"})

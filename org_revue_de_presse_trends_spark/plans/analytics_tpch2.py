@@ -199,7 +199,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem l JOIN part p ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#3'
       AND l_quantity < 0.5 * (
-          SELECT AVG(l_quantity) FROM lineitem l2
+          SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*)
+          FROM lineitem l2
           WHERE l2.l_partkey = l.l_partkey
       )
     """,
@@ -210,17 +212,21 @@ def q17_small_quantity_revenue(
     """TPC-H Q17 shape (small-quantity-order revenue): a correlated
     scalar AVG subquery in the oracle; the plan decorrelates it into a
     per-part average aggregated once and broadcast back — the rewrite
-    that avoids re-scanning lineitem per row.  The avg comparison uses
-    the same double arithmetic on both sides (AVG of doubles over the
-    per-part group — identical accumulation grouping in both engines
-    because the group is the unit of aggregation, and the 0.5 factor
-    and comparison are single IEEE ops)."""
+    that avoids re-scanning lineitem per row.  The per-part average is
+    a decimal-exact SUM divided by COUNT (float AVG over partitions is
+    accumulation-order-dependent and could flip boundary rows between
+    engines); the decimal sum is exact, the double division and 0.5
+    factor are then single deterministic IEEE ops on both sides."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#3"
     )
     per_part = l.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.avg("l_quantity").alias("avg_qty")
+        (
+            F.sum(F.expr("CAST(l_quantity AS DECIMAL(18,6))"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
     )
     return (
         l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
@@ -360,7 +366,7 @@ def q12_priority_by_lateness(
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE p_brand = 'Brand#5' AND year(l_shipdate) = 1997
         GROUP BY l_suppkey
-        HAVING SUM(l_quantity) > 100
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 100
     )
     """,
 )
@@ -368,7 +374,10 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (excess-inventory suppliers; partsupp's
     availqty proxied by shipped quantity): IN over a grouped HAVING
     subquery — the plan aggregates once and semi-joins the supplier
-    dim against the qualifying keys."""
+    dim against the qualifying keys.  The HAVING sum is decimal-exact
+    on both sides: a float sum is accumulation-order-dependent and a
+    supplier landing near the 100 boundary could flip between
+    engines."""
     l = load_table(spark, sf_dir, "lineitem").filter(
         F.year("l_shipdate") == 1997
     )
@@ -379,7 +388,9 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying = (
         l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
-        .agg(F.sum("l_quantity").alias("q"))
+        .agg(
+            F.sum(F.expr("CAST(l_quantity AS DECIMAL(18,6))")).alias("q")
+        )
         .filter(F.col("q") > 100)
         .select("l_suppkey")
     )

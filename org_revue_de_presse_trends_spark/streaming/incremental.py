@@ -370,30 +370,41 @@ def foreach_batch_burst_detect(
     bursts_path: str,
     ts_col: str = "ts",
     shift_hours: int = 1,
+    compact_every: int = 8,
 ) -> Callable[[DataFrame, int], None]:
     """Streaming burst detection: accumulate per-(event_type, civil
     day) counts across micro-batches and recompute burst verdicts with
     the SAME formula as the batch query (``plans.events_analytics.
     burst_flags``) after every batch.
 
-    Per micro-batch: (1) the batch's (type, day) count increments merge
-    into the counts table — a sum-merge, so LATE events simply add to
-    their (old) day and the affected baselines re-evaluate on the next
-    write; (2) burst flags recompute over the merged counts and
-    atomically replace the verdict table.  Both tables are bounded at
-    types × days rows (the corpus-scale work — counting events — is
-    the incremental part), so the per-batch rewrite is small and the
-    end state after any chunking of the input equals the batch
-    computation exactly.
+    IDEMPOTENT under foreachBatch's at-least-once replay: each batch
+    writes its (type, day) count increments to a per-batch delta dir
+    ``<counts>/delta/batch_id=N`` (a replayed batch overwrites its own
+    delta with identical content — never a double-counting sum-merge
+    into a shared table), and the counts are the aggregate over deltas
+    at read time.  LATE events simply add mass to their (old) day's
+    key in the new delta, so affected baselines re-evaluate on the
+    next batch.
 
-    At-least-once safety: the merge is a sum of counts, so a REPLAYED
-    batch would double-count — wrap the sink with checkpointing (as
-    writeStream foreachBatch does) so each batch commits once; the
-    test drives it through availableNow triggers with a checkpoint.
+    Read fan-in stays bounded via compaction markers: once more than
+    ``compact_every`` deltas are live, the full aggregate is written to
+    ``<counts>/compact/upto=N+1`` (covering every batch_id < N+1) via
+    a temp dir + atomic FileSystem.rename, and readers take the MAX
+    marker and ignore all deltas/markers below it — so a crash between
+    the rename and delta GC leaves stale dirs that are ignored, never
+    double-counted, and GC is safe at any time.  Both tables are
+    bounded at types × days rows; burst verdicts are recomputed from
+    the counts every batch (derived state — a replay regenerates it).
     """
     from ..plans.events_analytics import burst_flags
 
     def run(batch_df: DataFrame, batch_id: int) -> None:
+        hpath = spark._jvm.org.apache.hadoop.fs.Path
+        fs = hpath(counts_path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        delta_root = f"{counts_path}/delta"
+        compact_root = f"{counts_path}/compact"
         b = (
             batch_df.select(
                 "event_type",
@@ -402,27 +413,56 @@ def foreach_batch_burst_detect(
             .groupBy("event_type", "day")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        # existence check, not a bare except: a transient read error
-        # must FAIL the batch (so the stream retries), never silently
-        # reset the accumulated counts to this batch's slice (review
-        # finding — that would destroy every prior day's baseline)
-        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(counts_path)
-        fs = jvm_path.getFileSystem(
-            spark._jsc.hadoopConfiguration()
+        # (1) idempotent per-batch delta: replay rewrites the same dir
+        b.write.mode("overwrite").parquet(
+            f"{delta_root}/batch_id={batch_id}"
         )
-        if fs.exists(jvm_path):
-            old = spark.read.parquet(counts_path)
-            merged = (
-                old.unionByName(b)
-                .groupBy("event_type", "day")
-                .agg(F.sum("c").alias("c"))
-            )
-        else:
-            merged = b
-        # materialize BEFORE overwriting the path being read
-        rows = merged.localCheckpoint(eager=True)
-        rows.write.mode("overwrite").parquet(counts_path)
-        counts = spark.read.parquet(counts_path)
+
+        def _subdirs(root: str, prefix: str) -> dict[int, str]:
+            rp = hpath(root)
+            if not fs.exists(rp):
+                return {}
+            out = {}
+            for st in fs.listStatus(rp):
+                name = st.getPath().getName()
+                if st.isDirectory() and name.startswith(prefix):
+                    try:
+                        out[int(name[len(prefix):])] = str(st.getPath())
+                    except ValueError:
+                        continue  # _tmp_* from an interrupted compact
+            return out
+
+        # (2) aggregate-on-read: max compact marker + deltas above it
+        compacts = _subdirs(compact_root, "upto=")
+        upto = max(compacts) if compacts else 0
+        deltas = _subdirs(delta_root, "batch_id=")
+        live = [p for k, p in deltas.items() if k >= upto]
+        paths = ([compacts[upto]] if compacts else []) + live
+        counts = (
+            spark.read.parquet(*paths)
+            .groupBy("event_type", "day")
+            .agg(F.sum("c").alias("c"))
+        )
+        # (3) verdicts: full recompute from counts, bounded rows
         burst_flags(counts).write.mode("overwrite").parquet(bursts_path)
+        # (4) compaction: fold everything committed so far (including
+        # this batch) under one marker; temp-write + atomic rename so a
+        # reader never sees a partial marker dir.  Skip if the marker
+        # already exists (replay — deterministic, identical content).
+        if len(live) > compact_every:
+            dst = hpath(f"{compact_root}/upto={batch_id + 1}")
+            if not fs.exists(dst):
+                tmp = f"{compact_root}/_tmp_upto={batch_id + 1}"
+                counts.write.mode("overwrite").parquet(tmp)
+                if not fs.rename(hpath(tmp), dst):
+                    raise IOError(
+                        f"compact rename failed: {tmp} -> {dst}"
+                    )
+            # (5) GC superseded dirs — reader already ignores them
+            for k, p in deltas.items():
+                if k <= batch_id:
+                    fs.delete(hpath(p), True)
+            for k, p in compacts.items():
+                fs.delete(hpath(p), True)
 
     return run

@@ -638,3 +638,19 @@ def test_video_near_dup_pairs_clipped_copy(spark):
     assert pairs[(1, 3)] == (6, 1.0)
     for bad in (4, 5, 6):
         assert not any(bad in p for p in pairs), (bad, pairs)
+
+
+def test_audio_fingerprint_rejects_non_64_bit_geometry():
+    """(n_frames-1) * n_bands != 64 would set bits above position 63
+    and overflow the signed fold — must raise, mirroring the explicit
+    guards in hamming_pairs and _ngram_hashes."""
+    import pytest as _pytest
+
+    from org_revue_de_presse_trends_spark.operators.multimodal import (
+        _audio_fingerprint64,
+    )
+
+    with _pytest.raises(ValueError, match="must equal 64"):
+        _audio_fingerprint64([0.0] * 256, n_frames=18, n_bands=4)
+    with _pytest.raises(ValueError, match="must equal 64"):
+        _audio_fingerprint64([0.0] * 256, n_frames=17, n_bands=8)

@@ -922,3 +922,28 @@ def test_embedding_lsh_preserves_double_typed_vectors(spark):
     assert got, "no pairs — weak test"
     for (i, j), c in got.items():
         assert abs(c - cos(rows[i][1], rows[j][1])) < 1e-12
+
+
+def test_srp_lsh_duplicate_ids_emit_no_self_pairs(spark):
+    """duplicate input ids must not surface as id_a == id_b self-pairs
+    (the position-paired matmul kernel would otherwise emit cos-1.0
+    rows the replaced join formulation's a.id < b.id excluded)."""
+    import math
+    import random
+
+    from org_revue_de_presse_trends_spark.operators.dedup import (
+        embedding_lsh_pairs,
+    )
+
+    rng = random.Random(7)
+    dim = 64
+    rows = []
+    for i in range(6):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        v = [x / n for x in v]
+        rows.append((i, v))
+        rows.append((i, v))  # exact duplicate id + vector
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = embedding_lsh_pairs(df, threshold=0.9, dim=dim).collect()
+    assert all(r["id_a"] != r["id_b"] for r in got), got

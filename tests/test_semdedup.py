@@ -90,3 +90,20 @@ def test_threshold_one_prunes_nothing(planted):
     out = _run(planted, threshold=1.01).collect()
     assert all(r["keep"] for r in out)
     assert all(r["cluster"] == r["id"] for r in out)
+
+
+def test_semdedup_cell_pairs_skip_duplicate_ids(spark):
+    """the intra-cell blocked-matmul pair stage pairs by position: two
+    rows sharing an id must not produce an id_a == id_b pair."""
+    import pandas as pd
+
+    from org_revue_de_presse_trends_spark.operators.semdedup import (
+        _cell_pair_fn,
+    )
+
+    v = [1.0] + [0.0] * 63
+    pdf = pd.DataFrame({"id": [5, 5, 9], "v": [v, v, v]})
+    out = _cell_pair_fn(threshold=0.5, block=4096)(pdf)
+    assert (out["id_a"] != out["id_b"]).all()
+    # the distinct-id pairs survive
+    assert set(zip(out["id_a"], out["id_b"])) == {(5, 9)}

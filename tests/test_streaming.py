@@ -818,3 +818,48 @@ def test_streaming_burst_detect_matches_batch(spark, tmp_path):
         for r in burst_flags(daily).collect()
     }
     assert got == want and got, "streamed bursts diverge from batch"
+
+
+def test_burst_detect_replay_idempotent_and_compacts(spark, tmp_path):
+    """at-least-once safety: replaying a micro-batch (same batch_id)
+    must not double-count — the per-batch delta overwrite is the
+    idempotency mechanism — and compaction (temp-write + atomic rename
+    of an upto= marker, then GC) must preserve the aggregate exactly.
+    Drives the foreachBatch fn directly to control batch_ids."""
+    from org_revue_de_presse_trends_spark.plans.events_analytics import (
+        burst_flags,
+    )
+    from org_revue_de_presse_trends_spark.streaming.incremental import (
+        foreach_batch_burst_detect,
+    )
+
+    ev = load_table(spark, SF, "events").select("ts", "event_type")
+    counts_path = str(tmp_path / "counts")
+    bursts_path = str(tmp_path / "bursts")
+    # compact_every=1 → every multi-delta batch triggers compaction
+    run = foreach_batch_burst_detect(
+        spark, counts_path, bursts_path, compact_every=1
+    )
+    chunks = [
+        ev.filter(F.crc32(F.col("ts").cast("string")) % 3 == p)
+        for p in range(3)
+    ]
+    run(chunks[0], 0)
+    run(chunks[0], 0)  # replay of batch 0 — must be a no-op net effect
+    run(chunks[1], 1)  # triggers compaction (2 live deltas > 1)
+    run(chunks[1], 1)  # replay AFTER compaction + GC of its delta
+    run(chunks[2], 2)
+    got = {
+        (r["event_type"], str(r["day"])): (r["n_events"], r["burst"])
+        for r in spark.read.parquet(bursts_path).collect()
+    }
+    daily = (
+        ev.select("event_type", civil_day(F.col("ts")).alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    want = {
+        (r["event_type"], str(r["day"])): (r["n_events"], r["burst"])
+        for r in burst_flags(daily).collect()
+    }
+    assert got == want and got, "replayed/compacted bursts diverge"
