@@ -388,7 +388,10 @@ def simhash_pairs(
 
 
 def hamming_pairs(
-    hashed: DataFrame, max_hamming: int = 3, n_chunks: int | None = None
+    hashed: DataFrame,
+    max_hamming: int = 3,
+    n_chunks: int | None = None,
+    max_chunk_df: int | None = None,
 ) -> DataFrame:
     """All (id_a, id_b, hamming) pairs of 64-bit hashes within
     ``max_hamming``, from an (id, sh) frame — the chunk-blocked join
@@ -401,7 +404,18 @@ def hamming_pairs(
     ``n_chunks`` defaults to the smallest divisor of 64 above
     ``max_hamming`` — full recall at the minimum candidate fan-out;
     a finer chunking (more, narrower chunks) trades selectivity for
-    the guarantee as the radius grows."""
+    the guarantee as the radius grows.
+
+    ``max_chunk_df`` is the skew guard for degenerate hash values —
+    the ``max_shingle_df`` analog on THIS join's key: a hash shared by
+    m contentless items (all-black pHash, silent-audio fingerprint)
+    puts m identical rows in each of its chunk buckets → m²·n_chunks
+    join rows.  The window-count cap drops (ci, cv) buckets with more
+    than ``max_chunk_df`` occupants before the join, bounding fan-out
+    linearly; the concession is pairs whose ONLY agreeing chunk was a
+    dropped bucket (such buckets are dominated by degenerate mass that
+    carries no near-dup signal).  Default None = exact pigeonhole
+    recall, for the golden-pinned text SimHash path."""
     if not 0 <= max_hamming < 64:
         raise ValueError(
             f"max_hamming must be in [0, 64) for 64-bit hashes, got "
@@ -439,6 +453,16 @@ def hamming_pairs(
             )
         ).alias("c"),
     ).select("id", "sh", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    if max_chunk_df is not None:
+        # df-count window keyed exactly like the join: its exchange IS
+        # the join's partitioning (reused across both sides), and a
+        # degenerate bucket costs df window rows, not df² join rows
+        w_df = Window.partitionBy("ci", "cv")
+        chunks = (
+            chunks.withColumn("_df", F.count(F.lit(1)).over(w_df))
+            .filter(F.col("_df") <= max_chunk_df)
+            .drop("_df")
+        )
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -418,12 +418,15 @@ def image_near_dup_pairs(
     max_hamming: int = 3,
     id_col: str = "media_id",
     bytes_col: str = "payload",
+    max_chunk_df: int | None = 1000,
 ) -> DataFrame:
     """Perceptual near-duplicate image pairs: pHash each image (one
     Arrow-batched map pass), then the chunk-blocked hamming join shared
     with SimHash text dedup (``dedup.hamming_pairs`` — candidates are
-    an equi-join on 16-bit hash chunks, never all-pairs).  Returns
-    (id_a, id_b, hamming)."""
+    an equi-join on 16-bit hash chunks, never all-pairs).  Media
+    corpora contain degenerate constants (all-black thumbnails hash to
+    one pHash), so the chunk-df skew guard defaults ON here — see
+    ``hamming_pairs``.  Returns (id_a, id_b, hamming)."""
     from .dedup import hamming_pairs
 
     hashed = (
@@ -431,7 +434,7 @@ def image_near_dup_pairs(
         .filter(F.col("phash").isNotNull())
         .select("id", F.col("phash").alias("sh"))
     )
-    return hamming_pairs(hashed, max_hamming)
+    return hamming_pairs(hashed, max_hamming, max_chunk_df=max_chunk_df)
 
 
 def _audio_fingerprint64(
@@ -537,9 +540,12 @@ def audio_near_dup_pairs(
     max_hamming: int = 3,
     id_col: str = "media_id",
     bytes_col: str = "payload",
+    max_chunk_df: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate audio pairs: spectral fingerprints + the shared
-    chunk-blocked hamming join.  Returns (id_a, id_b, hamming)."""
+    chunk-blocked hamming join, with the chunk-df skew guard ON by
+    default (silent clips fingerprint to one constant — see
+    ``hamming_pairs``).  Returns (id_a, id_b, hamming)."""
     from .dedup import hamming_pairs
 
     hashed = (
@@ -547,7 +553,7 @@ def audio_near_dup_pairs(
         .filter(F.col("afp").isNotNull())
         .select("id", F.col("afp").alias("sh"))
     )
-    return hamming_pairs(hashed, max_hamming)
+    return hamming_pairs(hashed, max_hamming, max_chunk_df=max_chunk_df)
 
 
 def video_near_dup_pairs(
@@ -555,6 +561,7 @@ def video_near_dup_pairs(
     every_ms: int = 1000,
     threshold: float = 0.5,
     decoder: str = "fake",
+    max_frame_df: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate video pairs by frame-set overlap: sample frames
     (``sample_video_frames`` — the codec boundary), treat each video
@@ -565,7 +572,15 @@ def video_near_dup_pairs(
     Same candidate shape as the text containment/winnowing family: an
     equi self-join on the frame hash (videos sharing zero frames never
     pair), intersection counts grouped per pair, set sizes attached
-    after.  Returns (id_a, id_b, n_shared, overlap)."""
+    after.  ``max_frame_df`` mirrors ``shingle_pair_counts``'s
+    ``max_shingle_df``: a frame shared by thousands of videos (channel
+    intro, black frame, test pattern) carries no near-dup signal but
+    would emit df²/2 join rows in one bucket — the window-count cap
+    bounds the self-join fan-out linearly and its exchange is the very
+    partitioning the join consumes.  Sizes are computed over the
+    CAPPED frame sets, so overlap stays a true coefficient over the
+    retained (informative) frames — the same semantics the text family
+    uses.  Returns (id_a, id_b, n_shared, overlap)."""
     if "kind" in media.columns:
         media = media.filter(F.col("kind") == "video")
     # a NULL/empty payload yields frame slices of b'' whose md5 is a
@@ -581,6 +596,13 @@ def video_near_dup_pairs(
         .filter(F.col("fh") != empty_md5)
         .distinct()
     )
+    if max_frame_df is not None:
+        w_df = Window.partitionBy("fh")
+        frames = (
+            frames.withColumn("_df", F.count(F.lit(1)).over(w_df))
+            .filter(F.col("_df") <= max_frame_df)
+            .drop("_df")
+        )
     sizes = frames.groupBy("id").agg(F.count(F.lit(1)).alias("n_frames"))
     a, b = frames.alias("a"), frames.alias("b")
     inter = (

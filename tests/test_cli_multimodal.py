@@ -654,3 +654,51 @@ def test_audio_fingerprint_rejects_non_64_bit_geometry():
         _audio_fingerprint64([0.0] * 256, n_frames=18, n_bands=4)
     with _pytest.raises(ValueError, match="must equal 64"):
         _audio_fingerprint64([0.0] * 256, n_frames=17, n_bands=8)
+
+
+def test_video_near_dup_ubiquitous_frame_capped(spark):
+    """max_frame_df mirrors max_shingle_df: a frame shared by many
+    videos (channel intro / black frame) must not drive the frame-hash
+    self-join — with the cap on, only the planted clipped-copy pair
+    survives; with the cap off the intro frame pairs every video with
+    every other (the Σm² blow-up the guard exists for)."""
+    import numpy as np
+
+    from org_revue_de_presse_trends_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        video_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(23)
+    intro = bytes(rng.randint(0, 256, 128, dtype=np.uint8))
+    rows = []
+    # 40 unrelated videos sharing ONLY the 128-byte intro frame
+    # (1024-byte payload / 8 frames -> 128-byte slices, intro = frame 0)
+    for vid in range(40):
+        body = bytes(rng.randint(0, 256, 896, dtype=np.uint8))
+        rows.append(
+            (vid, "video", bytearray(intro + body), (None, None, None, 8000))
+        )
+    # planted near-dup pair with its own distinct content
+    full = bytes(rng.randint(0, 256, 1024, dtype=np.uint8))
+    rows.append((100, "video", bytearray(full), (None, None, None, 8000)))
+    rows.append(
+        (101, "video", bytearray(full[:768]), (None, None, None, 6000))
+    )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in video_near_dup_pairs(
+            media, every_ms=1000, threshold=0.1, decoder="fake",
+            max_frame_df=10,
+        ).collect()
+    }
+    assert capped == {(100, 101)}, capped
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in video_near_dup_pairs(
+            media, every_ms=1000, threshold=0.1, decoder="fake",
+            max_frame_df=None,
+        ).collect()
+    }
+    assert len(uncapped) == 40 * 39 // 2 + 1, len(uncapped)

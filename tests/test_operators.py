@@ -947,3 +947,27 @@ def test_srp_lsh_duplicate_ids_emit_no_self_pairs(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     got = embedding_lsh_pairs(df, threshold=0.9, dim=dim).collect()
     assert all(r["id_a"] != r["id_b"] for r in got), got
+
+
+def test_hamming_pairs_chunk_df_cap_drops_degenerate_hash(spark):
+    """max_chunk_df guard: a degenerate hash value shared by m items
+    (all-black pHash, silent-audio fingerprint) floods its chunk
+    buckets with m rows each; the cap drops those buckets before the
+    join while a planted distinct near-pair still pairs."""
+    from org_revue_de_presse_trends_spark.operators.dedup import (
+        hamming_pairs,
+    )
+
+    rows = [(i, 0) for i in range(30)]  # degenerate constant hash
+    rows += [(100, 0x0F0F0F0F), (101, 0x0F0F0F0E)]  # hamming 1
+    df = spark.createDataFrame(rows, ["id", "sh"])
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_pairs(df, max_hamming=3, max_chunk_df=5).collect()
+    }
+    assert capped == {(100, 101)}, capped
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_pairs(df, max_hamming=3).collect()
+    }
+    assert len(uncapped) == 30 * 29 // 2 + 1, len(uncapped)

@@ -336,3 +336,82 @@ def test_span_decontamination_scales_linearly_10x(spark):
     s_ratio = results[5_000][1] / max(results[500][1], 1)
     assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× docs"
     assert s_ratio < 30, f"shuffle grew {s_ratio:.1f}× for 10× docs"
+
+
+def _synthetic_videos(spark, n: int):
+    """n videos sharing ONE ubiquitous 128-byte intro frame (frame 0)
+    with unique remaining frames — 1024-byte payloads sliced into 8
+    frames by the fake decoder.  Spark-side generation, no driver
+    loop."""
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.expr(
+            "cast(concat(repeat('I', 128), "
+            "substring(repeat(md5(cast(id as string)), 28), 1, 896)) "
+            "as binary)"
+        ).alias("payload"),
+        F.expr(
+            "named_struct('mime', cast(null as string), "
+            "'width', cast(null as int), 'height', cast(null as int), "
+            "'duration_ms', 8000)"
+        ).alias("meta"),
+    )
+
+
+def test_video_near_dup_capped_scales_linearly_10x(spark):
+    """The max_frame_df guard keeps the frame-hash self-join linear
+    when every video shares an intro frame — uncapped this shape is
+    Σm² = n² candidate rows, so 10× videos would grow runtime and
+    shuffle ~100×."""
+    from org_revue_de_presse_trends_spark.operators.multimodal import (
+        video_near_dup_pairs,
+    )
+
+    mc = MetricsCollector(spark)
+    results = {}
+    for n in (1_000, 10_000):
+        pairs = video_near_dup_pairs(
+            _synthetic_videos(spark, n), every_ms=1000, threshold=0.1,
+            decoder="fake", max_frame_df=100,
+        )
+        t0 = _time.perf_counter()
+        _, qm = mc.measure(
+            f"video_dup_{n}", pairs, action=lambda d: d.count()
+        )
+        results[n] = (_time.perf_counter() - t0, qm.shuffle_bytes_written)
+    t_ratio = results[10_000][0] / results[1_000][0]
+    s_ratio = results[10_000][1] / max(results[1_000][1], 1)
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× videos"
+    assert s_ratio < 30, f"shuffle grew {s_ratio:.1f}× for 10× videos"
+
+
+def test_hamming_pairs_capped_scales_linearly_10x(spark):
+    """Degenerate constant hash (10% of items) + max_chunk_df: the
+    chunk join must stay linear in n, not quadratic in the degenerate
+    mass — the pHash/audio-fingerprint skew shape."""
+    from org_revue_de_presse_trends_spark.operators.dedup import (
+        hamming_pairs,
+    )
+
+    mc = MetricsCollector(spark)
+    results = {}
+    for n in (20_000, 200_000):
+        hashed = spark.range(n).select(
+            F.col("id"),
+            # 10% collapse to sh=0 (degenerate); the rest pseudo-random
+            F.expr(
+                "case when id % 10 = 0 then cast(0 as bigint) "
+                "else xxhash64(id) end"
+            ).alias("sh"),
+        )
+        pairs = hamming_pairs(hashed, max_hamming=3, max_chunk_df=100)
+        t0 = _time.perf_counter()
+        _, qm = mc.measure(
+            f"hamming_{n}", pairs, action=lambda d: d.count()
+        )
+        results[n] = (_time.perf_counter() - t0, qm.shuffle_bytes_written)
+    t_ratio = results[200_000][0] / results[20_000][0]
+    s_ratio = results[200_000][1] / max(results[20_000][1], 1)
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× hashes"
+    assert s_ratio < 30, f"shuffle grew {s_ratio:.1f}× for 10× hashes"
