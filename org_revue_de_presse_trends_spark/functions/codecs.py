@@ -188,13 +188,20 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Image bytes → uint8 (H, W, C): stdlib for PNG, PIL for the rest
-    when installed, NotImplementedError at the codec boundary."""
+    """Image bytes → uint8 (H, W, C): stdlib for PNG and baseline
+    JPEG, PIL for the rest when installed, NotImplementedError at the
+    codec boundary."""
     fmt = sniff_format(payload)
     if fmt == "png":
         try:
             return decode_png(payload)
         except NotImplementedError:
+            if not HAVE_PIL:
+                raise
+    if fmt == "jpeg":
+        try:
+            return decode_jpeg(payload)
+        except NotImplementedError:  # progressive/12-bit/CMYK → PIL
             if not HAVE_PIL:
                 raise
     if HAVE_PIL:  # pragma: no cover - exercised only with PIL
@@ -204,7 +211,7 @@ def decode_image(payload: bytes) -> np.ndarray:
             return np.asarray(im.convert("RGB"))
     raise NotImplementedError(
         f"decoding {fmt!r} images requires PIL, which is not installed; "
-        "PNG decodes natively"
+        "PNG and baseline JPEG decode natively"
     )
 
 
@@ -285,3 +292,629 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
         w.setframerate(rate)
         w.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 sequential DCT, Huffman, 8-bit) — stdlib+numpy.
+#
+# The decoder reads DQT/DHT tables from the stream, supports 1- and
+# 3-component images, sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0),
+# and restart intervals; progressive (SOF2) and arithmetic coding
+# raise NotImplementedError (the PIL fallback handles them when
+# installed).  The encoder emits 4:4:4 or 4:2:0 with the example
+# quantization/Huffman tables of T.81 Annex K (public spec) scaled by
+# the libjpeg quality formula.
+#
+# Scale note: entropy decode is a per-symbol Python loop (Huffman is
+# inherently sequential); the IDCT/color steps are batched numpy.
+# Inside mapInPandas this bounds per-image decode at roughly ~100k
+# coefficients/s/core — fine for thumbnails and the dedup/feature
+# paths, slow for megapixel scans (install PIL to lift the boundary).
+# --------------------------------------------------------------------------
+
+#: zigzag position -> natural (row-major) index
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+#: T.81 Annex K example quantization tables (natural order built at use)
+_STD_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_STD_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+#: T.81 Annex K example Huffman tables: (BITS counts per length 1..16,
+#: HUFFVAL symbol list)
+_STD_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+_DCT8_CACHE: list = []
+
+
+def _dct8() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis A: forward = A @ X @ A.T,
+    inverse = A.T @ C @ A."""
+    if not _DCT8_CACHE:
+        n = np.arange(8)
+        a = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+        a *= np.sqrt(2.0 / 8.0)
+        a[0] *= np.sqrt(0.5)
+        _DCT8_CACHE.append(a)
+    return _DCT8_CACHE[0]
+
+
+def _huff_canonical(bits_counts, values):
+    """Canonical Huffman code assignment (T.81 C.2): returns
+    {symbol: (code, length)}."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits_counts[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits_counts, values):
+    """Per-length (mincode, maxcode, valptr) triples for canonical
+    decode, -1 maxcode where a length has no codes."""
+    spans, code, k = [], 0, 0
+    for length in range(1, 17):
+        cnt = bits_counts[length - 1]
+        spans.append((code, code + cnt - 1 if cnt else -1, k))
+        code = (code + cnt) << 1
+        k += cnt
+    return spans, list(values)
+
+
+class _BitReader:
+    """MSB-first bit reader over an UNSTUFFED entropy segment."""
+
+    __slots__ = ("d", "pos", "acc", "n")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read(self, k: int) -> int:
+        while self.n < k:
+            b = self.d[self.pos] if self.pos < len(self.d) else 0
+            self.pos += 1
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFFFFFFFF
+            self.n += 8
+        self.n -= k
+        return (self.acc >> self.n) & ((1 << k) - 1)
+
+
+def _huff_read(br: _BitReader, table) -> int:
+    spans, values = table
+    code = 0
+    for length in range(16):
+        code = (code << 1) | br.read(1)
+        lo, hi, base = spans[length]
+        if hi >= 0 and lo <= code <= hi:
+            return values[base + code - lo]
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → uint8 (H, W, C) with C=1 (grayscale) or
+    C=3 (RGB via BT.601 from YCbCr).  NotImplementedError on
+    progressive/arithmetic/12-bit streams."""
+    if not payload.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], tuple] = {}
+    restart_interval = 0
+    frame = None
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD8:  # stray SOI
+            pos += 2
+            continue
+        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                      0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} (progressive/arithmetic/"
+                "lossless) needs PIL; only baseline decodes natively"
+            )
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        seg = payload[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq:
+                    zz = np.frombuffer(
+                        seg[i : i + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    i += 128
+                else:
+                    zz = np.frombuffer(
+                        seg[i : i + 64], dtype=np.uint8
+                    ).astype(np.int64)
+                    i += 64
+                nat = np.zeros(64, dtype=np.int64)
+                nat[_ZIGZAG] = zz
+                qtables[tq] = nat
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = list(seg[i + 1 : i + 17])
+                nvals = sum(counts)
+                vals = list(seg[i + 17 : i + 17 + nvals])
+                htables[(tc, th)] = _huff_decode_table(counts, vals)
+                i += 17 + nvals
+        elif marker in (0xC0, 0xC1):  # SOF0/1 (both sequential Huffman)
+            prec, h, w, nf = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(
+                    f"{prec}-bit JPEG needs PIL; only 8-bit baseline "
+                    "decodes natively"
+                )
+            comps = []
+            for c in range(nf):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cid, tda = seg[1 + 2 * c : 3 + 2 * c]
+                sel[cid] = (tda >> 4, tda & 15)
+            # entropy data runs from here to the next non-RST marker
+            end = pos
+            while end + 1 < len(payload):
+                if payload[end] == 0xFF and payload[end + 1] not in (
+                    0x00, *range(0xD0, 0xD8),
+                ):
+                    break
+                end += 1
+            scan = (sel, payload[pos:end])
+            pos = end
+            break
+        # all other markers (APPn, COM): skipped via seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    sel, raw = scan
+    comps = frame["comps"]
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(
+            f"{len(comps)}-component JPEG (CMYK?) needs PIL"
+        )
+    for comp in comps:
+        if not (1 <= comp["h"] <= 2 and 1 <= comp["v"] <= 2):
+            raise NotImplementedError(
+                f"sampling factors {comp['h']}x{comp['v']} unsupported"
+            )
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    height, width = frame["h"], frame["w"]
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    # split on restart markers, unstuff each segment
+    segments = []
+    cur = bytearray()
+    i = 0
+    while i < len(raw):
+        if raw[i] == 0xFF and i + 1 < len(raw):
+            nxt = raw[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(raw[i])
+        i += 1
+    segments.append(bytes(cur))
+    # per-component block grids (MCU-padded)
+    grids = [
+        np.zeros(
+            (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.float64
+        )
+        for c in comps
+    ]
+    preds = [0] * len(comps)
+    br = _BitReader(segments[0])
+    seg_idx = 0
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("JPEG truncated at restart")
+                br = _BitReader(segments[seg_idx])
+                preds = [0] * len(comps)
+            for ci, comp in enumerate(comps):
+                td, ta = sel[comp["id"]]
+                dc_tbl = htables.get((0, td))
+                ac_tbl = htables.get((1, ta))
+                if dc_tbl is None or ac_tbl is None:
+                    raise ValueError("JPEG scan references missing DHT")
+                q = qtables[comp["tq"]]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        s = _huff_read(br, dc_tbl)
+                        diff = _extend(br.read(s), s) if s else 0
+                        preds[ci] += diff
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_read(br, ac_tbl)
+                            r, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC overflow")
+                            coef[_ZIGZAG[k]] = _extend(
+                                br.read(size), size
+                            )
+                            k += 1
+                        grids[ci][
+                            my * comp["v"] + by, mx * comp["h"] + bx
+                        ] = coef * q
+            mcu_count += 1
+    # batched IDCT + assembly per component
+    a = _dct8()
+    planes = []
+    for ci, comp in enumerate(comps):
+        g = grids[ci]
+        by, bx = g.shape[0], g.shape[1]
+        blocks = g.reshape(by, bx, 8, 8)
+        pix = np.einsum("ki,yxkl,lj->yxij", a, blocks, a) + 128.0
+        plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        # upsample to full-res geometry, crop to the image
+        plane = np.repeat(
+            np.repeat(plane, vmax // comp["v"], axis=0),
+            hmax // comp["h"],
+            axis=1,
+        )[:height, :width]
+        planes.append(plane)
+    if len(planes) == 1:
+        out = planes[0][:, :, None]
+    else:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        gch = (
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        )
+        b = y + 1.772 * (cb - 128.0)
+        out = np.stack([r, gch, b], axis=2)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing."""
+
+    __slots__ = ("buf", "acc", "n")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling (public formula)."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255)
+
+
+def _encode_block(
+    bw: _BitWriter, coef: np.ndarray, pred: int, dc_map, ac_map
+) -> int:
+    """Quantized natural-order 8x8 coefficients → entropy bits.
+    Returns the block's DC (new predictor)."""
+    zz = coef[_ZIGZAG]
+    dc = int(zz[0])
+    diff = dc - pred
+    mag = abs(diff)
+    s = mag.bit_length()
+    code, length = dc_map[s]
+    bw.write(code, length)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_map[0xF0]
+            bw.write(code, length)
+            run -= 16
+        s = abs(v).bit_length()
+        code, length = ac_map[run * 16 + s]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_map[0x00]
+        bw.write(code, length)
+    return dc
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 (H, W), (H, W, 1) or (H, W, 3) → baseline JPEG bytes.
+    ``subsample=True`` emits 4:2:0 chroma; default 4:4:4.
+    ``restart_interval`` > 0 emits a DRI marker and RSTn markers every
+    that many MCUs (error-resilience structure real encoders produce).
+    Uses the T.81 Annex K example tables scaled by ``quality``."""
+    img = np.asarray(img, dtype=np.float64)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.ndim != 3 or img.shape[2] not in (1, 3):
+        raise ValueError(f"unsupported image shape {img.shape}")
+    height, width, nch = img.shape
+    if nch == 3:
+        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [
+            (1, 1), (1, 1), (1, 1)
+        ]
+    else:
+        planes = [img[:, :, 0]]
+        samp = [(1, 1)]
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    qt = [
+        _quality_scale(_STD_QUANT_LUMA, quality),
+        _quality_scale(_STD_QUANT_CHROMA, quality),
+    ]
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    # per-component planes sized to the MCU grid, edge-replicated
+    comp_planes = []
+    for ci, plane in enumerate(planes):
+        h, v = samp[ci]
+        if (h, v) != (hmax, vmax):
+            # box-mean subsample by (vmax//v, hmax//h)
+            fy, fx = vmax // v, hmax // h
+            ph = -(-height // fy) * fy
+            pw = -(-width // fx) * fx
+            padded = np.pad(
+                plane,
+                ((0, ph - height), (0, pw - width)),
+                mode="edge",
+            )
+            plane = padded.reshape(
+                ph // fy, fy, pw // fx, fx
+            ).mean(axis=(1, 3))
+        th = mcus_y * v * 8
+        tw = mcus_x * h * 8
+        plane = np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        )
+        comp_planes.append(plane)
+    # forward DCT + quantize every block, batched per component
+    a = _dct8()
+    quantized = []
+    for ci, plane in enumerate(comp_planes):
+        h8, w8 = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = (
+            plane.reshape(h8, 8, w8, 8).transpose(0, 2, 1, 3) - 128.0
+        )
+        coefs = np.einsum("ik,yxkl,jl->yxij", a, blocks, a)
+        # Annex K tables are in zigzag order; divide in natural order
+        qnat = np.zeros(64, dtype=np.int64)
+        qnat[_ZIGZAG] = qt[min(ci, 1)]
+        quantized.append(
+            np.round(
+                coefs.reshape(h8, w8, 64) / qnat
+            ).astype(np.int64)
+        )
+    dc_maps = [
+        _huff_canonical(*_STD_DC_LUMA),
+        _huff_canonical(*_STD_DC_CHROMA),
+    ]
+    ac_maps = [
+        _huff_canonical(*_STD_AC_LUMA),
+        _huff_canonical(*_STD_AC_CHROMA),
+    ]
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                bw.flush()
+                bw.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * len(planes)
+            mcu_count += 1
+            for ci in range(len(planes)):
+                h, v = samp[ci]
+                t = min(ci, 1)
+                for by in range(v):
+                    for bx in range(h):
+                        preds[ci] = _encode_block(
+                            bw,
+                            quantized[ci][my * v + by, mx * h + bx],
+                            preds[ci],
+                            dc_maps[t],
+                            ac_maps[t],
+                        )
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    for t in range(2 if nch == 3 else 1):
+        # Annex K tables are given in zigzag order already — emit as-is
+        out += seg(0xDB, bytes([t]) + bytes(int(x) for x in qt[t]))
+    sof = struct.pack(">BHHB", 8, height, width, nch)
+    for ci in range(nch):
+        h, v = samp[ci]
+        sof += bytes([ci + 1, (h << 4) | v, min(ci, 1)])
+    out += seg(0xC0, sof)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    for t, (tc, tbl) in enumerate(
+        [(0, _STD_DC_LUMA), (1, _STD_AC_LUMA)]
+        + ([(0, _STD_DC_CHROMA), (1, _STD_AC_CHROMA)] if nch == 3 else [])
+    ):
+        th = 0 if t < 2 else 1
+        counts, vals = tbl
+        out += seg(
+            0xC4,
+            bytes([(tc << 4) | th]) + bytes(counts) + bytes(vals),
+        )
+    sos = bytes([nch])
+    for ci in range(nch):
+        t = min(ci, 1)
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)

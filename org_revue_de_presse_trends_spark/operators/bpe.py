@@ -82,6 +82,7 @@ def train_bpe(
     n_merges: int = 100,
     text_col: str = "text",
     max_words: int = 1_000_000,
+    stats_out: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merge rules from the corpus.
 
@@ -89,13 +90,48 @@ def train_bpe(
     ``max_words`` words by (count desc, word asc) — a deterministic,
     driver-bounded collect — seed the classic in-memory merge loop.
     Ties on pair frequency break lexicographically, so the merge list
-    is a pure function of the corpus."""
+    is a pure function of the corpus.
+
+    Truncation is NOT silent: when the corpus vocabulary exceeds
+    ``max_words`` the merges train on a biased (head-heavy) sample, so
+    the dropped-word count and dropped token-mass fraction are
+    computed in the same pass (the word table is localCheckpointed —
+    one corpus scan), surfaced via ``warnings.warn``, and written into
+    ``stats_out`` when given: keys ``n_words_total``,
+    ``n_words_kept``, ``mass_total``, ``mass_kept``,
+    ``truncated_mass_fraction``."""
+    import warnings
+
+    wc = word_counts(docs, text_col).localCheckpoint(eager=True)
+    totals = wc.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("mass")
+    ).collect()[0]
     rows = (
-        word_counts(docs, text_col)
-        .orderBy(F.col("c").desc(), F.col("word").asc())
+        wc.orderBy(F.col("c").desc(), F.col("word").asc())
         .limit(max_words)
         .collect()
     )
+    n_total = int(totals["n"] or 0)
+    mass_total = int(totals["mass"] or 0)
+    mass_kept = sum(int(r["c"]) for r in rows)
+    trunc_frac = (
+        (mass_total - mass_kept) / mass_total if mass_total else 0.0
+    )
+    if stats_out is not None:
+        stats_out.update(
+            n_words_total=n_total,
+            n_words_kept=len(rows),
+            mass_total=mass_total,
+            mass_kept=mass_kept,
+            truncated_mass_fraction=trunc_frac,
+        )
+    if n_total > len(rows):
+        warnings.warn(
+            f"train_bpe: vocabulary truncated to max_words={max_words} "
+            f"of {n_total} distinct words — {trunc_frac:.1%} of token "
+            "mass dropped; merges train on the frequency head",
+            stacklevel=2,
+        )
     vocab: dict[tuple[str, ...], int] = {}
     for r in rows:
         key = tuple(r["word"]) + (EOW,)

@@ -74,29 +74,36 @@ def test_payload_tail_carries_critical_fields():
 
     n = 60
     qnames = [f"query_name_number_{i:02d}" for i in range(n)]
+    sec_names = [f"secondary_query_num_{i:02d}" for i in range(30)]
     warm = {q: 1.234 for q in qnames}
-    cold = {q: 2.345 for q in qnames}
+    warm_sec = {q: 0.123 for q in sec_names}
+    cold = {q: 2.345 for q in qnames + sec_names}
     io = {
         q: {"read_mb": 12.34, "shuffle_mb": 5.67, "spill_mb": 0.0,
             "tasks": 64, "rows": 1000}
-        for q in qnames
+        for q in qnames + sec_names
     }
     line = json.dumps(
         build_payload(0.1, io, cold, warm, {"bad_query": "Boom: x"},
-                      0.5, 0.52)
+                      0.5, 0.52, warm_sec)
     )
     tail = line[-2000:]
     assert '"errors"' in tail and '"n_failed"' in tail
     assert '"queries"' in tail and '"value"' in tail
     assert '"value_normalized"' in tail
-    # every warm timing must be individually recoverable from the tail
+    # every HEADLINE warm timing must be individually recoverable from
+    # the tail — the secondary map is sacrificial head weight and must
+    # NOT displace them
     for q in qnames:
         assert tail.count(f'"{q}": 1.234') == 1
-    # order pin: the five critical keys are the LAST five keys
+    # order pin: the five critical keys are the LAST five keys, and the
+    # secondary section sits in the head, before errors
     keys = list(json.loads(line).keys())
     assert keys[-5:] == [
         "errors", "n_failed", "queries", "value", "value_normalized"
     ]
+    assert keys.index("queries_secondary") < keys.index("errors")
+    assert json.loads(line)["secondary_total"] == round(0.123 * 30, 3)
 
 
 def test_timed_collect_cancels_hanging_query_and_recovers(spark):

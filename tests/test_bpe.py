@@ -74,3 +74,32 @@ def test_encode_token_stream_reconstructs_text(spark):
         original = {0: "the quick brown fox",
                     1: "jumps over the lazy dog"}[r["doc_id"]]
         assert words[:-1] == original.split(" ")
+
+
+def test_train_bpe_truncation_is_signaled(spark):
+    """A vocabulary larger than max_words must warn and report the
+    dropped token-mass fraction instead of silently training on the
+    biased head."""
+    import warnings
+
+    from org_revue_de_presse_trends_spark.operators.bpe import train_bpe
+
+    rows = [(i, f"common common w{i:03d}") for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    stats: dict = {}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        merges = train_bpe(docs, n_merges=5, max_words=5, stats_out=stats)
+    assert any("truncated" in str(w.message) for w in caught)
+    assert merges, "merges must still train on the kept head"
+    assert stats["n_words_total"] == 21  # 'common' + 20 unique words
+    assert stats["n_words_kept"] == 5
+    # kept mass: 'common' (40) + 4 words (1 each); total = 60
+    assert stats["mass_total"] == 60
+    assert stats["mass_kept"] == 44
+    assert abs(stats["truncated_mass_fraction"] - 16 / 60) < 1e-12
+    # no warning when the vocab fits
+    with warnings.catch_warnings(record=True) as caught2:
+        warnings.simplefilter("always")
+        train_bpe(docs, n_merges=2, max_words=1000)
+    assert not any("truncated" in str(w.message) for w in caught2)

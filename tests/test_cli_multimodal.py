@@ -702,3 +702,50 @@ def test_video_near_dup_ubiquitous_frame_capped(spark):
         ).collect()
     }
     assert len(uncapped) == 40 * 39 // 2 + 1, len(uncapped)
+
+
+def test_phash_and_features_auto_path_real_jpeg(spark):
+    """decoder='auto' now covers baseline JPEG natively: features come
+    from DECODED pixels (solid-color JPEG → byte_mean equals the color
+    mean, far from the entropy-coded container bytes), identical
+    JPEGs phash identically, and a JPEG copy of a PNG image phashes
+    within a small hamming distance of the PNG original (same pixels,
+    different container)."""
+    import numpy as np
+
+    from org_revue_de_presse_trends_spark.functions import codecs
+    from org_revue_de_presse_trends_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+        phash_images,
+    )
+
+    rng = np.random.RandomState(29)
+    base = (rng.rand(48, 48, 3) * 255).astype(np.uint8)
+    grad = np.linspace(0, 255, 48, dtype=np.uint8)
+    base[:, :, 0] = grad[None, :]
+    solid = np.full((16, 16, 3), 0, dtype=np.uint8)
+    solid[:, :, 0], solid[:, :, 1], solid[:, :, 2] = 200, 100, 50
+    rows = [
+        (1, "image", bytearray(codecs.encode_jpeg(base, 95)), None),
+        (2, "image", bytearray(codecs.encode_jpeg(base, 95)), None),
+        (3, "image", bytearray(codecs.encode_png(base)), None),
+        (4, "image", bytearray(codecs.encode_jpeg(solid, 95)), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["id"]: r["phash"]
+        for r in phash_images(media, decoder="auto").collect()
+    }
+    assert got[1] == got[2]
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(got[1], got[3]) <= 3, "JPEG vs PNG of same pixels drifted"
+    feats = {
+        r["media_id"]: r
+        for r in extract_media_features(media, decoder="auto").collect()
+    }
+    want_mean = float(np.mean([200.0, 100.0, 50.0]))
+    assert abs(feats[4]["byte_mean"] - want_mean) < 1.5

@@ -208,8 +208,12 @@ def test_sniff_format():
 
 
 @pytest.mark.skipif(codecs.HAVE_PIL, reason="PIL installed: real path")
-def test_non_png_image_raises_without_pil():
+def test_undecodable_format_raises_without_pil():
+    # GIF sits past the native boundary (PNG + baseline JPEG decode
+    # without PIL since r6); malformed JPEG raises ValueError instead
     with pytest.raises(NotImplementedError, match="PIL"):
+        codecs.decode_image(b"GIF89a fake gif")
+    with pytest.raises(ValueError, match="JPEG"):
         codecs.decode_image(b"\xff\xd8\xff fake jpeg")
 
 
@@ -238,3 +242,122 @@ def test_extract_video_frames_raises_without_ffmpeg():
         pytest.skip("ffmpeg installed")
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         codecs.extract_video_frames(b"payload", 1000, 3000)
+
+
+# A 16x16 baseline JPEG produced by an external encoder (the CPython
+# test suite's imghdrdata/python.jpg — PSF-licensed test vector):
+# validates the JPEG decoder against bytes we did not write.
+PYTHON_JPG_B64 = (
+    "/9j/4AAQSkZJRgABAQEAAQABAAD/2wBDAAMCAgICAgMCAgIDAwMDBAYEBAQEBAgG"
+    "BgUGCQgKCgkICQkKDA8MCgsOCwkJDRENDg8QEBEQCgwSExIQEw8QEBD/2wBDAQMD"
+    "AwQDBAgEBAgQCwkLEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQ"
+    "EBAQEBAQEBAQEBAQEBD/wAARCAAQABADASIAAhEBAxEB/8QAFgABAQEAAAAAAAAA"
+    "AAAAAAAABwQF/8QAJBAAAQQBBAICAwAAAAAAAAAAAQIDBAYFBwgSExEiABQJMTL/"
+    "xAAVAQEBAAAAAAAAAAAAAAAAAAAABv/EACMRAAECBQMFAAAAAAAAAAAAAAECEQME"
+    "BQYhABIxFRZhgeH/2gAMAwEAAhEDEQA/ABSm0mobc8HmExLUlRzzEWPkJWW+ulrs"
+    "aUVAseUgslSlH9LKuPryIKuWPZdskzXmm3fX5m2nF4GlVxx/HOpx4ks51+MiU/Ia"
+    "ad7UcUo4tILoS4kqcWkezS0hO/HvuRp0rO6hWnWO1UisZVuFi4GFeyEpmGepa5S5"
+    "SWVPuciFKRFLgSrwetnyPIB+Vb4N9mKhQMzo5po9XLdDs9d6ZVix2VEhiL9kuNPx"
+    "w2gEKcDQ/rs8AuA8VAe0vdl7VOYn+27flGAUgmITjbhSmCg3BYlyeWDkMolvw4KO"
+    "p1KM6iCNvngZHwetf//Z"
+)
+
+
+def test_jpeg_external_literal_decodes():
+    """Decode a real externally-encoded baseline JPEG and check pinned
+    pixel statistics (values obtained from this decoder once and
+    frozen — drift means a decode regression)."""
+    payload = base64.b64decode(PYTHON_JPG_B64)
+    assert codecs.sniff_format(payload) == "jpeg"
+    img = codecs.decode_jpeg(payload)
+    assert img.shape == (16, 16, 3)
+    mean = img.astype(np.float64).mean(axis=(0, 1))
+    assert np.allclose(mean, [97.89, 102.29, 76.36], atol=0.01), mean
+    assert img[0, 0].tolist() == [0, 2, 7]
+    assert img[15, 15].tolist() == [0, 1, 6]
+    # and through the auto dispatcher
+    assert np.array_equal(codecs.decode_image(payload), img)
+
+
+def test_jpeg_roundtrip_solid_color_exact():
+    """A solid color survives DCT quantization exactly (only the DC
+    coefficient is nonzero and the DC quant step divides evenly at
+    high quality)."""
+    img = np.zeros((16, 24, 3), dtype=np.uint8)
+    img[:, :, 0], img[:, :, 1], img[:, :, 2] = 200, 100, 50
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90))
+    assert dec.shape == img.shape
+    assert int(np.max(np.abs(dec.astype(int) - img.astype(int)))) <= 1
+
+
+def test_jpeg_roundtrip_gradients_all_modes():
+    """Smooth content round-trips within tight error bounds across
+    4:4:4, 4:2:0, grayscale, odd dimensions, and restart intervals."""
+    y, x = np.mgrid[0:48, 0:80]
+    img = np.stack(
+        [(x * 3) % 256, (y * 5) % 256, ((x + y) * 2) % 256], axis=2
+    ).astype(np.uint8)
+
+    def err(decoded, reference):
+        return float(
+            np.mean(
+                np.abs(
+                    decoded.astype(np.float64)
+                    - reference.astype(np.float64)
+                )
+            )
+        )
+
+    assert err(codecs.decode_jpeg(codecs.encode_jpeg(img, 95)), img) < 3
+    assert (
+        err(
+            codecs.decode_jpeg(
+                codecs.encode_jpeg(img, 95, subsample=True)
+            ),
+            img,
+        )
+        < 6
+    )
+    odd = img[:37, :45]
+    assert (
+        err(
+            codecs.decode_jpeg(
+                codecs.encode_jpeg(odd, 90, subsample=True)
+            ),
+            odd,
+        )
+        < 6
+    )
+    gray = ((x + y) * 2 % 256).astype(np.uint8)
+    gdec = codecs.decode_jpeg(codecs.encode_jpeg(gray, 95))
+    assert gdec.shape == (48, 80, 1)
+    assert err(gdec[:, :, 0], gray) < 2
+    for ri in (1, 3):
+        rdec = codecs.decode_jpeg(
+            codecs.encode_jpeg(img, 90, subsample=True,
+                               restart_interval=ri)
+        )
+        assert err(rdec, img) < 6, f"restart_interval={ri}"
+
+
+def test_jpeg_progressive_raises_boundary_error():
+    """SOF2 (progressive) must hit the documented codec boundary, not
+    a confusing parse failure."""
+    img = np.full((8, 8), 128, dtype=np.uint8)
+    payload = bytearray(codecs.encode_jpeg(img))
+    i = payload.index(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        codecs.decode_jpeg(bytes(payload))
+
+
+def test_jpeg_encoder_output_is_parseable_structure():
+    """Marker-level sanity: SOI/JFIF/DQT/SOF0/DHT/SOS/EOI all present,
+    and the entropy stream is 0xFF-stuffed (no bare 0xFF before a
+    non-marker byte inside the scan)."""
+    y, x = np.mgrid[0:16, 0:16]
+    img = ((x * y) % 256).astype(np.uint8)
+    b = codecs.encode_jpeg(img, quality=50)
+    assert b.startswith(b"\xff\xd8\xff\xe0") and b.endswith(b"\xff\xd9")
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+        assert marker in b
