@@ -484,7 +484,15 @@ def _extend(v: int, s: int) -> int:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JPEG bytes → uint8 (H, W, C) with C=1 (grayscale) or
     C=3 (RGB via BT.601 from YCbCr).  NotImplementedError on
-    progressive/arithmetic/12-bit streams."""
+    progressive/arithmetic/12-bit streams; ValueError on malformed
+    input (truncation/garbage never escapes as IndexError etc.)."""
+    try:
+        return _decode_jpeg_inner(payload)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"malformed JPEG: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     if not payload.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG: bad SOI")
     pos = 2

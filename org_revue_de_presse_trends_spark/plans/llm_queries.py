@@ -832,26 +832,22 @@ def split_leakage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the pair set is the capped shingle equi-join (already
     linear by the stop-shingle df cap); split assignment is a per-row
-    hash coin broadcast-free on both probe sides; output is bounded at
-    |splits|² rows."""
+    hash coin, a PURE FUNCTION of the id — so it is evaluated directly
+    on the pair rows (r6: the previous two re-attach joins against an
+    assigned documents table shuffled the pair set twice for values a
+    projection computes for free; every pair id exists in documents by
+    construction, so the inner joins were semantically the identity).
+    Output is bounded at |splits|² rows."""
     from ..operators.splits import assign_split
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.shingle_pairs_jaccard(
         docs, block_cols=["source"], k=3, threshold=0.1
     ).select("id_a", "id_b")
-    sp = assign_split(
-        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
-    ).select(F.col("doc_id").cast("long").alias("id"), "split")
-    joined = (
-        pairs.join(
-            sp.select(F.col("id").alias("id_a"), F.col("split").alias("sa")),
-            "id_a",
-        )
-        .join(
-            sp.select(F.col("id").alias("id_b"), F.col("split").alias("sb")),
-            "id_b",
-        )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    joined = assign_split(
+        assign_split(pairs, w, id_col="id_a", seed=7, out_col="sa"),
+        w, id_col="id_b", seed=7, out_col="sb",
     )
     lo = F.least(F.col("sa"), F.col("sb"))
     hi = F.greatest(F.col("sa"), F.col("sb"))

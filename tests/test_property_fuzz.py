@@ -304,3 +304,71 @@ def test_blocked_cosine_pairs_matches_brute_force(n, block, threshold, seed):
     assert set(got) == set(want)
     for k in got:
         assert abs(got[k] - want[k]) < 1e-12
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.sampled_from([1, 3]),
+    st.booleans(),
+    st.sampled_from([0, 2]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_jpeg_roundtrip_fuzz(h, w, ch, subsample, restart, seed):
+    """Arbitrary shapes/channels/subsampling/restart intervals decode
+    back to the right geometry with bounded reconstruction error —
+    random noise is the JPEG worst case, so the bound is loose (the
+    high-frequency spectrum is quantized away) but shape, determinism,
+    and absence of structural corruption are exact."""
+    import numpy as np
+
+    from org_revue_de_presse_trends_spark.functions import codecs
+
+    rng = np.random.default_rng(seed)
+    # mix smooth structure with mild noise so error stays bounded
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (yy * 5 + xx * 3) % 256
+    img = np.stack(
+        [(base + 17 * c) % 256 for c in range(ch)], axis=2
+    ).astype(np.uint8)
+    img = np.clip(
+        img.astype(np.int64) + rng.integers(-8, 9, size=img.shape),
+        0, 255,
+    ).astype(np.uint8)
+    if ch == 1:
+        img2 = img[:, :, 0]
+    else:
+        img2 = img
+    payload = codecs.encode_jpeg(
+        img2, quality=95, subsample=subsample and ch == 3,
+        restart_interval=restart,
+    )
+    dec = codecs.decode_jpeg(payload)
+    assert dec.shape == (h, w, ch)
+    # deterministic: same input → same bytes → same pixels
+    assert payload == codecs.encode_jpeg(
+        img2, quality=95, subsample=subsample and ch == 3,
+        restart_interval=restart,
+    )
+    err = np.mean(
+        np.abs(dec.astype(np.float64) - img.astype(np.float64))
+    )
+    assert err < 16, f"reconstruction error {err:.1f} too high"
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=400), st.integers(0, 2**32 - 1))
+def test_jpeg_decoder_rejects_garbage_cleanly(data, seed):
+    """Random bytes (optionally wearing a JPEG SOI) must raise
+    ValueError/NotImplementedError — never hang, crash, or return."""
+    import numpy as np
+
+    from org_revue_de_presse_trends_spark.functions import codecs
+
+    rng = np.random.default_rng(seed)
+    payload = (b"\xff\xd8" if rng.integers(2) else b"") + data
+    try:
+        codecs.decode_jpeg(payload)
+    except (ValueError, NotImplementedError):
+        pass  # the ONLY admissible failure modes at the boundary
