@@ -123,6 +123,20 @@ def _combine_kgrams(th: Column, k: int) -> Column:
     return combined
 
 
+def _combine_kgrams_sql(th_name: str, k: int) -> str:
+    """SQL text of :func:`_combine_kgrams` over a column ATTRIBUTE
+    named ``th_name`` — one parse instead of ~20 py4j round-trips per
+    k; parses to the identical expression tree (goldens unchanged)."""
+    win = f"greatest(size({th_name}) - {k - 1}, 1)"
+    combined = f"slice({th_name}, 1, {win})"
+    for j in range(1, k):
+        combined = (
+            f"zip_with({combined}, slice({th_name}, {j + 1}, {win}), "
+            "(a, b) -> (shiftrightunsigned(a, 7) | shiftleft(a, 57)) ^ b)"
+        )
+    return combined
+
+
 def _rolling_kgram_hashes(toks: Column, k: int) -> Column:
     """ORDERED rolling hashes of k-token windows (array<long>, one per
     window position): hash each token once, then rotate-xor combine."""
@@ -225,23 +239,30 @@ def with_shingle_hashes(
     at every k; the doubling form is kept for reference/testing only.)
     """
     rest = list(df.columns)
-    d1 = df.select(*rest, tokens(F.col(text_col)).alias("__sh_toks"))
+    # every stage as ONE parsed SQL expression: the Column-by-Column
+    # construction cost ~0.2 s of driver plan-build per call (~60 py4j
+    # round-trips through slices/lambdas/rotates — the plan-build tax,
+    # CLAUDE.md).  The SQL text parses to the same expression trees:
+    # rot(a,7) = shiftrightunsigned|shiftleft(57), xor via ^ — values
+    # bit-identical, pinned by the goldens.
+    d1 = df.select(
+        *rest, F.expr(f"split(`{text_col}`, ' ')").alias("__sh_toks")
+    )
     d2 = d1.select(
         *rest,
         "__sh_toks",
-        F.transform(F.col("__sh_toks"), lambda t: F.xxhash64(t)).alias(
-            "__sh_th"
-        ),
+        F.expr("transform(__sh_toks, t -> xxhash64(t))").alias("__sh_th"),
     )
     d3 = d2.select(
         *rest,
         "__sh_toks",
-        _combine_kgrams(F.col("__sh_th"), k).alias("__sh_comb"),
+        F.expr(_combine_kgrams_sql("__sh_th", k)).alias("__sh_comb"),
     )
-    out = F.when(
-        F.size(F.col("__sh_toks")) < F.lit(k),
-        F.array(F.xxhash64(F.concat_ws(" ", F.col("__sh_toks")))),
-    ).otherwise(F.array_distinct(F.col("__sh_comb")))
+    out = F.expr(
+        f"CASE WHEN size(__sh_toks) < {k} THEN "
+        "array(xxhash64(concat_ws(' ', __sh_toks))) "
+        "ELSE array_distinct(__sh_comb) END"
+    )
     return d3.select(*rest, out.alias(out_col))
 
 
@@ -252,20 +273,23 @@ def with_shingles(
     array staged as an attribute — identical values, one tokenization
     per row instead of k+2."""
     rest = list(df.columns)
-    d1 = df.select(*rest, tokens(F.col(text_col)).alias("__sg_toks"))
-    toks = F.col("__sg_toks")
-    n = F.size(toks)
-    win = F.greatest(n - F.lit(k - 1), F.lit(1))
-    combined = F.slice(toks, 1, win)
+    # one parsed expression per stage (plan-build tax — see
+    # with_shingle_hashes); trees and values identical
+    d1 = df.select(
+        *rest, F.expr(f"split(`{text_col}`, ' ')").alias("__sg_toks")
+    )
+    win = f"greatest(size(__sg_toks) - {k - 1}, 1)"
+    combined = f"slice(__sg_toks, 1, {win})"
     for j in range(1, k):
-        combined = F.zip_with(
-            combined,
-            F.slice(toks, j + 1, win),
-            lambda a, b: F.concat_ws(" ", a, b),
+        combined = (
+            f"zip_with({combined}, slice(__sg_toks, {j + 1}, {win}), "
+            "(a, b) -> concat_ws(' ', a, b))"
         )
-    out = F.when(
-        n < F.lit(k), F.array(F.concat_ws(" ", toks))
-    ).otherwise(F.array_distinct(combined))
+    out = F.expr(
+        f"CASE WHEN size(__sg_toks) < {k} THEN "
+        "array(concat_ws(' ', __sg_toks)) "
+        f"ELSE array_distinct({combined}) END"
+    )
     return d1.select(*rest, out.alias(out_col))
 
 

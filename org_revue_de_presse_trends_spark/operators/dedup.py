@@ -311,7 +311,9 @@ def minhash_lsh_pairs(
     # embedding_lsh_pairs
     banded = sig.select(
         "id",
-        F.explode(H.lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk"),
+        F.explode(
+            H.lsh_band_keys_expr("sig", bands, rows_per_band)
+        ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -538,7 +540,13 @@ def cluster_pairs(
         raise ValueError(f"unknown algorithm {algorithm!r}: label|star")
     # materialize the edge list once — its lineage is typically an
     # expensive candidate-pair join that must NOT re-execute every
-    # propagation round (and the fast-path count must not either)
+    # propagation round (and the fast-path count must not either).
+    # (r6 A/B, measured twice at sf0.1: folding the gate into a LAZY
+    # checkpoint + limit-collect probe is ~15% SLOWER — CollectLimit
+    # executes the upstream join in incremental partition batches,
+    # serializing a parallel job; and replacing count+collect with
+    # limit-collect over the EAGER checkpoint is a wash, the count on
+    # a checkpointed list costs ~50 ms.  Keep the simple form.)
     edges = pairs.select(
         F.col("id_a").cast("long").alias("a"),
         F.col("id_b").cast("long").alias("b"),
@@ -597,8 +605,15 @@ def _cluster_pairs_driver(edges: DataFrame) -> DataFrame:
     """Driver-side union-find over a count-gated edge list: identical
     (id, cluster=min id of component) output as the distributed paths,
     one collect + one createDataFrame instead of O(rounds) jobs.  Only
-    ever called by ``cluster_pairs`` after its ≤ ``small_graph_max``
-    gate, so the collect is bounded by construction."""
+    ever called after a ≤ ``small_graph_max`` gate, so the collect is
+    bounded by construction."""
+    return _cluster_pairs_driver_rows(
+        [(r["a"], r["b"]) for r in edges.collect()], edges.sparkSession
+    )
+
+
+def _cluster_pairs_driver_rows(edge_rows, spark) -> DataFrame:
+    """Union-find over an already-collected bounded edge list."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -609,7 +624,7 @@ def _cluster_pairs_driver(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for a, b in edges.collect():
+    for a, b in edge_rows:
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -621,9 +636,7 @@ def _cluster_pairs_driver(edges: DataFrame) -> DataFrame:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     rows = [(x, find(x)) for x in parent]
-    return edges.sparkSession.createDataFrame(
-        rows, schema="id long, cluster long"
-    )
+    return spark.createDataFrame(rows, schema="id long, cluster long")
 
 
 def _cluster_pairs_star(pairs: DataFrame, max_iter: int) -> DataFrame:
@@ -998,7 +1011,7 @@ def minhash_lsh_pairs_incremental(
         "id",
         "is_new",
         F.explode(
-            H.lsh_band_keys(F.col("sig"), bands, rows_per_band)
+            H.lsh_band_keys_expr("sig", bands, rows_per_band)
         ).alias("bk"),
     ).select(
         "id", "is_new",
