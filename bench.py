@@ -131,6 +131,7 @@ SECONDARY = [
     "vocab_top_tokens",
     "embedding_near_dup",
     "doc_embedding_join",
+    "image_near_dup_from_docs",
 ]
 
 

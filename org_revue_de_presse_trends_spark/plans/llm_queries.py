@@ -862,3 +862,67 @@ def split_leakage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pairs",
         )
     )
+
+
+@query("image_near_dup_from_docs")  # synthesized PNGs: rows-only (golden)
+def image_near_dup_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal dedup END-TO-END on the driver fixtures: synthesize a
+    deterministic 16×16 grayscale PNG per document — pixel bytes are a
+    sha256 stretch of the text's md5 fingerprint (the exact-dedup
+    normalization, ``functions.text.fingerprint``), so byte-identical
+    normalized texts yield byte-identical images and unrelated texts
+    yield independent pseudo-random ones — then run the REAL image
+    pipeline: stdlib PNG encode → decode → DCT pHash → chunk-blocked
+    hamming join (``multimodal.image_near_dup_pairs``).
+
+    Every 20th doc additionally emits a PERTURBED copy (two pixel
+    bytes bit-flipped, id offset by 10^9) so the near-dup radius — not
+    just hamming-0 identity — is exercised: the planted copy's pHash
+    lands within the join radius while unrelated pseudo-random images
+    pair within hamming 3 with probability ~4e4/2^64 (the fixtures
+    hold no exact-duplicate texts at small SF, so without planting the
+    result would be trivially empty).  Pinned by the sf0.01 golden
+    hash; rows-only.  Scale shape: one Arrow-batched map per doc
+    (payload synthesis + hash), then the shared capped hamming join —
+    no shuffle carries image bytes, only 64-bit hashes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.codecs import encode_png
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                fp = hashlib.md5(
+                    (t or "").lower().strip().encode()
+                ).digest()
+                raw = b"".join(
+                    hashlib.sha256(fp + bytes([j])).digest()
+                    for j in range(8)
+                )
+                img = np.frombuffer(raw, dtype=np.uint8).reshape(16, 16)
+                ids.append(int(i))
+                payloads.append(encode_png(img))
+                if int(i) % 20 == 0:  # planted near-dup copy
+                    noisy = bytearray(raw)
+                    noisy[0] ^= 1
+                    noisy[100] ^= 2
+                    ids.append(int(i) + 1_000_000_000)
+                    payloads.append(
+                        encode_png(
+                            np.frombuffer(
+                                bytes(noisy), dtype=np.uint8
+                            ).reshape(16, 16)
+                        )
+                    )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    from ..operators.multimodal import image_near_dup_pairs
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return image_near_dup_pairs(media, decoder="auto", max_hamming=3)

@@ -80,6 +80,9 @@ GOLDEN_SHA256 = {
     "doc_semantic_dedup": (
         500, "aefa73df057b0219794d097c34f5e3d40c2138470a5b5049b92de29602f284f1"
     ),
+    "image_near_dup_from_docs": (
+        25, "c1b6950f084b26513b629ab80426f39791e3486311114c14488165c4db2e0281"
+    ),
 }
 
 
