@@ -1059,3 +1059,75 @@ def minhash_lsh_pairs_incremental(
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+def blocked_exact_cosine_pairs(
+    df: DataFrame,
+    block_col: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.2,
+    margin: float = 1e-3,
+) -> DataFrame:
+    """Exact (oracle-grade) cosine pairs within blocks, fast path: a
+    per-block row-blocked BLAS matmul PREFILTERS candidates at
+    ``threshold - margin``, then the survivors are rescored with the
+    scaled-long exact formula (``vectors.dot_scaled`` — the
+    cross-engine-deterministic arithmetic the DuckDB oracles mirror)
+    and filtered at ``threshold``.
+
+    Values are bit-identical to the equi-join + per-pair HOF
+    formulation because every EMITTED cosine is computed by the same
+    Spark expressions in the same operation order; the BLAS pass only
+    selects candidates.  ``margin`` covers the gap between the
+    unquantized float64 matmul cosine and the 1e-6-quantized exact
+    cosine (bounded by ~dim·5e-7/|v|² ≈ 3e-5 for unit-scale vectors —
+    the 1e-3 default is ~30× that bound), so no true pair is lost.
+    The r6 motivation: the interpreted HOF ground ~200k candidate
+    pairs in 2 tasks for 13.3 s at sf0.1; this path measures ~1 s.
+
+    Scale shape: one task per block (|block|²·dim BLAS flops,
+    |4096|×|block| peak similarity rows), survivors-only carry vector
+    payloads, no joins.  Block occupancy is the caller's knob, exactly
+    like the SRP-LSH bucket guidance."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).alias("v"),
+    )
+    vec_type = base.schema["v"].dataType.simpleString()
+    pre_threshold = threshold - margin
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", ignore_index=True)
+        ids = pdf["id"].to_numpy()
+        vecs = pdf["v"].to_numpy()
+        rows, cols, _ = V.blocked_cosine_pairs(vecs, pre_threshold, 4096)
+        if len(rows):
+            keep = ids[rows] != ids[cols]
+            rows, cols = rows[keep], cols[keep]
+        return pd.DataFrame(
+            {
+                "id_a": ids[rows],
+                "id_b": ids[cols],
+                "va": vecs[rows],
+                "vb": vecs[cols],
+            }
+        )
+
+    cands = base.groupBy("blk").applyInPandas(
+        fn, f"id_a long, id_b long, va {vec_type}, vb {vec_type}"
+    )
+    cos = (
+        V.dot_scaled(F.col("va"), F.col("vb")).cast("double")
+        / F.sqrt(
+            V.dot_scaled(F.col("va"), F.col("va")).cast("double")
+        )
+        / F.sqrt(
+            V.dot_scaled(F.col("vb"), F.col("vb")).cast("double")
+        )
+    )
+    return (
+        cands.select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -971,3 +971,67 @@ def test_hamming_pairs_chunk_df_cap_drops_degenerate_hash(spark):
         for r in hamming_pairs(df, max_hamming=3).collect()
     }
     assert len(uncapped) == 30 * 29 // 2 + 1, len(uncapped)
+
+
+def test_blocked_exact_cosine_pairs_matches_join_form(spark):
+    """The BLAS-prefilter + exact-rescore path must equal the label
+    equi-join + scaled-long HOF formulation exactly (same pair set,
+    bit-identical cos doubles) — including near-threshold pairs and
+    duplicate-id exclusion."""
+    import math
+    import random
+
+    from org_revue_de_presse_trends_spark.functions import vectors as V
+    from org_revue_de_presse_trends_spark.operators.dedup import (
+        blocked_exact_cosine_pairs,
+    )
+
+    rng = random.Random(11)
+    dim = 16
+    rows = []
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    bn = math.sqrt(sum(x * x for x in base))
+    base = [x / bn for x in base]
+    for i in range(40):
+        if i % 4 == 0:  # near-threshold neighbors of base
+            v = [x + rng.gauss(0, 0.9) for x in base]
+        else:
+            v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, i % 3, v))
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in blocked_exact_cosine_pairs(
+            df, "label", threshold=0.2
+        ).collect()
+    }
+    e = df.select(
+        "vec_id", "label", "embedding",
+        F.sqrt(
+            V.dot_scaled(F.col("embedding"), F.col("embedding"))
+            .cast("double")
+        ).alias("nrm"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = (
+        V.dot_scaled(F.col("a.embedding"), F.col("b.embedding"))
+        .cast("double") / F.col("a.nrm") / F.col("b.nrm")
+    )
+    want = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.2)
+        .collect()
+    }
+    assert set(got) == set(want)
+    assert all(got[k] == want[k] for k in want), "cos doubles drifted"
+    assert want, "test corpus produced no pairs — not exercising anything"
