@@ -8,11 +8,18 @@ decodable with the standard library alone, so those paths are REAL
 - PNG: zlib + struct decode (8-bit depth, non-interlaced, color types
   0/2/3/4/6 — covers the overwhelming majority of real-world PNGs) and
   a matching encoder, used by the resize operator to re-encode.
+- JPEG: full T.81 Huffman decode — baseline AND progressive (spectral
+  selection + successive approximation, restart intervals, 1/3
+  components, sampling 1-2) — plus baseline and progressive encoders
+  (Annex K tables; the progressive encoder emits the classic
+  libjpeg-style scan script and exists chiefly so the decoder's
+  Annex-G paths round-trip against the baseline path bit-exactly).
 - WAV: stdlib ``wave`` for PCM 8/16/32-bit.
 
-Everything else (JPEG, webm, mp4, ...) dispatches to PIL / the ffmpeg
-binary when present (``HAVE_PIL`` / ``FFMPEG_BIN``) and raises
-``NotImplementedError`` otherwise — the documented codec boundary.
+Everything else (GIF, webm, mp4, arithmetic/12-bit JPEG, ...)
+dispatches to PIL / the ffmpeg binary when present (``HAVE_PIL`` /
+``FFMPEG_BIN``) and raises ``NotImplementedError`` otherwise — the
+documented codec boundary.
 
 Scale note: these run inside ``mapInPandas`` workers on the executors;
 per-image cost is the codec itself (zlib inflate dominates).  The
@@ -188,9 +195,9 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Image bytes → uint8 (H, W, C): stdlib for PNG and baseline
-    JPEG, PIL for the rest when installed, NotImplementedError at the
-    codec boundary."""
+    """Image bytes → uint8 (H, W, C): stdlib for PNG and JPEG
+    (baseline + progressive), PIL for the rest when installed,
+    NotImplementedError at the codec boundary."""
     fmt = sniff_format(payload)
     if fmt == "png":
         try:
@@ -201,7 +208,7 @@ def decode_image(payload: bytes) -> np.ndarray:
     if fmt == "jpeg":
         try:
             return decode_jpeg(payload)
-        except NotImplementedError:  # progressive/12-bit/CMYK → PIL
+        except NotImplementedError:  # arithmetic/12-bit/CMYK → PIL
             if not HAVE_PIL:
                 raise
     if HAVE_PIL:  # pragma: no cover - exercised only with PIL
@@ -492,15 +499,37 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError(f"malformed JPEG: {type(e).__name__}: {e}") from e
 
 
+def _split_restart_segments(raw: bytes) -> list[bytes]:
+    """Entropy bytes → unstuffed segments split on RST0-7 markers."""
+    segments, cur, i = [], bytearray(), 0
+    while i < len(raw):
+        if raw[i] == 0xFF and i + 1 < len(raw):
+            nxt = raw[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(raw[i])
+        i += 1
+    segments.append(bytes(cur))
+    return segments
+
+
 def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     if not payload.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
-    qtables: dict[int, np.ndarray] = {}
+    qtables: dict[int, np.ndarray] = {}  # zigzag order, as stored
     htables: dict[tuple[int, int], tuple] = {}
     restart_interval = 0
     frame = None
-    scan = None
+    progressive = False
+    scans: list[tuple] = []  # (sel, Ss, Se, Ah, Al, ri, raw)
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -508,11 +537,14 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
         if marker == 0xD8:  # stray SOI
             pos += 2
             continue
-        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                       0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (progressive/arithmetic/"
-                "lossless) needs PIL; only baseline decodes natively"
+                f"JPEG SOF{marker - 0xC0} (arithmetic/lossless/"
+                "hierarchical) needs PIL; sequential and progressive "
+                "Huffman decode natively"
             )
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         seg = payload[pos + 4 : pos + 2 + seglen]
@@ -532,9 +564,7 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                         seg[i : i + 64], dtype=np.uint8
                     ).astype(np.int64)
                     i += 64
-                nat = np.zeros(64, dtype=np.int64)
-                nat[_ZIGZAG] = zz
-                qtables[tq] = nat
+                qtables[tq] = zz
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
@@ -544,12 +574,13 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                 vals = list(seg[i + 17 : i + 17 + nvals])
                 htables[(tc, th)] = _huff_decode_table(counts, vals)
                 i += 17 + nvals
-        elif marker in (0xC0, 0xC1):  # SOF0/1 (both sequential Huffman)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (seq) / SOF2 (prog)
+            progressive = marker == 0xC2
             prec, h, w, nf = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(
-                    f"{prec}-bit JPEG needs PIL; only 8-bit baseline "
-                    "decodes natively"
+                    f"{prec}-bit JPEG needs PIL; only 8-bit decodes "
+                    "natively"
                 )
             comps = []
             for c in range(nf):
@@ -562,10 +593,11 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             ns = seg[0]
-            sel = {}
+            sel = []
             for c in range(ns):
                 cid, tda = seg[1 + 2 * c : 3 + 2 * c]
-                sel[cid] = (tda >> 4, tda & 15)
+                sel.append((cid, tda >> 4, tda & 15))
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
             # entropy data runs from here to the next non-RST marker
             end = pos
             while end + 1 < len(payload):
@@ -574,13 +606,17 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                 ):
                     break
                 end += 1
-            scan = (sel, payload[pos:end])
+            # snapshot the Huffman tables NOW: progressive files
+            # redefine DHT slots between scans, so each scan must
+            # decode with the definitions in force at its SOS
+            scans.append(
+                (sel, ss, se, ahal >> 4, ahal & 15, restart_interval,
+                 dict(htables), payload[pos:end])
+            )
             pos = end
-            break
         # all other markers (APPn, COM): skipped via seglen
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
-    sel, raw = scan
     comps = frame["comps"]
     if len(comps) not in (1, 3):
         raise NotImplementedError(
@@ -596,89 +632,32 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     height, width = frame["h"], frame["w"]
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
-    # split on restart markers, unstuff each segment
-    segments = []
-    cur = bytearray()
-    i = 0
-    while i < len(raw):
-        if raw[i] == 0xFF and i + 1 < len(raw):
-            nxt = raw[i + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-        cur.append(raw[i])
-        i += 1
-    segments.append(bytes(cur))
-    # per-component block grids (MCU-padded)
+    cindex = {c["id"]: i for i, c in enumerate(comps)}
+    # raw quantized coefficients, ZIGZAG layout, MCU-padded grids
     grids = [
-        np.zeros(
-            (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.float64
-        )
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
         for c in comps
     ]
-    preds = [0] * len(comps)
-    br = _BitReader(segments[0])
-    seg_idx = 0
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if (
-                restart_interval
-                and mcu_count
-                and mcu_count % restart_interval == 0
-            ):
-                seg_idx += 1
-                if seg_idx >= len(segments):
-                    raise ValueError("JPEG truncated at restart")
-                br = _BitReader(segments[seg_idx])
-                preds = [0] * len(comps)
-            for ci, comp in enumerate(comps):
-                td, ta = sel[comp["id"]]
-                dc_tbl = htables.get((0, td))
-                ac_tbl = htables.get((1, ta))
-                if dc_tbl is None or ac_tbl is None:
-                    raise ValueError("JPEG scan references missing DHT")
-                q = qtables[comp["tq"]]
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        s = _huff_read(br, dc_tbl)
-                        diff = _extend(br.read(s), s) if s else 0
-                        preds[ci] += diff
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_read(br, ac_tbl)
-                            r, size = rs >> 4, rs & 15
-                            if size == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC overflow")
-                            coef[_ZIGZAG[k]] = _extend(
-                                br.read(size), size
-                            )
-                            k += 1
-                        grids[ci][
-                            my * comp["v"] + by, mx * comp["h"] + bx
-                        ] = coef * q
-            mcu_count += 1
-    # batched IDCT + assembly per component
+    # per-comp non-interleaved block-grid dims (ceil of COMPONENT size,
+    # NOT the MCU-padded grid — T.81 A.2.2: non-interleaved scans code
+    # only the blocks covering the component's own samples)
+    nb_w = [-(-(-(-(width * c["h"]) // hmax)) // 8) for c in comps]
+    nb_h = [-(-(-(-(height * c["v"]) // vmax)) // 8) for c in comps]
+    for sel, ss, se, ah, al, ri, scan_htables, raw in scans:
+        _decode_one_scan(
+            grids, comps, cindex, scan_htables, sel, ss, se, ah, al,
+            ri, raw, progressive, mcus_x, mcus_y, nb_w, nb_h,
+        )
+    # dequantize (zigzag), scatter to natural order, batched IDCT
     a = _dct8()
     planes = []
     for ci, comp in enumerate(comps):
-        g = grids[ci]
-        by, bx = g.shape[0], g.shape[1]
-        blocks = g.reshape(by, bx, 8, 8)
+        q = qtables[comp["tq"]]
+        g = grids[ci].astype(np.float64) * q  # zigzag layout
+        nat = np.zeros_like(g)
+        nat[:, :, _ZIGZAG] = g
+        by, bx = nat.shape[0], nat.shape[1]
+        blocks = nat.reshape(by, bx, 8, 8)
         pix = np.einsum("ki,yxkl,lj->yxij", a, blocks, a) + 128.0
         plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         # upsample to full-res geometry, crop to the image
@@ -699,6 +678,185 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
         b = y + 1.772 * (cb - 128.0)
         out = np.stack([r, gch, b], axis=2)
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _decode_one_scan(
+    grids, comps, cindex, htables, sel, ss, se, ah, al, ri, raw,
+    progressive, mcus_x, mcus_y, nb_w, nb_h,
+):
+    """Decode one entropy-coded scan into the coefficient grids.
+
+    Sequential frames: one full-band interleaved scan (Ss=0, Se=63).
+    Progressive (T.81 Annex G): DC scans (Ss=Se=0, optionally
+    interleaved) and single-component AC band scans, first pass
+    (Ah=0, values point-transformed by << Al) or refinement (one
+    magnitude bit per already-nonzero coefficient, plus newly-nonzero
+    ±1<<Al insertions, with shared EOB-run state)."""
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError(
+                "progressive DC scan must have Se=0 (Ss=0 with "
+                f"Se={se} is not a legal scan header)"
+            )
+        if ss > 0 and len(sel) != 1:
+            raise ValueError("progressive AC scans must be single-component")
+        if ah and ah != al + 1:
+            raise ValueError(
+                f"successive approximation requires Ah=Al+1, got "
+                f"Ah={ah} Al={al}"
+            )
+    elif ss != 0 or se != 63:
+        raise ValueError("sequential scan must cover Ss=0..Se=63")
+    segments = _split_restart_segments(raw)
+    scan_cis = [cindex[cid] for cid, _, _ in sel]
+    tabs = {cindex[cid]: (td, ta) for cid, td, ta in sel}
+    interleaved = len(sel) > 1
+    # the decode units: lists of (ci, by, bx)
+    units = []
+    if interleaved:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                unit = []
+                for ci in scan_cis:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            unit.append(
+                                (ci, my * c["v"] + by, mx * c["h"] + bx)
+                            )
+                units.append(unit)
+    else:
+        ci = scan_cis[0]
+        for by in range(nb_h[ci]):
+            for bx in range(nb_w[ci]):
+                units.append([(ci, by, bx)])
+    br = _BitReader(segments[0])
+    seg_idx = 0
+    preds = [0] * len(comps)
+    eobrun = 0
+    full_band = not progressive
+    for ui, unit in enumerate(units):
+        if ri and ui and ui % ri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG truncated at restart")
+            br = _BitReader(segments[seg_idx])
+            preds = [0] * len(comps)
+            eobrun = 0
+        for ci, by, bx in unit:
+            td, ta = tabs[ci]
+            g = grids[ci][by, bx]
+            if full_band:
+                dc_tbl = htables.get((0, td))
+                ac_tbl = htables.get((1, ta))
+                if dc_tbl is None or ac_tbl is None:
+                    raise ValueError("JPEG scan references missing DHT")
+                s = _huff_read(br, dc_tbl)
+                diff = _extend(br.read(s), s) if s else 0
+                preds[ci] += diff
+                g[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = _huff_read(br, ac_tbl)
+                    r, size = rs >> 4, rs & 15
+                    if size == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC overflow")
+                    g[k] = _extend(br.read(size), size)
+                    k += 1
+            elif ss == 0:  # progressive DC scan
+                if ah == 0:
+                    dc_tbl = htables.get((0, td))
+                    if dc_tbl is None:
+                        raise ValueError("JPEG DC scan missing DHT")
+                    s = _huff_read(br, dc_tbl)
+                    diff = _extend(br.read(s), s) if s else 0
+                    preds[ci] += diff
+                    g[0] = preds[ci] << al
+                else:  # DC refinement: one appended bit (G.1.2.1)
+                    if br.read(1):
+                        g[0] |= 1 << al
+            elif ah == 0:  # progressive AC first pass
+                ac_tbl = htables.get((1, ta))
+                if ac_tbl is None:
+                    raise ValueError("JPEG AC scan missing DHT")
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_read(br, ac_tbl)
+                    r, size = rs >> 4, rs & 15
+                    if size == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.read(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC band overflow")
+                    g[k] = _extend(br.read(size), size) << al
+                    k += 1
+            else:  # progressive AC refinement (G.1.2.3 / jdphuff shape)
+                ac_tbl = htables.get((1, ta))
+                if ac_tbl is None:
+                    raise ValueError("JPEG AC scan missing DHT")
+                p1 = 1 << al
+                m1 = -1 << al
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _huff_read(br, ac_tbl)
+                        r, size = rs >> 4, rs & 15
+                        if size == 0:
+                            if r < 15:
+                                # EOBRUN here INCLUDES the current
+                                # block: its remaining nonzero coefs
+                                # still carry correction bits (the
+                                # tail pass below), then the count
+                                # decrements — EOB0 (r=0) otherwise
+                                # skips those bits and desyncs
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.read(r)
+                                break
+                            newval = 0  # ZRL: 16 zero-history skips
+                        else:
+                            if size != 1:
+                                raise ValueError(
+                                    "JPEG AC refinement size != 1"
+                                )
+                            newval = p1 if br.read(1) else m1
+                        while k <= se:
+                            c = int(g[k])
+                            if c != 0:
+                                if br.read(1) and (c & p1) == 0:
+                                    g[k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            g[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    # this block belongs to the EOB run: correction
+                    # bits only for its remaining nonzero coefficients
+                    while k <= se:
+                        c = int(g[k])
+                        if c != 0 and br.read(1) and (c & p1) == 0:
+                            g[k] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
 
 
 class _BitWriter:
@@ -772,17 +930,11 @@ def _encode_block(
     return dc
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    quality: int = 85,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """uint8 (H, W), (H, W, 1) or (H, W, 3) → baseline JPEG bytes.
-    ``subsample=True`` emits 4:2:0 chroma; default 4:4:4.
-    ``restart_interval`` > 0 emits a DRI marker and RSTn markers every
-    that many MCUs (error-resilience structure real encoders produce).
-    Uses the T.81 Annex K example tables scaled by ``quality``."""
+def _jpeg_prepare(img, quality: int, subsample: bool):
+    """Shared encoder front half: color transform, subsampling,
+    MCU-grid padding, forward DCT, quantization.  Returns
+    (height, width, nch, samp, qt, mcus_x, mcus_y, quantized) with
+    ``quantized[ci]`` an int64 (by, bx, 64) grid in NATURAL order."""
     img = np.asarray(img, dtype=np.float64)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -852,6 +1004,45 @@ def encode_jpeg(
                 coefs.reshape(h8, w8, 64) / qnat
             ).astype(np.int64)
         )
+    return height, width, nch, samp, qt, mcus_x, mcus_y, quantized
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _jpeg_headers(
+    height, width, nch, samp, qt, sof_marker: int
+) -> bytearray:
+    """SOI + JFIF + DQT + SOF; DHT/DRI/SOS are per-backend."""
+    out = bytearray(b"\xff\xd8")
+    out += _jpeg_seg(
+        0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    for t in range(2 if nch == 3 else 1):
+        # Annex K tables are given in zigzag order already — emit as-is
+        out += _jpeg_seg(0xDB, bytes([t]) + bytes(int(x) for x in qt[t]))
+    sof = struct.pack(">BHHB", 8, height, width, nch)
+    for ci in range(nch):
+        h, v = samp[ci]
+        sof += bytes([ci + 1, (h << 4) | v, min(ci, 1)])
+    out += _jpeg_seg(sof_marker, sof)
+    return out
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 (H, W), (H, W, 1) or (H, W, 3) → baseline JPEG bytes.
+    ``subsample=True`` emits 4:2:0 chroma; default 4:4:4.
+    ``restart_interval`` > 0 emits a DRI marker and RSTn markers every
+    that many MCUs (error-resilience structure real encoders produce).
+    Uses the T.81 Annex K example tables scaled by ``quality``."""
+    (height, width, nch, samp, qt, mcus_x, mcus_y, quantized
+     ) = _jpeg_prepare(img, quality, subsample)
     dc_maps = [
         _huff_canonical(*_STD_DC_LUMA),
         _huff_canonical(*_STD_DC_CHROMA),
@@ -861,7 +1052,7 @@ def encode_jpeg(
         _huff_canonical(*_STD_AC_CHROMA),
     ]
     bw = _BitWriter()
-    preds = [0] * len(planes)
+    preds = [0] * nch
     mcu_count = 0
     rst = 0
     for my in range(mcus_y):
@@ -874,9 +1065,9 @@ def encode_jpeg(
                 bw.flush()
                 bw.buf += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
-                preds = [0] * len(planes)
+                preds = [0] * nch
             mcu_count += 1
-            for ci in range(len(planes)):
+            for ci in range(nch):
                 h, v = samp[ci]
                 t = min(ci, 1)
                 for by in range(v):
@@ -889,31 +1080,16 @@ def encode_jpeg(
                             ac_maps[t],
                         )
     bw.flush()
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")
-    out += seg(
-        0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    )
-    for t in range(2 if nch == 3 else 1):
-        # Annex K tables are given in zigzag order already — emit as-is
-        out += seg(0xDB, bytes([t]) + bytes(int(x) for x in qt[t]))
-    sof = struct.pack(">BHHB", 8, height, width, nch)
-    for ci in range(nch):
-        h, v = samp[ci]
-        sof += bytes([ci + 1, (h << 4) | v, min(ci, 1)])
-    out += seg(0xC0, sof)
+    out = _jpeg_headers(height, width, nch, samp, qt, 0xC0)
     if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
+        out += _jpeg_seg(0xDD, struct.pack(">H", restart_interval))
     for t, (tc, tbl) in enumerate(
         [(0, _STD_DC_LUMA), (1, _STD_AC_LUMA)]
         + ([(0, _STD_DC_CHROMA), (1, _STD_AC_CHROMA)] if nch == 3 else [])
     ):
         th = 0 if t < 2 else 1
         counts, vals = tbl
-        out += seg(
+        out += _jpeg_seg(
             0xC4,
             bytes([(tc << 4) | th]) + bytes(counts) + bytes(vals),
         )
@@ -922,7 +1098,313 @@ def encode_jpeg(
         t = min(ci, 1)
         sos += bytes([ci + 1, (t << 4) | t])
     sos += b"\x00\x3f\x00"
-    out += seg(0xDA, sos)
+    out += _jpeg_seg(0xDA, sos)
     out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _sign_mag_shift(v: int, al: int) -> int:
+    """AC successive-approximation point transform (T.81 G.1.2.2):
+    magnitude shifted right, sign preserved."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def _flat_huff_table(symbols: set) -> tuple[list[int], list[int]]:
+    """A valid (BITS, HUFFVAL) pair assigning every used symbol an
+    equal-length canonical code, length chosen so the all-1s codeword
+    stays reserved (T.81 C.2).  Compression-suboptimal, structurally
+    valid — the progressive encoder exists for round-trip tests, not
+    for ratio."""
+    vals = sorted(symbols)
+    if not vals:
+        vals = [0x00]
+    length = max((len(vals) + 1).bit_length() - 1, 1)
+    if (1 << length) <= len(vals):
+        length += 1
+    counts = [0] * 16
+    counts[length - 1] = len(vals)
+    return counts, vals
+
+
+class _TokenSink:
+    """Two-pass scan emission: collect (symbol | raw-bit) tokens per
+    Huffman-slot first, build the per-scan tables, then serialize."""
+
+    def __init__(self):
+        self.tokens: list[tuple] = []  # ("s", slot, sym) | ("b", v, n)
+        self.used: dict[int, set] = {}
+
+    def sym(self, slot: int, s: int) -> None:
+        self.tokens.append(("s", slot, s))
+        self.used.setdefault(slot, set()).add(s)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.tokens.append(("b", v, n))
+
+    def serialize(self) -> tuple[dict, bytes]:
+        tables = {
+            slot: _flat_huff_table(syms)
+            for slot, syms in self.used.items()
+        }
+        maps = {
+            slot: _huff_canonical(*tbl) for slot, tbl in tables.items()
+        }
+        bw = _BitWriter()
+        for tok in self.tokens:
+            if tok[0] == "s":
+                code, length = maps[tok[1]][tok[2]]
+                bw.write(code, length)
+            else:
+                bw.write(tok[1], tok[2])
+        bw.flush()
+        return tables, bytes(bw.buf)
+
+
+def _prog_ac_first_tokens(sink, blocks, ss, se, al, slot):
+    """AC first-pass scan (Ah=0): run-length + EOB-run coding of the
+    point-transformed band, per T.81 G.1.2.2."""
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            sink.sym(slot, r << 4)
+            sink.bits(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for zz in blocks:
+        t = [_sign_mag_shift(int(zz[k]), al) for k in range(ss, se + 1)]
+        nz = [i for i, x in enumerate(t) if x]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        run = 0
+        for i in range(nz[-1] + 1):
+            x = t[i]
+            if x == 0:
+                run += 1
+                continue
+            while run > 15:
+                sink.sym(slot, 0xF0)
+                run -= 16
+            s = abs(x).bit_length()
+            sink.sym(slot, (run << 4) | s)
+            sink.bits(x if x > 0 else x + (1 << s) - 1, s)
+            run = 0
+        if nz[-1] < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _prog_ac_refine_tokens(sink, blocks, ss, se, ah, al, slot):
+    """AC refinement scan (Ah=Al+1): newly-nonzero ±1 insertions over
+    zero-history runs, correction bits for history coefficients,
+    shared EOB runs — T.81 G.1.2.3 (the jcphuff shape)."""
+    eobrun = 0
+    brbuf: list[int] = []
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            sink.sym(slot, r << 4)
+            sink.bits(eobrun - (1 << r), r)
+            for bit in brbuf:
+                sink.bits(bit, 1)
+            brbuf.clear()
+            eobrun = 0
+
+    n = se - ss + 1
+    for zz in blocks:
+        thi = [_sign_mag_shift(int(zz[ss + i]), ah) for i in range(n)]
+        tlo = [_sign_mag_shift(int(zz[ss + i]), al) for i in range(n)]
+        newnz = [i for i in range(n) if thi[i] == 0 and tlo[i] != 0]
+        last_new = newnz[-1] if newnz else -1
+        run = 0
+        br_local: list[int] = []
+        for i in range(last_new + 1):
+            if (thi[i] != 0 or tlo[i] != 0) and run > 15:
+                # drain pending ZRLs at the FIRST nonzero (history or
+                # new) once the zero run exceeds 15 — draining only at
+                # new-nonzero positions would flush correction bits
+                # belonging beyond the decoder's 16-zero window and
+                # desync it (the jcphuff ordering invariant: BR only
+                # ever holds bits buffered while run <= 15)
+                flush()
+                while run > 15:
+                    sink.sym(slot, 0xF0)
+                    for bit in br_local:
+                        sink.bits(bit, 1)
+                    br_local.clear()
+                    run -= 16
+            if thi[i] != 0:
+                br_local.append(abs(tlo[i]) & 1)
+                continue
+            if tlo[i] == 0:
+                run += 1
+                continue
+            flush()
+            sink.sym(slot, (run << 4) | 1)
+            sink.bits(1 if tlo[i] > 0 else 0, 1)
+            for bit in br_local:
+                sink.bits(bit, 1)
+            br_local.clear()
+            run = 0
+        if last_new < n - 1:
+            # block ends early: joins the EOB run; remaining history
+            # coefficients' correction bits ride with the run
+            eobrun += 1
+            brbuf.extend(br_local)
+            brbuf.extend(
+                abs(tlo[i]) & 1
+                for i in range(last_new + 1, n)
+                if thi[i] != 0
+            )
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 85, subsample: bool = False
+) -> bytes:
+    """uint8 image → PROGRESSIVE JPEG (SOF2) bytes, using the classic
+    libjpeg-style scan script (the one real progressive files carry):
+    interleaved DC first scan at Al=1, per-component spectral-selection
+    AC first scans, AC successive-approximation refinements, and a
+    final DC refinement — every Annex-G decode path is exercised.
+    Per-scan Huffman tables are built from each scan's own symbol set
+    and re-emitted before each SOS (as libjpeg does), so decoders must
+    honor per-scan table redefinition.
+
+    Exists for round-trip verification of the progressive DECODER:
+    decode(encode_jpeg_progressive(x)) must equal
+    decode(encode_jpeg(x)) EXACTLY — both paths carry identical
+    quantized coefficients into the shared dequantize+IDCT stage, so
+    any progressive entropy bug breaks the equality."""
+    (height, width, nch, samp, qt, mcus_x, mcus_y, quantized
+     ) = _jpeg_prepare(img, quality, subsample)
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    # zigzag-layout coefficient grids
+    zz_grids = [q[:, :, np.argsort(_ZIGZAG)][:, :, :] for q in quantized]
+    zz_grids = []
+    inv = np.empty(64, dtype=np.int64)
+    inv[np.arange(64)] = 0
+    for q in quantized:
+        g = q[:, :, _ZIGZAG]  # natural grid sampled at zigzag indices
+        zz_grids.append(g)
+    nb_w = [-(-(-(-(width * h) // hmax)) // 8) for h, _ in samp]
+    nb_h = [-(-(-(-(height * v) // vmax)) // 8) for _, v in samp]
+
+    def comp_blocks(ci):
+        for by in range(nb_h[ci]):
+            for bx in range(nb_w[ci]):
+                yield zz_grids[ci][by, bx]
+
+    out = _jpeg_headers(height, width, nch, samp, qt, 0xC2)
+
+    def emit_scan(sel, ss, se, ah, al, sink):
+        tables, data = sink.serialize()
+        body = bytearray()
+        for slot, (counts, vals) in sorted(tables.items()):
+            body += bytes([slot]) + bytes(counts) + bytes(vals)
+        if body:
+            out.extend(_jpeg_seg(0xC4, bytes(body)))
+        sos = bytes([len(sel)])
+        for cid, td, ta in sel:
+            sos += bytes([cid, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out.extend(_jpeg_seg(0xDA, sos))
+        out.extend(data)
+
+    dc_al = 1
+    # scan 1: interleaved DC first pass, Al=1
+    sink = _TokenSink()
+    preds = [0] * nch
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(nch):
+                h, v = samp[ci]
+                slot = min(ci, 1)
+                for by in range(v):
+                    for bx in range(h):
+                        dc = int(
+                            zz_grids[ci][my * v + by, mx * h + bx][0]
+                        ) >> dc_al
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        s = abs(diff).bit_length()
+                        sink.sym(slot, s)
+                        sink.bits(
+                            diff if diff >= 0 else diff + (1 << s) - 1, s
+                        )
+    # DC table slots carry Tc=0 in the DHT id nibble
+    tables, data = sink.serialize()
+    body = bytearray()
+    for slot, (counts, vals) in sorted(tables.items()):
+        body += bytes([(0 << 4) | slot]) + bytes(counts) + bytes(vals)
+    out.extend(_jpeg_seg(0xC4, bytes(body)))
+    sos = bytes([nch])
+    for ci in range(nch):
+        sos += bytes([ci + 1, (min(ci, 1) << 4) | 0])
+    sos += bytes([0, 0, (0 << 4) | dc_al])
+    out.extend(_jpeg_seg(0xDA, sos))
+    out.extend(data)
+
+    def ac_scan(ci, ss, se, ah, al):
+        sink = _TokenSink()
+        if ah == 0:
+            _prog_ac_first_tokens(sink, comp_blocks(ci), ss, se, al, 0)
+        else:
+            _prog_ac_refine_tokens(
+                sink, comp_blocks(ci), ss, se, ah, al, 0
+            )
+        tables, data = sink.serialize()
+        body = bytearray()
+        for slot, (counts, vals) in sorted(tables.items()):
+            body += bytes([(1 << 4) | slot]) + bytes(counts) + bytes(vals)
+        out.extend(_jpeg_seg(0xC4, bytes(body)))
+        sos = bytes([1, ci + 1, (0 << 4) | 0, ss, se, (ah << 4) | al])
+        out.extend(_jpeg_seg(0xDA, sos))
+        out.extend(data)
+
+    # AC first passes (f3-style spectral selection + Al point transform)
+    ac_al = 2
+    ac_scripts_first = [(0, 1, 5, 0, ac_al), (0, 6, 63, 0, ac_al)]
+    for ci in range(1, nch):
+        ac_scripts_first.append((ci, 1, 63, 0, 1))
+    for sc in ac_scripts_first:
+        ac_scan(*sc)
+    # AC refinements down to full precision
+    for al in range(ac_al - 1, -1, -1):
+        ac_scan(0, 1, 63, al + 1, al)
+    for ci in range(1, nch):
+        ac_scan(ci, 1, 63, 1, 0)
+    # DC refinement: raw bit per block, interleaved, no Huffman
+    sink = _TokenSink()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(nch):
+                h, v = samp[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        dc = int(zz_grids[ci][my * v + by, mx * h + bx][0])
+                        sink.bits(dc & 1, 1)
+    _, data = sink.serialize()
+    sos = bytes([nch])
+    for ci in range(nch):
+        sos += bytes([ci + 1, 0])
+    sos += bytes([0, 0, (1 << 4) | 0])
+    out.extend(_jpeg_seg(0xDA, sos))
+    out.extend(data)
     out += b"\xff\xd9"
     return bytes(out)

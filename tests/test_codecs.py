@@ -340,15 +340,95 @@ def test_jpeg_roundtrip_gradients_all_modes():
         assert err(rdec, img) < 6, f"restart_interval={ri}"
 
 
-def test_jpeg_progressive_raises_boundary_error():
-    """SOF2 (progressive) must hit the documented codec boundary, not
-    a confusing parse failure."""
+def test_jpeg_relabeled_sof2_fails_scan_validation():
+    """A baseline stream merely relabeled SOF2 carries an illegal
+    progressive scan header (Ss=0, Se=63) — it must raise, never
+    silently misdecode."""
     img = np.full((8, 8), 128, dtype=np.uint8)
     payload = bytearray(codecs.encode_jpeg(img))
     i = payload.index(b"\xff\xc0")
     payload[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="SOF2"):
+    with pytest.raises(ValueError, match="Se=0"):
         codecs.decode_jpeg(bytes(payload))
+
+
+def test_jpeg_arithmetic_sof_raises_boundary_error():
+    """SOF9 (arithmetic coding) stays past the native boundary."""
+    img = np.full((8, 8), 128, dtype=np.uint8)
+    payload = bytearray(codecs.encode_jpeg(img))
+    i = payload.index(b"\xff\xc0")
+    payload[i + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="SOF9"):
+        codecs.decode_jpeg(bytes(payload))
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """decode(progressive(x)) must EQUAL decode(baseline(x)) exactly:
+    both carry the same quantized coefficients into the shared
+    dequantize+IDCT stage, so any Annex-G entropy bug (spectral
+    selection, successive approximation, EOB runs, ZRL-with-correction
+    interleaving) breaks the equality."""
+    y, x = np.mgrid[0:48, 0:80]
+    cases = [
+        np.stack(
+            [(x * 3) % 256, (y * 5) % 256, ((x + y) * 2) % 256], axis=2
+        ).astype(np.uint8),
+        np.stack([((x * y) % 256)] * 3, axis=2).astype(np.uint8),
+        np.random.default_rng(5).integers(
+            0, 256, (48, 80, 3)
+        ).astype(np.uint8),
+    ]
+    for img in cases:
+        for sub in (False, True):
+            for q in (50, 85, 95):
+                dp = codecs.decode_jpeg(
+                    codecs.encode_jpeg_progressive(img, q, subsample=sub)
+                )
+                db = codecs.decode_jpeg(
+                    codecs.encode_jpeg(img, q, subsample=sub)
+                )
+                assert np.array_equal(dp, db), (sub, q)
+        gray = img[:, :, 0]
+        assert np.array_equal(
+            codecs.decode_jpeg(codecs.encode_jpeg_progressive(gray, 85)),
+            codecs.decode_jpeg(codecs.encode_jpeg(gray, 85)),
+        )
+    odd = cases[1][:37, :45]
+    assert np.array_equal(
+        codecs.decode_jpeg(
+            codecs.encode_jpeg_progressive(odd, 85, subsample=True)
+        ),
+        codecs.decode_jpeg(codecs.encode_jpeg(odd, 85, subsample=True)),
+    )
+
+
+F3_JPG = (
+    "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/"
+    "doc/rust/html/embedded-book/assets/f3.jpg"
+)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(F3_JPG),
+    reason="external progressive sample not on this host",
+)
+def test_jpeg_external_progressive_decodes():
+    """A real libjpeg-produced progressive file (the classic 10-scan
+    script: interleaved DC Al=1, spectral-selection AC firsts,
+    successive-approximation refinements Ah 2->1->0, DC refinement)
+    decodes to its SOF dimensions with pinned pixel statistics; every
+    scan's entropy stream is consumed to within the <8-bit padding
+    (verified once while pinning — a desync anywhere would blow the
+    tallies)."""
+    img = codecs.decode_jpeg(open(F3_JPG, "rb").read())
+    assert img.shape == (477, 720, 3)
+    mean = img.astype(np.float64).mean(axis=(0, 1))
+    assert np.allclose(mean, [84.297, 138.536, 100.747], atol=0.01), mean
+    assert img[0, 0].tolist() == [236, 240, 235]
+    assert img[250, 400].tolist() == [20, 21, 19]
+    # photographic smoothness: random noise would measure ~85
+    grad = np.abs(np.diff(img.mean(axis=2), axis=1)).mean()
+    assert grad < 20, grad
 
 
 def test_jpeg_encoder_output_is_parseable_structure():

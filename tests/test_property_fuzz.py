@@ -372,3 +372,33 @@ def test_jpeg_decoder_rejects_garbage_cleanly(data, seed):
         codecs.decode_jpeg(payload)
     except (ValueError, NotImplementedError):
         pass  # the ONLY admissible failure modes at the boundary
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.sampled_from([1, 3]),
+    st.booleans(),
+    st.sampled_from([50, 85, 95]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_jpeg_progressive_equals_baseline_fuzz(h, w, ch, subsample, q, seed):
+    """Arbitrary content/shape: progressive and baseline encodings of
+    the same image must decode IDENTICALLY (shared quantized
+    coefficients; only the entropy layer differs)."""
+    import numpy as np
+
+    from org_revue_de_presse_trends_spark.functions import codecs
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, ch)).astype(np.uint8)
+    if ch == 1:
+        img = img[:, :, 0]
+    dp = codecs.decode_jpeg(
+        codecs.encode_jpeg_progressive(img, q, subsample=subsample and ch == 3)
+    )
+    db = codecs.decode_jpeg(
+        codecs.encode_jpeg(img, q, subsample=subsample and ch == 3)
+    )
+    assert np.array_equal(dp, db)
