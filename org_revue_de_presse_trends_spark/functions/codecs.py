@@ -14,9 +14,11 @@ decodable with the standard library alone, so those paths are REAL
   (Annex K tables; the progressive encoder emits the classic
   libjpeg-style scan script and exists chiefly so the decoder's
   Annex-G paths round-trip against the baseline path bit-exactly).
+- GIF: 87a/89a LZW decode (first frame, interlace, transparency,
+  local/global palettes) + a lossless single-frame encoder.
 - WAV: stdlib ``wave`` for PCM 8/16/32-bit.
 
-Everything else (GIF, webm, mp4, arithmetic/12-bit JPEG, ...)
+Everything else (webm, mp4, webp, arithmetic/12-bit JPEG, ...)
 dispatches to PIL / the ffmpeg binary when present (``HAVE_PIL`` /
 ``FFMPEG_BIN``) and raises ``NotImplementedError`` otherwise — the
 documented codec boundary.
@@ -195,9 +197,9 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Image bytes → uint8 (H, W, C): stdlib for PNG and JPEG
-    (baseline + progressive), PIL for the rest when installed,
-    NotImplementedError at the codec boundary."""
+    """Image bytes → uint8 (H, W, C): stdlib for PNG, JPEG (baseline
+    + progressive), and GIF (first frame), PIL for the rest when
+    installed, NotImplementedError at the codec boundary."""
     fmt = sniff_format(payload)
     if fmt == "png":
         try:
@@ -211,6 +213,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         except NotImplementedError:  # arithmetic/12-bit/CMYK → PIL
             if not HAVE_PIL:
                 raise
+    if fmt == "gif":
+        return decode_gif(payload)
     if HAVE_PIL:  # pragma: no cover - exercised only with PIL
         import io
 
@@ -1407,4 +1411,254 @@ def encode_jpeg_progressive(
     out.extend(_jpeg_seg(0xDA, sos))
     out.extend(data)
     out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# GIF (87a/89a) — stdlib+numpy LZW decode/encode, first frame.
+# --------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_expected: int):
+    """GIF-variant LZW: variable-width codes packed LSB-first, CLEAR
+    resets the table, widths grow to 12 bits.  Returns the index
+    stream (length clamped to ``n_expected`` — encoders may pad)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    # bit reader, LSB-first
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def read(width):
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return v
+
+    table: list[list[int]] = []
+    width = min_code_size + 1
+    prev: list[int] | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [[i] for i in range(clear)] + [[], []]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while len(out) < n_expected:
+        code = read(width)
+        if code is None or code == end:
+            break
+        if code == clear:
+            reset()
+            continue
+        if code < len(table) and code not in (clear, end):
+            entry = table[code]
+            if not entry and code >= clear:
+                raise ValueError("GIF LZW referenced reserved code")
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out[:n_expected]
+
+
+def _gif_lzw_encode(min_code_size: int, indices) -> bytes:
+    """GIF-variant LZW encoder (LSB-first packing, CLEAR on table
+    overflow) — the exact inverse of ``_gif_lzw_decode``."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    outbits = bytearray()
+    acc = 0
+    nbits = 0
+
+    def write(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            outbits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    write(clear, width)
+    buf: tuple = ()
+    for sym in indices:
+        cand = buf + (int(sym),)
+        if cand in table:
+            buf = cand
+            continue
+        write(table[buf], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            write(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        buf = (int(sym),)
+    if buf:
+        write(table[buf], width)
+    write(end, width)
+    if nbits:
+        outbits.append(acc & 0xFF)
+    return bytes(outbits)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF bytes → uint8 (H, W, 3|4) — the FIRST frame, composited on
+    the logical screen; alpha channel present iff the frame declares a
+    transparency index.  Supports 87a/89a, global/local color tables,
+    interlacing; raises ValueError on malformed input."""
+    if not payload.startswith((b"GIF87a", b"GIF89a")):
+        raise ValueError("not a GIF: bad signature")
+    try:
+        return _decode_gif_inner(payload)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"malformed GIF: {type(e).__name__}: {e}") from e
+
+
+def _decode_gif_inner(payload: bytes) -> np.ndarray:
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(
+            payload[pos : pos + 3 * n], dtype=np.uint8
+        ).reshape(n, 3)
+        pos += 3 * n
+    transparent = None
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9:  # graphic control
+                size = payload[pos]
+                gflags = payload[pos + 1]
+                if gflags & 1:
+                    transparent = payload[pos + 4]
+                pos += size + 1
+            while payload[pos]:  # sub-blocks until terminator
+                pos += payload[pos] + 1
+            pos += 1
+            continue
+        if b == 0x2C:  # image descriptor — first frame wins
+            left, top, w, h, iflags = struct.unpack_from(
+                "<HHHHB", payload, pos + 1
+            )
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                ct = np.frombuffer(
+                    payload[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos]:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += ln + 1
+            pos += 1
+            idx = _gif_lzw_decode(min_code, b"".join(chunks), w * h)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data truncated")
+            grid = np.array(idx, dtype=np.int64).reshape(h, w)
+            if iflags & 0x40:  # interlaced: 4-pass row order
+                rows = np.concatenate([
+                    np.arange(0, h, 8), np.arange(4, h, 8),
+                    np.arange(2, h, 4), np.arange(1, h, 2),
+                ])
+                un = np.empty_like(grid)
+                un[rows] = grid
+                grid = un
+            if np.any(grid >= len(ct)):
+                raise ValueError("GIF index outside color table")
+            rgb = ct[grid]
+            if transparent is not None:
+                alpha = np.where(grid == transparent, 0, 255).astype(
+                    np.uint8
+                )
+                out = np.dstack([rgb, alpha])
+            else:
+                out = rgb
+            # composite onto the logical screen when the frame is a
+            # sub-rectangle (rare for frame 0; zeros elsewhere)
+            if (left, top, w, h) != (0, 0, sw, sh):
+                full = np.zeros(
+                    (sh, sw, out.shape[2]), dtype=np.uint8
+                )
+                full[top : top + h, left : left + w] = out
+                out = full
+            return out
+        raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """uint8 (H, W) / (H, W, 1) / (H, W, 3) → single-frame GIF89a.
+    The palette is built from the image's unique colors — raises
+    ValueError beyond 256 (GIF is palettized; quantization is the
+    caller's job).  Lossless inverse of ``decode_gif``."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.ndim != 3 or img.shape[2] not in (1, 3):
+        raise ValueError(f"unsupported image shape {img.shape}")
+    if img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(
+            f"GIF needs <= 256 colors, image has {len(colors)}"
+        )
+    # palette size: power of two >= max(2, n_colors)
+    bits = max((len(colors) - 1).bit_length(), 1)
+    n_pal = 1 << bits
+    pal = np.zeros((n_pal, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    min_code = max(bits, 2)
+    out.append(min_code)
+    lzw = _gif_lzw_encode(min_code, inverse.reshape(-1))
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
     return bytes(out)
