@@ -132,6 +132,8 @@ SECONDARY = [
     "embedding_near_dup",
     "doc_embedding_join",
     "image_near_dup_from_docs",
+    "audio_near_dup_from_docs",
+    "video_near_dup_from_docs",
 ]
 
 

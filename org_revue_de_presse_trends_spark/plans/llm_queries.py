@@ -921,3 +921,120 @@ def image_near_dup_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(gen, "media_id long, payload binary")
     return image_near_dup_pairs(media, decoder="auto", max_hamming=3)
+
+
+@query("audio_near_dup_from_docs")  # synthesized WAVs: rows-only (golden)
+def audio_near_dup_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio dedup END-TO-END on the driver fixtures: synthesize a
+    deterministic 2048-sample mono clip per document (samples are a
+    sha256 stretch of the text's md5 fingerprint, mapped to [-1, 1] —
+    a pure function of the text), WAV-encode it, then run the REAL
+    audio pipeline: stdlib WAV decode → framed-FFT energy-delta
+    fingerprint → chunk-blocked hamming join with the degenerate-value
+    guard (``multimodal.audio_near_dup_pairs``).
+
+    Every 20th doc emits a perturbed copy (a few samples nudged, id
+    offset 10^9) so the near-dup radius is exercised; unrelated
+    pseudo-random clips pair within hamming 3 with probability
+    ~4e4/2^64.  Rows-only, pinned by the sf0.01 golden hash."""
+    from ..operators.multimodal import audio_near_dup_pairs
+    from ..operators.skew import spread_for_cpu
+
+    docs = spread_for_cpu(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "text")
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.codecs import encode_wav
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                fp = hashlib.md5(
+                    (t or "").lower().strip().encode()
+                ).digest()
+                raw = b"".join(
+                    hashlib.sha256(fp + bytes([j])).digest()
+                    for j in range(64)
+                )
+                samples = (
+                    np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+                    - 128.0
+                ) / 128.0
+                ids.append(int(i))
+                payloads.append(encode_wav(samples, 8000))
+                if int(i) % 20 == 0:  # planted near-dup copy
+                    noisy = samples.copy()
+                    noisy[::512] *= 0.9
+                    ids.append(int(i) + 1_000_000_000)
+                    payloads.append(encode_wav(noisy, 8000))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return audio_near_dup_pairs(media, decoder="auto", max_hamming=3)
+
+
+@query("video_near_dup_from_docs")  # fake-decoder path: rows-only (golden)
+def video_near_dup_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video dedup END-TO-END on the driver fixtures: synthesize a
+    deterministic 1024-byte payload per document (sha256 stretch of
+    the text fingerprint; 8 frames at 1000 ms), every 20th doc adding
+    a CLIPPED copy (front 768 bytes, 6000 ms → identical slice
+    boundaries, id offset 10^9), then the frame-set overlap join with
+    the ubiquitous-frame guard (``multimodal.video_near_dup_pairs``,
+    ``max_frame_df``).  The decode step is the documented fake-decoder
+    boundary (frame hashes of byte slices); the Spark-side pipeline —
+    schema, distinct frame sets, capped equi-join, overlap scoring —
+    is fully real.  Emits (id_a, id_b, n_shared, overlap); rows-only,
+    pinned by the sf0.01 golden hash."""
+    from ..operators.multimodal import video_near_dup_pairs
+    from ..operators.skew import spread_for_cpu
+
+    docs = spread_for_cpu(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "text")
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, kinds, payloads, metas = [], [], [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                fp = hashlib.md5(
+                    (t or "").lower().strip().encode()
+                ).digest()
+                raw = b"".join(
+                    hashlib.sha256(fp + bytes([j])).digest()
+                    for j in range(32)
+                )
+                ids.append(int(i))
+                kinds.append("video")
+                payloads.append(raw)
+                metas.append({"mime": None, "width": None,
+                              "height": None, "duration_ms": 8000})
+                if int(i) % 20 == 0:  # planted clipped copy
+                    ids.append(int(i) + 1_000_000_000)
+                    kinds.append("video")
+                    payloads.append(raw[:768])
+                    metas.append({"mime": None, "width": None,
+                                  "height": None, "duration_ms": 6000})
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads,
+                 "meta": metas}
+            )
+
+    media = docs.mapInPandas(
+        gen,
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    return video_near_dup_pairs(
+        media, every_ms=1000, threshold=0.5, decoder="fake"
+    )

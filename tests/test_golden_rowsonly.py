@@ -83,6 +83,12 @@ GOLDEN_SHA256 = {
     "image_near_dup_from_docs": (
         25, "c1b6950f084b26513b629ab80426f39791e3486311114c14488165c4db2e0281"
     ),
+    "audio_near_dup_from_docs": (
+        25, "7d8a4f33999ccb1393589cad21913a3bf7d22bf84614dd28635e2f27ea7167b2"
+    ),
+    "video_near_dup_from_docs": (
+        25, "0816d871a0a1678b37d09fd3ffd494db020f90f5b92203d219d7b7cb3c1a01c0"
+    ),
 }
 
 
