@@ -16,6 +16,8 @@ decodable with the standard library alone, so those paths are REAL
   Annex-G paths round-trip against the baseline path bit-exactly).
 - GIF: 87a/89a LZW decode (first frame, interlace, transparency,
   local/global palettes) + a lossless single-frame encoder.
+- BMP: uncompressed 8/24/32-bit decode (paletted/BGR/BGRA, either row
+  order).
 - WAV: stdlib ``wave`` for PCM 8/16/32-bit.
 
 Everything else (webm, mp4, webp, arithmetic/12-bit JPEG, ...)
@@ -64,6 +66,8 @@ def sniff_format(payload: bytes) -> str:
         return "wav"
     if payload.startswith(b"GIF8"):
         return "gif"
+    if payload.startswith(b"BM") and len(payload) > 14:
+        return "bmp"
     if payload[4:8] == b"ftyp":
         return "mp4"
     if payload.startswith(b"\x1a\x45\xdf\xa3"):
@@ -198,8 +202,8 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Image bytes → uint8 (H, W, C): stdlib for PNG, JPEG (baseline
-    + progressive), and GIF (first frame), PIL for the rest when
-    installed, NotImplementedError at the codec boundary."""
+    + progressive), GIF (first frame), and uncompressed BMP; PIL for
+    the rest when installed, NotImplementedError at the boundary."""
     fmt = sniff_format(payload)
     if fmt == "png":
         try:
@@ -215,6 +219,12 @@ def decode_image(payload: bytes) -> np.ndarray:
                 raise
     if fmt == "gif":
         return decode_gif(payload)
+    if fmt == "bmp":
+        try:
+            return decode_bmp(payload)
+        except NotImplementedError:  # compressed/exotic → PIL
+            if not HAVE_PIL:
+                raise
     if HAVE_PIL:  # pragma: no cover - exercised only with PIL
         import io
 
@@ -1662,3 +1672,87 @@ def encode_gif(img: np.ndarray) -> bytes:
         out += chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """BMP (BITMAPINFOHEADER, uncompressed BI_RGB) → uint8 (H, W, 3|4):
+    8-bit paletted, 24-bit BGR, 32-bit BGRA; bottom-up or top-down rows,
+    4-byte row padding.  ValueError on malformed, NotImplementedError on
+    compressed/exotic variants."""
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP: bad signature")
+    try:
+        (data_off,) = struct.unpack_from("<I", payload, 10)
+        hdr_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        (compression,) = struct.unpack_from("<I", payload, 30)
+    except struct.error as e:
+        raise ValueError(f"malformed BMP header: {e}") from e
+    if hdr_size in (12, 16, 64):  # OS/2 core-header family
+        raise NotImplementedError("BMP core-header variant needs PIL")
+    if hdr_size < 40:
+        raise ValueError(f"malformed BMP header size {hdr_size}")
+    masks = None
+    if compression == 3 and bpp == 32 and hdr_size >= 52:
+        # BI_BITFIELDS: not compression at all, just channel masks
+        # (3 or 4 DWORDs following the 40-byte info header)
+        masks = struct.unpack_from("<III", payload, 54)
+        masks += (
+            struct.unpack_from("<I", payload, 66) if hdr_size >= 56
+            else (0,)
+        )
+        if any(m and bin(m).count("1") != 8 for m in masks) or any(
+            m and (m >> (m & -m).bit_length() - 1) != 0xFF
+            for m in masks if m
+        ):
+            raise NotImplementedError(
+                "BMP bitfields with non-byte-aligned masks need PIL"
+            )
+    elif compression != 0:
+        raise NotImplementedError(
+            f"compressed BMP (method {compression}) needs PIL"
+        )
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP needs PIL")
+    top_down = h_signed < 0
+    height = abs(h_signed)
+    width = w
+    if width <= 0 or height <= 0:
+        raise ValueError("BMP with non-positive dimensions")
+    row_bytes = (width * bpp // 8 + 3) & ~3
+    need = data_off + row_bytes * height
+    if len(payload) < need:
+        raise ValueError("BMP pixel data truncated")
+    rows = np.frombuffer(
+        payload[data_off : data_off + row_bytes * height], dtype=np.uint8
+    ).reshape(height, row_bytes)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        # palette: BGRX quads between header and pixel data
+        pal_off = 14 + hdr_size
+        n_pal = (data_off - pal_off) // 4
+        if n_pal <= 0:
+            raise ValueError("8-bit BMP without a palette")
+        pal = np.frombuffer(
+            payload[pal_off : pal_off + 4 * n_pal], dtype=np.uint8
+        ).reshape(n_pal, 4)[:, [2, 1, 0]]  # BGRX → RGB
+        idx = rows[:, :width].astype(np.int64)
+        if np.any(idx >= n_pal):
+            raise ValueError("BMP index outside palette")
+        return pal[idx]
+    ch = bpp // 8
+    px = rows[:, : width * ch].reshape(height, width, ch)
+    if ch == 3:
+        return px[:, :, [2, 1, 0]].copy()  # BGR → RGB
+    if masks is not None:
+        # byte-aligned masks: channel c lives at byte mask.bit_length()//8 - 1
+        order = []
+        for m in masks[:3]:
+            order.append((m.bit_length() - 8) // 8)
+        alpha = masks[3]
+        if alpha:
+            order.append((alpha.bit_length() - 8) // 8)
+            return px[:, :, order].copy()
+        return px[:, :, order].copy()
+    return px[:, :, [2, 1, 0, 3]].copy()  # BGRA → RGBA

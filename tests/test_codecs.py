@@ -511,3 +511,61 @@ def test_gif_interlaced_and_subrect_decode():
     payload[i + 9] = 0x40  # interlace flag
     dec_inter = codecs.decode_gif(bytes(payload))
     assert np.array_equal(dec_inter, dec_plain)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(IMGHDR_DIR),
+    reason="external BMP sample not on this host",
+)
+def test_bmp_external_matches_png_sibling_exactly():
+    """python.bmp (32-bit BI_BITFIELDS, a real external encoder's
+    output) must decode pixel-EXACTLY equal to the truecolor
+    python.png sibling — BMP is lossless."""
+    b = codecs.decode_bmp(open(f"{IMGHDR_DIR}/python.bmp", "rb").read())
+    p = codecs.decode_png(open(f"{IMGHDR_DIR}/python.png", "rb").read())
+    assert b.shape == (16, 16, 4) and p.shape == (16, 16, 3)
+    assert np.array_equal(b[:, :, :3], p)
+    assert np.array_equal(
+        codecs.decode_image(
+            open(f"{IMGHDR_DIR}/python.bmp", "rb").read()
+        ),
+        b,
+    )
+
+
+def test_bmp_hand_built_24bit_both_row_orders():
+    """Hand-assemble minimal 24-bit BMPs (bottom-up and top-down,
+    padded rows) and check exact reconstruction."""
+    img = np.array(
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+         [[1, 2, 3], [4, 5, 6], [7, 8, 9]]], dtype=np.uint8
+    )
+    h, w, _ = img.shape
+    row_bytes = (w * 3 + 3) & ~3
+
+    def build(top_down):
+        rows = img if top_down else img[::-1]
+        data = bytearray()
+        for r in rows:
+            line = bytearray()
+            for px in r:
+                line += bytes([px[2], px[1], px[0]])  # BGR
+            line += b"\x00" * (row_bytes - len(line))
+            data += line
+        hsigned = -h if top_down else h
+        hdr = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, hsigned, 1, 24, 0, len(data),
+            2835, 2835, 0, 0,
+        )
+        return bytes(hdr + info + data)
+
+    for td in (False, True):
+        assert np.array_equal(codecs.decode_bmp(build(td)), img), td
+
+
+def test_bmp_rejects_garbage_and_exotic():
+    with pytest.raises(ValueError, match="signature"):
+        codecs.decode_bmp(b"not a bmp")
+    with pytest.raises(ValueError, match="truncated|header"):
+        codecs.decode_bmp(b"BM" + b"\x00" * 60)
