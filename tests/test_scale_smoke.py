@@ -415,3 +415,32 @@ def test_hamming_pairs_capped_scales_linearly_10x(spark):
     s_ratio = results[200_000][1] / max(results[20_000][1], 1)
     assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× hashes"
     assert s_ratio < 30, f"shuffle grew {s_ratio:.1f}× for 10× hashes"
+
+
+def test_blocked_exact_cosine_scales_linearly_10x(spark):
+    """blocked_exact_cosine_pairs: per-block BLAS prefilter + exact
+    rescore must scale with Σ|block|²·dim, which under a fixed block
+    count grows ~100× for 10× vectors — so we scale the BLOCK COUNT
+    with n (the operator's documented occupancy contract) and runtime/
+    shuffle must then stay ~linear."""
+    from org_revue_de_presse_trends_spark.operators.dedup import (
+        blocked_exact_cosine_pairs,
+    )
+
+    mc = MetricsCollector(spark)
+    dim, results = 16, {}
+    for n, nblocks in ((2_000, 20), (20_000, 200)):
+        vecs = _synthetic_embeddings(spark, n, dim).select(
+            "vec_id", "embedding",
+            (F.col("vec_id") % nblocks).alias("blk"),
+        )
+        pairs = blocked_exact_cosine_pairs(
+            vecs, "blk", threshold=0.6,
+        )
+        t0 = _time.perf_counter()
+        _, qm = mc.measure(f"bec_{n}", pairs, action=lambda d: d.count())
+        results[n] = (_time.perf_counter() - t0, qm.shuffle_bytes_written)
+    t_ratio = results[20_000][0] / results[2_000][0]
+    s_ratio = results[20_000][1] / max(results[2_000][1], 1)
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× vectors"
+    assert s_ratio < 30, f"shuffle grew {s_ratio:.1f}× for 10× vectors"
