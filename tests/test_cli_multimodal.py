@@ -749,3 +749,31 @@ def test_phash_and_features_auto_path_real_jpeg(spark):
     }
     want_mean = float(np.mean([200.0, 100.0, 50.0]))
     assert abs(feats[4]["byte_mean"] - want_mean) < 1.5
+
+
+def test_phash_progressive_jpeg_equals_baseline(spark):
+    """The operator layer is container-agnostic: progressive and
+    baseline JPEG encodings of the same image must produce the SAME
+    pHash through decoder='auto' (both decode to identical pixels)."""
+    import numpy as np
+
+    from org_revue_de_presse_trends_spark.functions import codecs
+    from org_revue_de_presse_trends_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        phash_images,
+    )
+
+    rng = np.random.RandomState(31)
+    base = (rng.rand(48, 48, 3) * 255).astype(np.uint8)
+    base[:, :, 0] = np.linspace(0, 255, 48, dtype=np.uint8)[None, :]
+    rows = [
+        (1, "image", bytearray(codecs.encode_jpeg(base, 95)), None),
+        (2, "image",
+         bytearray(codecs.encode_jpeg_progressive(base, 95)), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["id"]: r["phash"]
+        for r in phash_images(media, decoder="auto").collect()
+    }
+    assert got[1] == got[2]
