@@ -134,6 +134,7 @@ SECONDARY = [
     "image_near_dup_from_docs",
     "audio_near_dup_from_docs",
     "video_near_dup_from_docs",
+    "source_overlap_kmv",
 ]
 
 

@@ -577,6 +577,97 @@ def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+
+_KMV_HEX12 = """
+    list_aggregate(list_transform(range(1, 13),
+        i -> (strpos('0123456789abcdef',
+                     substr(md5(shingle), CAST(i AS INTEGER), 1)) - 1)
+             * CAST(16 ** (12 - i) AS BIGINT)), 'sum')
+"""
+
+
+@query(
+    "source_overlap_kmv",
+    f"""
+    WITH toks AS (
+        SELECT source, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    g AS (
+        SELECT DISTINCT source,
+               unnest(list_transform(
+                   range(1, len(t) - 2 + 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+               )) AS shingle
+        FROM toks
+    ),
+    hs AS (SELECT DISTINCT source, ({_KMV_HEX12}) AS h FROM g),
+    ranked AS (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM hs
+    ),
+    sk AS (SELECT source, h FROM ranked WHERE rn <= 256),
+    srcs AS (SELECT DISTINCT source FROM sk),
+    pairs AS (
+        SELECT a.source AS group_a, b.source AS group_b
+        FROM srcs a JOIN srcs b ON a.source < b.source
+    ),
+    uni AS (
+        SELECT p.group_a, p.group_b, s.h
+        FROM pairs p JOIN sk s
+          ON s.source = p.group_a OR s.source = p.group_b
+        GROUP BY 1, 2, 3
+    ),
+    merged AS (
+        SELECT group_a, group_b, h,
+               row_number() OVER (
+                   PARTITION BY group_a, group_b ORDER BY h
+               ) AS rn
+        FROM uni
+    ),
+    mk AS (SELECT group_a, group_b, h FROM merged WHERE rn <= 256),
+    scored AS (
+        SELECT mk.group_a, mk.group_b,
+               COUNT(*) AS n_union_kmin,
+               SUM(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                        THEN 1 ELSE 0 END) AS n_both
+        FROM mk
+        LEFT JOIN sk sa ON sa.source = mk.group_a AND sa.h = mk.h
+        LEFT JOIN sk sb ON sb.source = mk.group_b AND sb.h = mk.h
+        GROUP BY 1, 2
+    )
+    SELECT group_a, group_b,
+           CAST(n_union_kmin AS BIGINT) AS n_union_kmin,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(n_both AS DOUBLE) / CAST(n_union_kmin AS DOUBLE)
+             AS est_jaccard
+    FROM scored
+    """,
+)
+def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV-sketch source-overlap estimates (operators/kmv.py) — the
+    ONE-PASS scale path beside ``source_ngram_overlap``'s exact join:
+    k=256 minimum distinct 48-bit shingle hashes per source, Jaccard
+    estimated from the merged k-min (exact whenever a pair's hash
+    union fits in k).  The md5-prefix hash and the integer/integer
+    estimate reproduce exactly in DuckDB (strpos hex-decode — the
+    dsir.bucket_of discipline widened to 12 hex chars).
+
+    Scale: the exact query's shingle self-join shuffles the full
+    distinct stream into |sources|² intersections; this one reduces
+    each source to k longs after a two-phase binned k-min (no window
+    ever sees a source's whole stream), and the pair stage touches
+    |sources| rows of k longs — broadcastable at any corpus size."""
+    from ..operators.kmv import kmv_jaccard_pairs, kmv_sketches
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.size(T.tokens(F.col("text"))) >= 3
+    )
+    sk = kmv_sketches(docs, "source", k=256)
+    return kmv_jaccard_pairs(sk, k=256)
+
+
 @query(
     "doc_unigram_surprisal",
     """

@@ -224,7 +224,8 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "split_leakage_counts", "orders_nearby_count",
         "doc_duplicate_spans", "token_bigram_pmi", "events_daily_dense",
         "doc_weighted_sample", "doc_pii_redaction",
-        "source_ngram_overlap", "doc_unigram_surprisal",
+        "source_ngram_overlap", "source_overlap_kmv",
+        "doc_unigram_surprisal",
         "doc_split_counts", "doc_dsir_importance", "doc_gopher_rules",
         "q9_profit_by_nation_year", "q14_promo_revenue_ratio",
         "q16_supplier_part_counts", "q19_bracket_revenue",

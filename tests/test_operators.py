@@ -1035,3 +1035,61 @@ def test_blocked_exact_cosine_pairs_matches_join_form(spark):
     assert set(got) == set(want)
     assert all(got[k] == want[k] for k in want), "cos doubles drifted"
     assert want, "test corpus produced no pairs — not exercising anything"
+
+
+def test_kmv_jaccard_exact_when_union_fits_in_k(spark):
+    """KMV with k >= |A ∪ B| degrades to the EXACT Jaccard of the
+    hashed shingle sets; with small k it still ranks a planted
+    high-overlap pair above unrelated ones."""
+    from org_revue_de_presse_trends_spark.operators.kmv import (
+        kmv_jaccard_pairs,
+        kmv_sketches,
+    )
+
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(400)]
+
+    def doc(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    rows = []
+    base = doc(60)
+    for i in range(5):
+        rows.append((i, "A", base + " " + doc(20)))   # A≈B planted
+        rows.append((100 + i, "B", base + " " + doc(20)))
+        rows.append((200 + i, "C", doc(80)))          # unrelated
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    # big k: exact
+    sk = kmv_sketches(df, "source", k=100_000)
+    est = {
+        (r["group_a"], r["group_b"]): r
+        for r in kmv_jaccard_pairs(sk, k=100_000).collect()
+    }
+    # exact jaccard over the same shingle-hash sets, computed naively
+    from org_revue_de_presse_trends_spark.operators.kmv import kmv_hash
+    from org_revue_de_presse_trends_spark.functions import text as T
+
+    hs = (
+        T.with_shingles(df.select("source", "text"), "text", "sh", 3)
+        .select("source", F.explode("sh").alias("shingle"))
+        .select("source", kmv_hash(F.col("shingle")).alias("h"))
+        .distinct()
+        .collect()
+    )
+    sets: dict = {}
+    for r in hs:
+        sets.setdefault(r["source"], set()).add(r["h"])
+    for (ga, gb), r in est.items():
+        a, b = sets[ga], sets[gb]
+        exact = len(a & b) / len(a | b)
+        assert abs(r["est_jaccard"] - exact) < 1e-12, (ga, gb)
+        assert r["n_union_kmin"] == len(a | b)
+    # small k: estimator still separates planted from unrelated
+    sk16 = kmv_sketches(df, "source", k=16)
+    est16 = {
+        (r["group_a"], r["group_b"]): r["est_jaccard"]
+        for r in kmv_jaccard_pairs(sk16, k=16).collect()
+    }
+    assert est16[("A", "B")] > max(est16[("A", "C")], est16[("B", "C")])
