@@ -1093,3 +1093,33 @@ def test_kmv_jaccard_exact_when_union_fits_in_k(spark):
         for r in kmv_jaccard_pairs(sk16, k=16).collect()
     }
     assert est16[("A", "B")] > max(est16[("A", "C")], est16[("B", "C")])
+
+
+def test_kmv_distinct_count_estimator(spark):
+    """Exact below k; within ~3/sqrt(k) relative error above k (the
+    KMV estimator's standard deviation is ~1/sqrt(k-2))."""
+    from org_revue_de_presse_trends_spark.operators.kmv import (
+        kmv_distinct_counts,
+        kmv_sketches,
+    )
+
+    rows = []
+    # group S: 30 distinct tokens -> well under k
+    small_vocab = [f"s{i}" for i in range(32)]
+    rows.append((1, "S", " ".join(small_vocab)))
+    # group L: ~25k distinct shingles from structured text
+    big = " ".join(f"w{(i * 37) % 25000}" for i in range(25000))
+    rows.append((2, "L", big))
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    k = 256
+    out = {
+        r["group"]: r
+        for r in kmv_distinct_counts(
+            kmv_sketches(df, "source", k=k), k=k
+        ).collect()
+    }
+    assert out["S"]["n_kmin"] == 30  # 32 tokens -> 30 3-gram shingles
+    assert out["S"]["est_distinct"] == 30.0  # exact below k
+    true_l = 24998  # 25000 tokens -> 24998 shingle positions, distinct
+    rel = abs(out["L"]["est_distinct"] - true_l) / true_l
+    assert rel < 3 / (k ** 0.5), (out["L"], rel)
