@@ -46,7 +46,7 @@ def _nanos_ts_columns(path: str) -> list[str]:
     ]
 
 
-#: analyzed-DataFrame cache: (applicationId, path, mtime) → DataFrame.
+#: analyzed-DataFrame cache: (applicationId, path) → (mtime, DataFrame).
 #: Every load_table call otherwise pays a JVM footer read + file
 #: listing (~50-100 ms/table of plan-build; a 6-table TPC-H query
 #: spends ~0.6 s of DRIVER time just re-resolving schemas).  The mtime
@@ -79,10 +79,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         mtime = os.path.getmtime(path)
     except OSError:
         mtime = None  # missing/remote path: let spark.read surface it
-    cache_key = (spark.sparkContext.applicationId, path, mtime)
+    # keyed by (appId, path) with the mtime stored IN the entry: a
+    # regenerated fixture replaces its slot instead of leaking the old
+    # analyzed plan for the process lifetime (r6 review finding)
+    cache_key = (spark.sparkContext.applicationId, path)
     cached = _TABLE_CACHE.get(cache_key)
-    if cached is not None:
-        return cached
+    if cached is not None and cached[0] == mtime:
+        return cached[1]
     ns_cols = _nanos_ts_columns(path)
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if ns_cols:
@@ -100,7 +103,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ]
     for c in ntz_cols:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
-    _TABLE_CACHE[cache_key] = df
+    _TABLE_CACHE[cache_key] = (mtime, df)
     return df
 
 

@@ -214,15 +214,22 @@ def decode_image(payload: bytes) -> np.ndarray:
     if fmt == "jpeg":
         try:
             return decode_jpeg(payload)
-        except NotImplementedError:  # arithmetic/12-bit/CMYK → PIL
+        except (NotImplementedError, ValueError):
+            # arithmetic/12-bit/CMYK and files our parser rejects both
+            # fall through to PIL when installed (the pre-native
+            # robustness property); without PIL the error surfaces
             if not HAVE_PIL:
                 raise
     if fmt == "gif":
-        return decode_gif(payload)
+        try:
+            return decode_gif(payload)
+        except (NotImplementedError, ValueError):
+            if not HAVE_PIL:
+                raise
     if fmt == "bmp":
         try:
             return decode_bmp(payload)
-        except NotImplementedError:  # compressed/exotic → PIL
+        except (NotImplementedError, ValueError):
             if not HAVE_PIL:
                 raise
     if HAVE_PIL:  # pragma: no cover - exercised only with PIL
@@ -479,7 +486,12 @@ class _BitReader:
 
     def read(self, k: int) -> int:
         while self.n < k:
-            b = self.d[self.pos] if self.pos < len(self.d) else 0
+            if self.pos >= len(self.d):
+                # a VALID stream never reads past its last byte (the
+                # final code's padding lives inside it); overrun means
+                # truncated entropy data, not silent zero-fill garbage
+                raise ValueError("JPEG entropy data truncated")
+            b = self.d[self.pos]
             self.pos += 1
             self.acc = ((self.acc << 8) | b) & 0xFFFFFFFFFFFF
             self.n += 8
@@ -547,6 +559,10 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip them (r6 review finding)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD8:  # stray SOI
             pos += 2
@@ -1308,14 +1324,9 @@ def encode_jpeg_progressive(
      ) = _jpeg_prepare(img, quality, subsample)
     hmax = max(h for h, _ in samp)
     vmax = max(v for _, v in samp)
-    # zigzag-layout coefficient grids
-    zz_grids = [q[:, :, np.argsort(_ZIGZAG)][:, :, :] for q in quantized]
-    zz_grids = []
-    inv = np.empty(64, dtype=np.int64)
-    inv[np.arange(64)] = 0
-    for q in quantized:
-        g = q[:, :, _ZIGZAG]  # natural grid sampled at zigzag indices
-        zz_grids.append(g)
+    # zigzag-layout coefficient grids (natural grids sampled at the
+    # zigzag indices)
+    zz_grids = [q[:, :, _ZIGZAG] for q in quantized]
     nb_w = [-(-(-(-(width * h) // hmax)) // 8) for h, _ in samp]
     nb_h = [-(-(-(-(height * v) // vmax)) // 8) for _, v in samp]
 
@@ -1696,11 +1707,18 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if compression == 3 and bpp == 32 and hdr_size >= 52:
         # BI_BITFIELDS: not compression at all, just channel masks
         # (3 or 4 DWORDs following the 40-byte info header)
-        masks = struct.unpack_from("<III", payload, 54)
-        masks += (
-            struct.unpack_from("<I", payload, 66) if hdr_size >= 56
-            else (0,)
-        )
+        try:
+            masks = struct.unpack_from("<III", payload, 54)
+            masks += (
+                struct.unpack_from("<I", payload, 66) if hdr_size >= 56
+                else (0,)
+            )
+        except struct.error as e:
+            raise ValueError(f"BMP bitfields truncated: {e}") from e
+        if any(m == 0 for m in masks[:3]):
+            raise NotImplementedError(
+                "BMP bitfields with a zero color mask need PIL"
+            )
         if any(m and bin(m).count("1") != 8 for m in masks) or any(
             m and (m >> (m & -m).bit_length() - 1) != 0xFF
             for m in masks if m

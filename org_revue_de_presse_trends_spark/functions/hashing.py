@@ -36,38 +36,20 @@ def minhash_signature(shingle_arr: Column, num_perm: int = 64) -> Column:
     return F.array(*sigs)
 
 
-def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
-    """array<struct<band:int, key:long>> — one LSH bucket key per band.
-
-    Two documents land in the same (band, key) bucket iff their
-    signatures agree on every row of that band.
-    """
-    keys = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.element_at(signature, b * rows_per_band + r + 1)
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias("key"),
-        )
-        for b in range(bands)
-    ]
-    return F.array(*keys)
-
-
 def lsh_band_keys_expr(
     sig_name: str, bands: int, rows_per_band: int
 ) -> Column:
-    """:func:`lsh_band_keys` over a column ATTRIBUTE named
-    ``sig_name``, built as ONE parsed SQL expression — the
+    """array<struct<band:int, key:long>> — one LSH bucket key per band
+    over a signature column ATTRIBUTE named ``sig_name``: two
+    documents land in the same (band, key) bucket iff their signatures
+    agree on every row of that band (key = xxhash64 of the band's
+    comma-joined rows).
+
+    Built as ONE parsed SQL expression — the equivalent
     Column-by-Column form costs ~8 py4j round-trips per band (~0.24 s
-    of driver plan-build at 16 bands; the plan-build tax, CLAUDE.md).
-    Identical expression trees → identical keys (golden-pinned)."""
+    of driver plan-build at 16 bands; the plan-build tax, CLAUDE.md)
+    and was removed as dead code in r6 after both callers switched.
+    Keys are golden-pinned."""
     parts = ",".join(
         f"struct({b} as band, xxhash64(concat_ws(',', "
         + ",".join(
