@@ -104,6 +104,8 @@ def test_payload_tail_carries_critical_fields():
     ]
     assert keys.index("queries_secondary") < keys.index("errors")
     assert json.loads(line)["secondary_total"] == round(0.123 * 30, 3)
+    # the spike-retry report is sacrificial head weight too
+    assert keys.index("warm_retries") < keys.index("queries_secondary")
 
 
 def test_timed_collect_cancels_hanging_query_and_recovers(spark):
