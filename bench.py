@@ -135,6 +135,7 @@ SECONDARY = [
     "audio_near_dup_from_docs",
     "video_near_dup_from_docs",
     "source_overlap_kmv",
+    "doc_boilerplate_removal",
 ]
 
 

@@ -8,5 +8,6 @@ from . import (  # noqa: F401  (register on import)
     analytics_tpch,  # also past the window
     corpus_stats,  # also past the window
     events_analytics,  # also past the window
-    analytics_tpch2,  # registers LAST: also past the window
+    analytics_tpch2,  # also past the window
+    curation_ext,  # registers LAST: also past the window
 )
