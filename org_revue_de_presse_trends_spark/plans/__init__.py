@@ -9,5 +9,6 @@ from . import (  # noqa: F401  (register on import)
     corpus_stats,  # also past the window
     events_analytics,  # also past the window
     analytics_tpch2,  # also past the window
-    curation_ext,  # registers LAST: also past the window
+    curation_ext,  # also past the window
+    cdc_ext,  # registers LAST: also past the window
 )
