@@ -1,9 +1,10 @@
-"""Late-registering curation queries (past the driver's 50-slot
+"""Late-registering curation/lake queries (past the driver's 50-slot
 window on purpose — the in-repo contract gate still oracle-checks
 them; see tests/test_driver_contract.py overflow pin).
 
 Currently: corpus-level boilerplate removal (CCNet-style common-
-segment drop, operators/boilerplate.py).
+segment drop, operators/boilerplate.py) and the Z-order clustering
+key (sources/zorder.py).
 """
 
 from __future__ import annotations
@@ -12,7 +13,61 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
 from ..operators.boilerplate import remove_common_segments
+from ..sources.zorder import linear_edges, with_zorder_key
 from .registry import query
+
+
+def _morton_terms_sql(cell_names: list[str], bits: int) -> str:
+    """The interleave fan in portable SQL (identical text for Spark
+    and DuckDB would differ only in shift syntax, so each caller
+    renders its own)."""
+    k = len(cell_names)
+    return " + ".join(
+        f"((({name} >> {j}) & 1) << {j * k + i})"
+        for i, name in enumerate(cell_names)
+        for j in range(bits)
+    )
+
+
+_Z_BITS = 8
+
+_ZORDER_ORACLE = f"""
+    WITH bounds AS (
+      SELECT CAST(min(user_id) AS DOUBLE) AS lo_u,
+             CAST(max(user_id) AS DOUBLE) AS hi_u,
+             CAST(min(value) AS DOUBLE) AS lo_v,
+             CAST(max(value) AS DOUBLE) AS hi_v
+      FROM events
+    ),
+    cells AS (
+      SELECT e.event_id,
+             least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+               CAST(floor((CAST(e.user_id AS DOUBLE) - b.lo_u)
+                    / (CASE WHEN b.hi_u > b.lo_u THEN b.hi_u - b.lo_u
+                       ELSE 1.0 END) * 256) AS BIGINT))) AS cu,
+             least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+               CAST(floor((CAST(e.value AS DOUBLE) - b.lo_v)
+                    / (CASE WHEN b.hi_v > b.lo_v THEN b.hi_v - b.lo_v
+                       ELSE 1.0 END) * 256) AS BIGINT))) AS cv
+      FROM events e, bounds b
+    )
+    SELECT event_id,
+           {_morton_terms_sql(['cu', 'cv'], _Z_BITS)} AS zkey
+    FROM cells
+"""
+
+
+@query("events_zorder_keys", _ZORDER_ORACLE)
+def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton key each event by (user_id, value) — the projection a
+    Z-order clustering write ranges on (sources/zorder.py); linear
+    edges come from one min/max aggregate, exactly as the oracle's
+    bounds CTE computes them."""
+    ev = load_table(spark, sf_dir, "events")
+    edges = linear_edges(ev, ["user_id", "value"])
+    return with_zorder_key(
+        ev, ["user_id", "value"], edges, bits=_Z_BITS
+    ).select("event_id", "zkey")
 
 
 @query(

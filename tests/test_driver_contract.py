@@ -239,8 +239,8 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "q8_market_share", "q17_small_quantity_revenue",
         "q21_waiting_suppliers", "q12_priority_by_lateness",
         "q20_excess_shippers", "q10_returned_item_customers",
-        "doc_boilerplate_removal", "user_event_type_scd2",
-        "customer_state_merge",
+        "events_zorder_keys", "doc_boilerplate_removal",
+        "user_event_type_scd2", "customer_state_merge",
     ], f"unexpected overflow oracled set: {overflow}"
 
 
