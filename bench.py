@@ -136,6 +136,7 @@ SECONDARY = [
     "video_near_dup_from_docs",
     "source_overlap_kmv",
     "doc_boilerplate_removal",
+    "dedup_edit_distance",
     "events_zorder_keys",
     "user_event_type_scd2",
     "customer_state_merge",

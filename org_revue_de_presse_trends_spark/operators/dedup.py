@@ -1131,3 +1131,59 @@ def blocked_exact_cosine_pairs(
         cands.select("id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: list[str] | None = None,
+    max_dist: int = 100,
+) -> DataFrame:
+    """(id_a, id_b, dist) for same-block pairs within Levenshtein
+    distance ``max_dist`` — the character-level member of the near-dup
+    family (catches small in-place edits that shift every downstream
+    shingle, where token-set Jaccard under-scores).
+
+    Scale shape: candidates must share (a) the caller's blocking key
+    (at 100 TB an LSH band key, here e.g. the source) and (b) a
+    doc-length bucket of width ``max_dist + 1`` — ``dist >= |len_a -
+    len_b|`` makes adjacent buckets a NECESSARY condition, so one side
+    explodes to its three neighbor buckets and the join stays fully
+    equi-keyed (the banded range-join trick, operators/rangejoin.py).
+    Verification runs JVM-side with the BANDED levenshtein (threshold
+    arg -> O(n * max_dist) per pair instead of O(n^2), returning -1
+    past the band).
+    """
+    blocks = list(block_cols or [])
+    w = int(max_dist) + 1
+    left = df.select(
+        *blocks,
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("__ta"),
+        F.length(text_col).alias("__la"),
+        F.explode(
+            F.array(
+                (F.length(text_col) / w).cast("long") - 1,
+                (F.length(text_col) / w).cast("long"),
+                (F.length(text_col) / w).cast("long") + 1,
+            )
+        ).alias("__bkt"),
+    )
+    right = df.select(
+        *blocks,
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("__tb"),
+        F.length(text_col).alias("__lb"),
+        (F.length(text_col) / w).cast("long").alias("__bkt"),
+    )
+    dist = F.levenshtein(F.col("__ta"), F.col("__tb"), max_dist)
+    return (
+        left.join(right, on=[*blocks, "__bkt"])
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+        )
+        .select("id_a", "id_b", dist.cast("long").alias("dist"))
+        .where(F.col("dist") >= 0)
+    )

@@ -117,3 +117,27 @@ def doc_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         per="source",
     )
     return out.select("doc_id", "clean_text", "n_segments", "n_removed")
+
+
+@query(
+    "dedup_edit_distance",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.text, b.text) AS dist
+    FROM documents a JOIN documents b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+     AND abs(length(a.text) - length(b.text)) <= 100
+    WHERE levenshtein(a.text, b.text) <= 100
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs: same-source docs within
+    Levenshtein distance 100, candidates bucketed by doc length
+    (operators/dedup.edit_distance_pairs); the banded JVM levenshtein
+    verifies."""
+    from ..operators.dedup import edit_distance_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return edit_distance_pairs(
+        docs, block_cols=["source"], max_dist=100
+    )

@@ -240,6 +240,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "q21_waiting_suppliers", "q12_priority_by_lateness",
         "q20_excess_shippers", "q10_returned_item_customers",
         "events_zorder_keys", "doc_boilerplate_removal",
+        "dedup_edit_distance",
         "user_event_type_scd2", "customer_state_merge",
     ], f"unexpected overflow oracled set: {overflow}"
 
