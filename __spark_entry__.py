@@ -25,8 +25,29 @@ def entry(spark: SparkSession) -> DataFrame:
     return plans.QUERIES["daily_top_events"](spark, "/root/testdata/sf0.001")
 
 
+#: r7 driver-window rotation (r6 verdict item 6): the driver
+#: re-generates fixtures between rounds, so oracled queries that sit
+#: permanently past its 50-slot window would only catch cross-engine
+#: drift via the in-repo sf0.01 gate.  These eight overflow-oracled
+#: queries move INTO the window this round (emitted first), displacing
+#: eight golden-stable veterans (green in every driver artifact since
+#: r4) into the overflow set.  tests/test_driver_contract.py pins both
+#: resulting sets.
+WINDOW_ROTATION = [
+    "split_leakage_counts",
+    "source_overlap_kmv",
+    "events_zorder_keys",
+    "doc_boilerplate_removal",
+    "dedup_edit_distance",
+    "dedup_edit_distance_bounded",
+    "user_event_type_scd2",
+    "customer_state_merge",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registered suite, oracled queries first.
+    """Registered suite: rotation set first, then remaining oracled
+    queries, then rows-only.
 
     The driver evaluates only the first 50 entries.  Oracled queries
     carry the hard hash-vs-DuckDB signal, so they are emitted ahead of
@@ -35,8 +56,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_driver_contract.py pins the exact window contents and
     the deliberate overflow set (gated by the in-repo contract test).
     """
+    rot = {n: i for i, n in enumerate(WINDOW_ROTATION)}
     ordered = sorted(
-        plans.QUERIES.items(), key=lambda kv: kv[0] not in plans.ORACLES
+        plans.QUERIES.items(),
+        key=lambda kv: (
+            0 if kv[0] in rot else (1 if kv[0] in plans.ORACLES else 2),
+            rot.get(kv[0], 0),
+        ),
     )
     return dict(ordered)
 

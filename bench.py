@@ -93,6 +93,14 @@ HEADLINE = [
     "q12_priority_by_lateness",
     "q20_excess_shippers",
     "q10_returned_item_customers",
+    # r7 promotions (r6 verdict item 5): the repo's two slowest queries
+    # lived in the sacrificial secondary zone where a regression reads
+    # as noise; both fixed this round (57.8 -> ~3.1 s spread verify,
+    # 5.6 -> ~1.5 s skinny reassembly + outer-explode), plus the new
+    # sub-quadratic bounded-threshold variant
+    "dedup_edit_distance",
+    "doc_boilerplate_removal",
+    "dedup_edit_distance_bounded",
 ]
 
 #: the long tail — every registered query not in HEADLINE (cheap
@@ -135,8 +143,6 @@ SECONDARY = [
     "audio_near_dup_from_docs",
     "video_near_dup_from_docs",
     "source_overlap_kmv",
-    "doc_boilerplate_removal",
-    "dedup_edit_distance",
     "events_zorder_keys",
     "user_event_type_scd2",
     "customer_state_merge",
@@ -327,12 +333,18 @@ def main() -> None:
     warm_retries: dict[str, list] = {}
     query_io: dict[str, dict] = {}
     errors: dict[str, str] = {}
-    # secondary (long-tail + bench-only) queries run FIRST so the
-    # headline warm map lands in the driver-archived tail window
+    # headline queries execute FIRST, in a fresh JVM, exactly as in
+    # rounds 1-5 — r6 ran the 39-query secondary section (incl. a
+    # 57.8 s outlier) ahead of them and three headline queries read
+    # 1.2-1.5x their standalone time (r7 A/B: embedding_lsh_near_dup
+    # 0.73 s standalone vs 1.19 s in-suite; pre/post-10dbd1b trees
+    # identical, so the code was exonerated and the ordering was the
+    # cause).  Driver tail-archiving depends on PAYLOAD FIELD order
+    # (build_payload), not execution order, so nothing is sacrificed.
     suite: list[tuple[str, object, bool]] = (
-        [(n, plans.QUERIES[n], True) for n in SECONDARY]
+        [(n, plans.QUERIES[n], False) for n in HEADLINE]
+        + [(n, plans.QUERIES[n], True) for n in SECONDARY]
         + [(n, fn, True) for n, fn in EXTRA_BENCH_ONLY.items()]
-        + [(n, plans.QUERIES[n], False) for n in HEADLINE]
     )
     for name, fn, is_secondary in suite:
         try:
@@ -369,15 +381,23 @@ def main() -> None:
             # Re-run once, keep the min, and report both timings in
             # "warm_retries" so the retry is visible, not silent.
             if sink[name] > max(1.4 * cold[name], cold[name] + 0.3):
+                # the retry runs under its own try: a retry failure
+                # must keep the first (successful) timing, not ALSO
+                # record the query under errors — that would double-
+                # report it in both maps (r6 ADVICE)
                 first = sink[name]
-                _, qm2 = timed_collect(spark, fn, sf_dir, name, collector=mc) \
-                    if mc is not None else (None, None)
-                if qm2 is not None:
-                    second = round(qm2.wall_sec, 3)
-                else:
-                    t0 = time.perf_counter()
-                    timed_collect(spark, fn, sf_dir, name)
-                    second = round(time.perf_counter() - t0, 3)
+                try:
+                    if mc is not None:
+                        _, qm2 = timed_collect(
+                            spark, fn, sf_dir, name, collector=mc
+                        )
+                        second = round(qm2.wall_sec, 3)
+                    else:
+                        t0 = time.perf_counter()
+                        timed_collect(spark, fn, sf_dir, name)
+                        second = round(time.perf_counter() - t0, 3)
+                except Exception:  # noqa: BLE001 — keep first timing
+                    second = first
                 sink[name] = min(first, second)
                 warm_retries[name] = [first, second]
         except Exception as e:  # noqa: BLE001 — harness boundary

@@ -103,6 +103,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ]
     for c in ntz_cols:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
+    # evict entries bound to other (stopped) sessions on insert:
+    # processes that cycle SparkSessions (test suites) would otherwise
+    # accumulate analyzed DataFrames pinned to dead JVM state for the
+    # process lifetime (r6 ADVICE)
+    live = cache_key[0]
+    for k in [k for k in _TABLE_CACHE if k[0] != live]:
+        del _TABLE_CACHE[k]
     _TABLE_CACHE[cache_key] = (mtime, df)
     return df
 

@@ -29,12 +29,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .skew import spread_for_cpu as _spread
+
 
 def _segments_expr(text_col: str, delimiter: str | None, window_tokens: int):
     """Segment array as ONE parsed SQL expression (plan-build tax:
     Column-by-Column fans cost ~0.2 ms of py4j per node, CLAUDE.md)."""
     if delimiter is not None:
-        d = delimiter.replace("\\", "\\\\").replace("'", "\\'")
+        # split() takes a Java REGEX: quote the delimiter with \Q...\E
+        # (Pattern.quote), else '|', '.', '+' silently mis-segment —
+        # every char becomes a boundary (r6 ADVICE).  A literal \E
+        # inside the delimiter must close/reopen the quote region.
+        quoted = "\\Q" + delimiter.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+        d = quoted.replace("\\", "\\\\").replace("'", "\\'")
         return F.expr(
             f"filter(split(`{text_col}`, '{d}'), x -> trim(x) != '')"
         )
@@ -74,7 +81,11 @@ def remove_common_segments(
     join_delim = delimiter if delimiter is not None else " "
     per_cols = [per] if per is not None else []
 
-    base = df.select(
+    # spread_for_cpu: segmentation is an interpreted HOF fan running
+    # in the scan stage, and a small corpus file arrives as ONE split
+    # (r7 profile: the posexplode stage ran 1.84 s on a single task at
+    # sf0.1); no-op whenever the scan already has >= cores splits
+    base = _spread(df).select(
         F.col(id_col),
         *per_cols,
         F.col(text_col),
@@ -90,14 +101,29 @@ def remove_common_segments(
     )
     # stage the segment array behind a projection boundary, then one
     # posexplode: (id, [per], pos, seg)
-    segs = base.select(
-        F.col(id_col),
-        *per_cols,
-        _segments_expr(text_col, delimiter, window_tokens).alias("__bp_segs"),
-    ).select(
-        F.col(id_col),
-        *per_cols,
-        F.posexplode("__bp_segs").alias("pos", "seg"),
+    # posexplode_OUTER + null-filter instead of posexplode: the
+    # InferFiltersFromGenerate rule only fires on non-outer Generate,
+    # and when it does it pushes a size(..)>0 filter below the
+    # projection boundaries with the WHOLE segmentation expression
+    # inlined several times — measured 1.5 s of interpreted re-eval in
+    # the single-split scan stage at sf0.1 (r7 plan audit; the filter
+    # lands BELOW the spread exchange, so no amount of repartitioning
+    # helps).  The outer rows (docs with zero segments) are dropped
+    # right above the Generate, where pos is a plain attribute.
+    segs = (
+        base.select(
+            F.col(id_col),
+            *per_cols,
+            _segments_expr(text_col, delimiter, window_tokens).alias(
+                "__bp_segs"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            *per_cols,
+            F.posexplode_outer("__bp_segs").alias("pos", "seg"),
+        )
+        .where(F.col("pos").isNotNull())
     )
 
     # distinct-doc frequency per (group, segment); only the boilerplate
@@ -109,32 +135,52 @@ def remove_common_segments(
         .select(*per_cols, "seg", F.lit(True).alias("__bp_rm"))
     )
 
+    # flags are SKINNY from here on: (id, pos, rm) only — the r6 plan
+    # audit found the old reassembly groupBy carried full segment text
+    # through a wide shuffle (34.8 MB moved for a 13.6 MB read); the
+    # segment strings now cross exactly one shuffle (the df count
+    # above) and the clean text is rebuilt from each doc's staged
+    # segment array by INDEX, in the scan stage
     flagged = segs.join(
         F.broadcast(common), on=[*per_cols, "seg"], how="left"
     ).select(
         F.col(id_col),
         "pos",
-        "seg",
         F.coalesce("__bp_rm", F.lit(False)).alias("rm"),
     )
 
-    # one reassembly shuffle on the doc id: order by pos, keep the
-    # survivors, rejoin
-    rebuilt = flagged.groupBy(id_col).agg(
+    # per-doc survivor positions: an ints-only shuffle (collect_list
+    # skips the nulls when() yields for removed segments)
+    flag_agg = flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_segments"),
         F.count(F.when(F.col("rm"), 1)).alias("n_removed"),
+        F.sort_array(
+            F.collect_list(F.when(~F.col("rm"), F.col("pos")))
+        ).alias("__bp_keep"),
+    )
+
+    # rejoin text ONCE per doc: the broadcast-sized flag side meets the
+    # staged segment array in the scan stage (AQE broadcasts the agg;
+    # at 100 TB this is one co-partitioned join on the doc id), and the
+    # survivors are picked by index — element_at on a staged array
+    # attribute is O(1) per element, no O(n^2) HOF trap
+    with_segs = base.select(
+        F.col(id_col),
+        _segments_expr(text_col, delimiter, window_tokens).alias(
+            "__bp_segs"
+        ),
+    )
+    rebuilt = with_segs.join(flag_agg, on=id_col, how="left").select(
+        F.col(id_col),
         F.array_join(
             F.transform(
-                F.filter(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "rm", "seg"))
-                    ),
-                    lambda s: ~s["rm"],
-                ),
-                lambda s: s["seg"],
+                F.col("__bp_keep"),
+                lambda p: F.element_at(F.col("__bp_segs"), p + F.lit(1)),
             ),
             join_delim,
         ).alias(out_col),
+        "n_segments",
+        "n_removed",
     )
 
     return df.join(rebuilt, on=id_col, how="left").select(

@@ -1157,7 +1157,15 @@ def edit_distance_pairs(
     """
     blocks = list(block_cols or [])
     w = int(max_dist) + 1
-    left = df.select(
+    # spread_for_cpu + explicit broadcast: a small corpus arrives as
+    # ONE split and the banded-Levenshtein verify would inherit the
+    # probe side's layout through the broadcast join, serializing the
+    # whole O(candidates * n * max_dist) stage on 1-2 cores (r6
+    # verdict: 57.8 s at sf0.1 with tasks=2, shuffle_mb=0).  Spreading
+    # the probe scan parallelizes the verify across every core with no
+    # extra shuffle on the (wide) candidate pairs; A/B best-of-3 at
+    # sf0.1: 57.8 s -> see ARCHITECTURE.md (edit-distance note).
+    left = spread_for_cpu(df).select(
         *blocks,
         F.col(id_col).alias("id_a"),
         F.col(text_col).alias("__ta"),
@@ -1179,7 +1187,7 @@ def edit_distance_pairs(
     )
     dist = F.levenshtein(F.col("__ta"), F.col("__tb"), max_dist)
     return (
-        left.join(right, on=[*blocks, "__bkt"])
+        left.join(F.broadcast(right), on=[*blocks, "__bkt"])
         .where(
             (F.col("id_a") < F.col("id_b"))
             & (F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
@@ -1187,3 +1195,170 @@ def edit_distance_pairs(
         .select("id_a", "id_b", dist.cast("long").alias("dist"))
         .where(F.col("dist") >= 0)
     )
+
+
+def edit_distance_pairs_qchunk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: list[str] | None = None,
+    max_dist: int = 20,
+) -> DataFrame:
+    """(id_a, id_b, dist) for same-block pairs within Levenshtein
+    distance ``max_dist`` via the ASYMMETRIC q-chunk signature scheme
+    (IndexChunk; Qin et al., "Efficient exact edit similarity query
+    processing with the asymmetric signature scheme", SIGMOD 2011) —
+    the sub-quadratic candidate path for BOUNDED thresholds, where
+    ``max_dist`` is small relative to document length.
+
+    Soundness (pigeonhole): cut an indexed doc of length ``L >= k``
+    (``k = max_dist + 1``) into ``nfull = L div q`` non-overlapping
+    chunks of length ``q = L div k`` (``nfull >= k``).  Each of the
+    ``<= max_dist`` edit ops corrupts at most one chunk's content
+    (indels additionally SHIFT later chunks, but shifted-uncorrupted
+    chunks still occur verbatim in the partner at a position within
+    ``+-max_dist``).  So at least ``nfull - max_dist >= 1`` chunks of
+    the indexed doc appear exactly in the partner, at ``+-max_dist``
+    of their original offset.  The probe side therefore emits ALL its
+    substrings of every chunk length a feasible partner could use
+    (``(len +- max_dist) div k`` spans <= 3 integers), and candidates
+    are the equi-join on (block, chunk_len, gram) with length- and
+    position-tolerance post-filters.  Pairs where BOTH sides are
+    shorter than ``k`` can defeat the pigeonhole and go through the
+    tiny length-bucket fallback (edit_distance_pairs) instead; pairs
+    with one short side are covered by indexing the long side.
+
+    Scale shape: index = n * (max_dist+1)-ish skinny rows (AQE
+    broadcasts it at small scale, shuffle-joins at 100 TB); probe =
+    ~2-3 grams per character, generated in the scan stage (no
+    shuffle when the index broadcasts); candidates then collapse
+    through one distinct + two id-joins to re-attach texts before the
+    banded JVM levenshtein verify.  Join blocks are (block, q, gram)
+    — measured hottest block at sf0.1 is 8 docs; candidate volume is
+    corpus-dependent (docs sharing a verbatim phrase of length >= q
+    at aligned offsets are genuine candidates no exact scheme can
+    skip), measured 13.8k pairs at sf0.1 vs ~700k for length-bucket
+    blocking at the same threshold.
+
+    Why not for max_dist = Theta(len): q = len div (max_dist+1) is
+    then O(1) chars and every doc collides with every doc — exact
+    signature schemes degenerate (witness length L/tau; see
+    ARCHITECTURE.md).  Callers with tau >= len/3-ish should use
+    edit_distance_pairs.
+    """
+    blocks = list(block_cols or [])
+    tau = int(max_dist)
+    k = tau + 1
+    ln = F.length(text_col)
+    docs = df.select(
+        *blocks,
+        F.col(id_col).cast("long").alias("id"),
+        F.col(text_col).alias("txt"),
+        ln.alias("len"),
+    )
+    # index: docs long enough for the pigeonhole → skinny rows
+    # (block, q, gram, iid, ipos, ilen); the whole fan is codegen'd
+    # (sequence-explode + substring), no HOF lambda anywhere
+    idx = (
+        docs.filter(F.col("len") >= k)
+        .withColumn("q", F.expr(f"len DIV {k}"))
+        .withColumn(
+            "ci",
+            F.explode(F.expr("sequence(0, CAST(len DIV q AS INT) - 1)")),
+        )
+        .select(
+            *blocks,
+            F.col("id").alias("iid"),
+            F.col("len").alias("ilen"),
+            "q",
+            (F.col("ci") * F.col("q")).alias("ipos"),
+            F.expr(
+                "substring(txt, CAST(ci * q AS INT) + 1, CAST(q AS INT))"
+            ).alias("gram"),
+        )
+    )
+    # probe: every substring of each feasible partner chunk length —
+    # spread_for_cpu because the gram fan runs in the scan stage and a
+    # small corpus file arrives as one split (same shape as the
+    # minhash win); the index side's broadcast join keeps this layout
+    probe = (
+        spread_for_cpu(docs)
+        .withColumn(
+            "q",
+            F.explode(
+                F.expr(
+                    f"sequence(CAST(greatest({k}, len - {tau}) DIV {k} AS INT),"
+                    f" CAST((len + {tau}) DIV {k} AS INT))"
+                )
+            ),
+        )
+        .withColumn(
+            "pp", F.explode(F.expr("sequence(0, CAST(len - q AS INT))"))
+        )
+        .select(
+            *blocks,
+            F.col("id").alias("pid"),
+            F.col("len").alias("plen"),
+            "q",
+            F.col("pp").alias("ppos"),
+            F.expr(
+                "substring(txt, CAST(pp AS INT) + 1, CAST(q AS INT))"
+            ).alias("gram"),
+        )
+    )
+    cand = (
+        probe.join(idx, on=[*blocks, "q", "gram"])
+        .where(
+            (F.col("iid") != F.col("pid"))
+            & (F.abs(F.col("ilen") - F.col("plen")) <= tau)
+            & (F.abs(F.col("ipos") - F.col("ppos")) <= tau)
+        )
+        .select(
+            *blocks,
+            F.least("iid", "pid").alias("id_a"),
+            F.greatest("iid", "pid").alias("id_b"),
+        )
+        .distinct()
+    )
+    texts = docs.select(*blocks, "id", "txt")
+    verified = (
+        cand.join(
+            texts.select(
+                *blocks,
+                F.col("id").alias("id_a"),
+                F.col("txt").alias("__ta"),
+            ),
+            on=[*blocks, "id_a"],
+        )
+        .join(
+            texts.select(
+                *blocks,
+                F.col("id").alias("id_b"),
+                F.col("txt").alias("__tb"),
+            ),
+            on=[*blocks, "id_b"],
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("__ta"), F.col("__tb"), tau)
+            .cast("long")
+            .alias("dist"),
+        )
+        .where(F.col("dist") >= 0)
+    )
+    # pairs where BOTH sides are shorter than k defeat the pigeonhole:
+    # route the (tiny) short-short corner through the bucket path
+    short = docs.filter(F.col("len") <= tau).select(
+        *blocks,
+        F.col("id").alias(id_col),
+        F.col("txt").alias(text_col),
+    )
+    fallback = edit_distance_pairs(
+        short,
+        text_col=text_col,
+        id_col=id_col,
+        block_cols=blocks,
+        max_dist=tau,
+    )
+    return verified.unionByName(fallback)

@@ -38,6 +38,22 @@ DEFAULT_CONF: dict[str, str] = {
     # sessions built outside this factory
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # InferFiltersFromGenerate pushes a size(..)>0/isnotnull filter
+    # below the Generate with the generator's child EXPRESSION inlined
+    # — for this engine's explode-after-staged-HOF pipelines (shingles,
+    # k-grams, segment windows) that re-evaluates the whole interpreted
+    # array pipeline several extra times per row, in the scan stage,
+    # BELOW any spread/repartition (r7 plan audit on the boilerplate
+    # operator; filter text was 4x the projection).  Interleaved
+    # best-of-3 A/B at sf0.1: dedup_ngram_jaccard 1.73->1.36,
+    # source_ngram_overlap 1.74->1.34, doc_duplicate_spans 1.19->0.74,
+    # doc_decontamination 1.26->1.06, everything else a wash.  The
+    # rule's benefit (skipping empty-array rows before a join) never
+    # applies here: our generators feed aggregations, not selective
+    # joins.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
     # local-mode niceties; harmless on a cluster
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

@@ -89,3 +89,44 @@ def test_layout_independence(spark):
     a = remove_common_segments(df, min_df=3, per="source")
     b = remove_common_segments(df.repartition(7), min_df=3, per="source")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_regex_special_delimiter(spark):
+    """split() takes a Java regex: a '|' delimiter must segment on the
+    literal pipe, not on every character (r6 ADVICE — the delimiter is
+    now Pattern.quote'd)."""
+    rows = [
+        (1, "s", "common part|body one|tail"),
+        (2, "s", "common part|body two|tail"),
+        (3, "s", "common part|body three|tail"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_segments"], r["n_removed"])
+        for r in remove_common_segments(
+            df, delimiter="|", min_df=3, per="source"
+        ).collect()
+    }
+    # 'common part' and 'tail' hit df=3 and drop; the bodies survive
+    assert out[1] == ("body one", 3, 2)
+    assert out[2] == ("body two", 3, 2)
+    assert out[3] == ("body three", 3, 2)
+
+
+def test_reassembly_plan_is_skinny_and_broadcast(spark):
+    """The r6 plan audit found the reassembly groupBy carrying full
+    segment text through a wide shuffle.  Pin the r7 shape: (a) the
+    common-set join and the flag-side rejoin both broadcast, (b) the
+    per-doc aggregate collects segment POSITIONS, never segment
+    text."""
+    df = _docs(spark)
+    out = remove_common_segments(df, min_df=4, per="source")
+    out.collect()  # force AQE final plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    # the only collect_list in the plan aggregates the pos attribute
+    # behind the rm flag — segment strings never enter an aggregate
+    assert "collect_list(CASE WHEN NOT rm" in plan
+    assert "collect_list(seg" not in plan

@@ -36,3 +36,54 @@ def test_cross_bucket_pair_found(spark):
     assert [(r["id_a"], r["id_b"], r["dist"]) for r in out.collect()] == [
         (1, 2, 5)
     ]
+
+
+def test_qchunk_matches_bucket_path(spark):
+    """edit_distance_pairs_qchunk must agree exactly with the
+    length-bucket path on a corpus mixing planted near-dups, far
+    strings, cross-block twins, and short-short pairs (the pigeonhole
+    fallback corner: both sides shorter than max_dist+1)."""
+    from org_revue_de_presse_trends_spark.operators.dedup import (
+        edit_distance_pairs_qchunk,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 7  # 308
+    rows = [
+        (1, "s", base),
+        (2, "s", base[:100] + "XYZ" + base[103:]),   # dist 3
+        (3, "s", base + "x" * 15),                   # dist 15
+        (4, "s", base + "y" * 50),                   # beyond 20
+        (5, "other", base),                          # other block
+        (6, "s", "z" * len(base)),                   # far
+        (7, "s", "tiny doc"),                        # short (8 chars)
+        (8, "s", "tiny dog"),                        # short, dist 1
+        (9, "s", "tiny doc" + "q" * 280),            # long vs short: far
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out = edit_distance_pairs_qchunk(
+        df, block_cols=["source"], max_dist=20
+    )
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in out.collect()}
+    assert got == {(1, 2): 3, (1, 3): 15, (2, 3): 18, (7, 8): 1}
+    # no duplicate emissions across the index/probe directions or the
+    # short-short fallback union
+    assert out.count() == len(got)
+
+
+def test_qchunk_no_blocking(spark):
+    """block_cols=None: candidates cross sources."""
+    from org_revue_de_presse_trends_spark.operators.dedup import (
+        edit_distance_pairs_qchunk,
+    )
+
+    base = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 5
+    rows = [(1, "a", base), (2, "b", base + "zz")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out = edit_distance_pairs_qchunk(df, max_dist=20)
+    assert [(r["id_a"], r["id_b"], r["dist"]) for r in out.collect()] == [
+        (1, 2, 2)
+    ]

@@ -444,3 +444,194 @@ def test_blocked_exact_cosine_scales_linearly_10x(spark):
     s_ratio = results[20_000][1] / max(results[2_000][1], 1)
     assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× vectors"
     assert s_ratio < 30, f"shuffle grew {s_ratio:.1f}× for 10× vectors"
+
+
+def test_qchunk_edit_distance_scales_subquadratically_10x(spark):
+    """edit_distance_pairs_qchunk (the r7 bounded-threshold candidate
+    path): 10× docs must grow runtime and shuffle far below the ~100×
+    a per-block cross product would show.  Docs are hash-random
+    (~300 chars, 4 sources); every doc with id % 50 == 4 is a copy of
+    doc id-4 (same source) with one token substituted, so the operator
+    has real pairs to find — each planted pair is within edit distance
+    ~8 < 20 and the planted count scales with n."""
+    from org_revue_de_presse_trends_spark.operators.dedup import (
+        edit_distance_pairs_qchunk,
+    )
+
+    mc = MetricsCollector(spark)
+    results = {}
+    for n in (500, 5_000):
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 4).alias("source"),
+            F.expr(
+                "array_join(transform(sequence(1, 50), i -> CASE "
+                "WHEN i = 7 AND id % 50 = 4 THEN 'edited' "
+                "ELSE concat('w', pmod(xxhash64(CASE WHEN id % 50 = 4 "
+                "THEN id - 4 ELSE id END, i), 5000)) END), ' ')"
+            ).alias("text"),
+        )
+        pairs = edit_distance_pairs_qchunk(
+            docs, block_cols=["source"], max_dist=20
+        )
+        t0 = _time.perf_counter()
+        rows, qm = mc.measure(
+            f"qchunk_{n}", pairs, action=lambda d: d.count()
+        )
+        results[n] = (
+            _time.perf_counter() - t0,
+            qm.shuffle_bytes_written,
+            rows,
+        )
+    # every planted (id-4, id) pair is same-source and within the
+    # threshold: the operator must find at least all of them
+    assert results[500][2] >= 9
+    assert results[5_000][2] >= 99
+    t_ratio = results[5_000][0] / results[500][0]
+    s_ratio = results[5_000][1] / max(results[500][1], 1)
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× docs"
+    assert s_ratio < 30, f"shuffle grew {s_ratio:.1f}× for 10× docs"
+
+
+def test_merge_changes_scales_linearly_10x(spark):
+    """CDC MERGE (operators/scd.merge_changes): union + one max_by
+    hash aggregate — runtime and shuffle must track input size, not
+    keys² (r6 verdict item 4: the CDC/KMV/zorder family had no growth
+    pin)."""
+    from org_revue_de_presse_trends_spark.operators.scd import (
+        merge_changes,
+    )
+
+    mc = MetricsCollector(spark)
+    results = {}
+    for n in (50_000, 500_000):
+        snap = spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        )
+        chg = spark.range(n // 2).select(
+            (F.col("id") * 2).alias("k"),
+            (F.col("id") * 7).alias("v"),
+            F.when(F.col("id") % 10 == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.col("id").alias("seq"),
+        )
+        out = merge_changes(snap, chg, key_cols=["k"], seq_cols=["seq"])
+        t0 = _time.perf_counter()
+        rows, qm = mc.measure(
+            f"merge_{n}", out, action=lambda d: d.count()
+        )
+        results[n] = (
+            _time.perf_counter() - t0,
+            qm.shuffle_bytes_written,
+            rows,
+        )
+        # closed form: keys = n; deletes remove the n//20 even keys
+        # whose change id % 10 == 0
+        assert rows == n - n // 20
+    t_ratio = results[500_000][0] / results[50_000][0]
+    s_ratio = results[500_000][1] / max(results[50_000][1], 1)
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× rows"
+    assert s_ratio < 30, f"shuffle grew {s_ratio:.1f}× for 10× rows"
+
+
+def test_scd2_scales_linearly_10x(spark):
+    """SCD2 history build: all window work inside one key partitioning
+    — 10× observations with 10× keys (fixed obs-per-key) must stay
+    ~linear in runtime and shuffle."""
+    from org_revue_de_presse_trends_spark.operators.scd import (
+        scd2_from_observations,
+    )
+
+    mc = MetricsCollector(spark)
+    results = {}
+    for n in (100_000, 1_000_000):
+        keys = n // 10  # 10 observations per key at both scales
+        obs = spark.range(n).select(
+            (F.col("id") % keys).alias("k"),
+            # attribute flips halfway through each key's history
+            # (each key observes ids {k, k+keys, ..., k+9·keys})
+            (F.col("id") >= F.lit(5) * F.lit(keys))
+            .cast("int")
+            .alias("attr"),
+            F.col("id").alias("ts"),
+            F.col("id").alias("tb"),
+        )
+        out = scd2_from_observations(
+            obs, key_cols=["k"], attr_cols=["attr"],
+            ts_col="ts", tiebreak_col="tb",
+        )
+        t0 = _time.perf_counter()
+        rows, qm = mc.measure(
+            f"scd2_{n}", out, action=lambda d: d.count()
+        )
+        results[n] = (
+            _time.perf_counter() - t0,
+            qm.shuffle_bytes_written,
+            rows,
+        )
+        # each key has exactly 2 intervals (attr flips once)
+        assert rows == 2 * keys
+    t_ratio = results[1_000_000][0] / results[100_000][0]
+    s_ratio = results[1_000_000][1] / max(results[100_000][1], 1)
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× rows"
+    assert s_ratio < 30, f"shuffle grew {s_ratio:.1f}× for 10× rows"
+
+
+def test_kmv_sketches_scales_linearly_10x(spark):
+    """KMV sketch build: the two-phase hash-binned k-min must keep the
+    final sketch size FIXED (k per group) while scan-side work grows
+    linearly — runtime/shuffle ratio far below quadratic, and the
+    sketch row count pinned to the group count at both scales."""
+    from org_revue_de_presse_trends_spark.operators.kmv import (
+        kmv_sketches,
+    )
+
+    mc = MetricsCollector(spark)
+    results = {}
+    for n in (500, 5_000):
+        docs = _synthetic_docs(spark, n).select(
+            (F.col("doc_id") % 8).alias("source"), "text"
+        )
+        sk = kmv_sketches(docs, "source", k=64)
+        t0 = _time.perf_counter()
+        rows, qm = mc.measure(
+            f"kmv_{n}", sk, action=lambda d: d.count()
+        )
+        results[n] = (
+            _time.perf_counter() - t0,
+            qm.shuffle_bytes_written,
+            rows,
+        )
+        assert rows == 8  # one sketch row per group, at every scale
+    t_ratio = results[5_000][0] / results[500][0]
+    s_ratio = results[5_000][1] / max(results[500][1], 1)
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× docs"
+    assert s_ratio < 30, f"shuffle grew {s_ratio:.1f}× for 10× docs"
+
+
+def test_zorder_key_scales_linearly_10x(spark):
+    """Z-order key projection: one min/max aggregate for edges plus a
+    per-row bit interleave — embarrassingly linear; pin it."""
+    from org_revue_de_presse_trends_spark.sources.zorder import (
+        linear_edges,
+        with_zorder_key,
+    )
+
+    mc = MetricsCollector(spark)
+    results = {}
+    for n in (100_000, 1_000_000):
+        df = spark.range(n).select(
+            F.col("id").alias("x"),
+            ((F.col("id") * 37) % 1_000_003).alias("y"),
+        )
+        edges = linear_edges(df, ["x", "y"])
+        keyed = with_zorder_key(df, ["x", "y"], edges, bits=8)
+        t0 = _time.perf_counter()
+        rows, qm = mc.measure(
+            f"zorder_{n}", keyed, action=lambda d: d.count()
+        )
+        results[n] = (_time.perf_counter() - t0, qm.shuffle_bytes_written)
+        assert rows == n
+    t_ratio = results[1_000_000][0] / results[100_000][0]
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× rows"
