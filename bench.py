@@ -144,6 +144,7 @@ SECONDARY = [
     "video_near_dup_from_docs",
     "source_overlap_kmv",
     "events_zorder_keys",
+    "doc_exact_substring_dedup",
     "user_event_type_scd2",
     "customer_state_merge",
 ]

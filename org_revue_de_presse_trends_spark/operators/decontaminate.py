@@ -269,12 +269,27 @@ def remove_contaminated_spans(
         .select("id", "p")
         .repartition("id")
     )
-    dirty_ids = ends.select("id").distinct()
-
     staged = docs.select(
         F.col(doc_id_col).cast("long").alias("id"),
         F.col(doc_text_col).alias("__text"),
     )
+    return _cut_marked_spans(staged, ends, n, margin, doc_id_col)
+
+
+def _cut_marked_spans(
+    staged: DataFrame,
+    ends: DataFrame,
+    n: int,
+    margin: int,
+    doc_id_col: str,
+) -> DataFrame:
+    """Shared span-removal tail: given ``staged`` (id, __text) and the
+    marked gram END positions ``ends`` (id, p), cut every token inside
+    a marked n-gram window ± margin and stitch the remainder — the
+    mechanics documented on ``remove_contaminated_spans``.  Returns
+    (doc_id, text_clean, n_tokens, n_removed); untouched docs pass
+    through without re-tokenization."""
+    dirty_ids = ends.select("id").distinct()
     dirty = staged.join(dirty_ids, "id", "left_semi")
     tok = dirty.select(
         "id",
@@ -325,3 +340,61 @@ def remove_contaminated_spans(
             "n_removed"
         ),
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    doc_id_col: str = "doc_id",
+    doc_text_col: str = "text",
+    n: int = 10,
+    min_count: int = 2,
+    margin: int = 0,
+    block_tokens: int = _BLOCK_TOKENS,
+) -> DataFrame:
+    """Exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): cut every token span
+    that occurs verbatim at least ``min_count`` times ANYWHERE in the
+    corpus (other documents or elsewhere in the same one) and is at
+    least ``n`` tokens long — the suffix-array ExactSubstr operator of
+    that paper, re-expressed as a corpus-wide n-gram frequency pass.
+
+    Equivalence (why n-grams suffice, no suffix array needed): the
+    union of all duplicated substrings of length >= n equals the union
+    of the coverage of all duplicated n-grams — every duplicated
+    substring of length m >= n is covered by its m-n+1 (duplicated)
+    n-grams, and every duplicated n-gram IS a duplicated substring of
+    length n.  So marking positions whose n-gram occurs >= min_count
+    times and cutting their coverage removes exactly what the
+    suffix-array formulation removes.
+
+    Pipeline (all JVM-side): position-carrying rolled n-gram
+    fingerprints (``_ngram_hash_ends`` — block-salted lag windows, so
+    one giant doc cannot serialize a task) → global multiplicity as a
+    COUNT window over the fingerprint itself (the df-via-window trick:
+    one pass, no second corpus scan; a pathologically hot gram's
+    window partition holds its occurrence list — linear in its df,
+    like the stop-shingle cap) → marked ends repartitioned by doc →
+    the shared span-cutting tail (``_cut_marked_spans``).  Only
+    documents owning at least one duplicated gram are re-tokenized.
+
+    Per document: (doc_id, text_clean, n_tokens, n_removed).  Spans
+    travel as 64-bit rolled fingerprints (collisions negligible at
+    corpus scale — the ``doc_duplicate_spans`` precedent); documents
+    shorter than ``n`` tokens participate via their whole-text
+    fingerprint, so exact-duplicate short docs are cut whole.
+    """
+    ends_all = _ngram_hash_ends(
+        docs, doc_id_col, doc_text_col, n, "id", block_tokens
+    )
+    w_df = Window.partitionBy("h")
+    ends = (
+        ends_all.withColumn("__c", F.count(F.lit(1)).over(w_df))
+        .filter(F.col("__c") >= F.lit(int(min_count)))
+        .select("id", "p")
+        .repartition("id")
+    )
+    staged = docs.select(
+        F.col(doc_id_col).cast("long").alias("id"),
+        F.col(doc_text_col).alias("__text"),
+    )
+    return _cut_marked_spans(staged, ends, n, margin, doc_id_col)

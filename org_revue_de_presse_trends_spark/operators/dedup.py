@@ -1090,10 +1090,19 @@ def blocked_exact_cosine_pairs(
     |4096|×|block| peak similarity rows), survivors-only carry vector
     payloads, no joins.  Block occupancy is the caller's knob, exactly
     like the SRP-LSH bucket guidance."""
+    # norm-squared ONCE per row (r7): the exact rescore divides by
+    # sqrt(dot_scaled(v,v)) on both sides of every pair — computing it
+    # per ROW before the pandas stage and carrying it through as a
+    # scalar replaces 2/3 of the interpreted per-pair folds with n
+    # per-row ones (the normalize-once lesson, CLAUDE.md), and the
+    # emitted value is the SAME deterministic expression output.
     base = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(block_col).alias("blk"),
         F.col(vec_col).alias("v"),
+        V.dot_scaled(F.col(vec_col), F.col(vec_col))
+        .cast("double")
+        .alias("n2"),
     )
     vec_type = base.schema["v"].dataType.simpleString()
     pre_threshold = threshold - margin
@@ -1102,6 +1111,7 @@ def blocked_exact_cosine_pairs(
         pdf = pdf.sort_values("id", ignore_index=True)
         ids = pdf["id"].to_numpy()
         vecs = pdf["v"].to_numpy()
+        n2 = pdf["n2"].to_numpy()
         rows, cols, _ = V.blocked_cosine_pairs(vecs, pre_threshold, 4096)
         if len(rows):
             keep = ids[rows] != ids[cols]
@@ -1112,20 +1122,31 @@ def blocked_exact_cosine_pairs(
                 "id_b": ids[cols],
                 "va": vecs[rows],
                 "vb": vecs[cols],
+                "na": n2[rows],
+                "nb": n2[cols],
             }
         )
 
-    cands = base.groupBy("blk").applyInPandas(
-        fn, f"id_a long, id_b long, va {vec_type}, vb {vec_type}"
+    # repartition BY NUM on the block key: the pandas stage is
+    # CPU-heavy but bytes-small, and AQE's partition coalescing folded
+    # 10 label blocks into 3 tasks (bench query_io tasks=3) —
+    # REPARTITION_BY_NUM is exempt from coalescing, so every non-empty
+    # block gets its own task.  A/B best-of-3 at sf0.1 with the norm
+    # carry: 2.12 → 0.60 s, values bit-identical.
+    ncores = df.sparkSession.sparkContext.defaultParallelism
+    cands = (
+        base.repartition(ncores, "blk")
+        .groupBy("blk")
+        .applyInPandas(
+            fn,
+            f"id_a long, id_b long, va {vec_type}, vb {vec_type},"
+            " na double, nb double",
+        )
     )
     cos = (
         V.dot_scaled(F.col("va"), F.col("vb")).cast("double")
-        / F.sqrt(
-            V.dot_scaled(F.col("va"), F.col("va")).cast("double")
-        )
-        / F.sqrt(
-            V.dot_scaled(F.col("vb"), F.col("vb")).cast("double")
-        )
+        / F.sqrt(F.col("na"))
+        / F.sqrt(F.col("nb"))
     )
     return (
         cands.select("id_a", "id_b", cos.alias("cos"))

@@ -182,3 +182,70 @@ def dedup_edit_distance_bounded(
     return edit_distance_pairs_qchunk(
         docs, block_cols=["source"], max_dist=20
     )
+
+
+_EXACT_SPAN_N = 10
+
+_EXACT_SPAN_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x != '') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t, unnest(range(1, len(t)+1)) AS p FROM toks
+    ),
+    grams AS (
+      SELECT doc_id, p AS e,
+             array_to_string(t[p-{_EXACT_SPAN_N - 1}:p], ' ') AS g
+      FROM pos WHERE p >= {_EXACT_SPAN_N}
+      UNION ALL
+      SELECT doc_id, len(t) AS e, array_to_string(t, ' ') AS g
+      FROM toks WHERE len(t) < {_EXACT_SPAN_N} AND len(t) > 0
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    marked AS (SELECT DISTINCT doc_id, e FROM grams JOIN dup USING (g)),
+    flags AS (
+      SELECT pos.doc_id, pos.p, t[CAST(pos.p AS INT)] AS tok,
+             CASE WHEN m.e IS NULL THEN 0 ELSE 1 END AS f
+      FROM pos LEFT JOIN marked m
+        ON pos.doc_id = m.doc_id AND pos.p = m.e
+    ),
+    cov AS (
+      SELECT doc_id, p, tok,
+             max(f) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_EXACT_SPAN_N - 1} FOLLOWING) AS kill
+      FROM flags
+    ),
+    agg AS (
+      SELECT doc_id,
+             coalesce(string_agg(tok, ' ' ORDER BY p)
+                      FILTER (WHERE kill = 0), '') AS text_clean,
+             count(*) AS n_tokens,
+             CAST(sum(kill) AS BIGINT) AS n_removed
+      FROM cov GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.text_clean, d.text) AS text_clean,
+           coalesce(a.n_tokens, 0) AS n_tokens,
+           coalesce(a.n_removed, 0) AS n_removed
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("doc_exact_substring_dedup", _EXACT_SPAN_ORACLE)
+def doc_exact_substring_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lee et al. exact-substring dedup over the documents table: cut
+    every token span occurring verbatim >= 2 times anywhere in the
+    corpus and >= 10 tokens long (operators/decontaminate.
+    remove_duplicate_spans — the suffix-array ExactSubstr operator
+    re-expressed as a corpus-wide n-gram frequency pass; the oracle
+    builds literal gram strings where Spark rolls 64-bit
+    fingerprints)."""
+    from ..operators.decontaminate import remove_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, n=_EXACT_SPAN_N, min_count=2)

@@ -315,3 +315,61 @@ def test_remove_spans_block_salt_bit_identical(spark):
         )
     )
     assert a == b
+
+
+def test_remove_duplicate_spans_planted(spark):
+    """Lee et al. exact-substring dedup: a 6-token run shared by two
+    docs is cut from BOTH (corpus-wide multiplicity, no benchmark
+    set); unique docs pass through untouched; exact-duplicate short
+    docs (< n tokens) are cut whole via the whole-text fingerprint;
+    an in-DOC repeat also counts (multiplicity, not distinct docs)."""
+    from org_revue_de_presse_trends_spark.operators.decontaminate import (
+        remove_duplicate_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    rows = [
+        (1, f"one two {shared} three four"),
+        (2, f"five six {shared} seven eight"),
+        (3, "lonely words that appear nowhere else at all ok"),
+        (4, "tiny twin"),
+        (5, "tiny twin"),
+        (6, f"intra {shared} middle {shared} end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_removed"])
+        for r in remove_duplicate_spans(df, n=6, min_count=2).collect()
+    }
+    # docs 1/2: exactly the shared 6-gram dies (its end is the only
+    # marked position; coverage = the 6 shared tokens)
+    assert out[1] == ("one two three four", 10, 6)
+    assert out[2] == ("five six seven eight", 10, 6)
+    assert out[3] == (rows[2][1], 9, 0)
+    # short exact twins: whole-text fingerprint, everything cut
+    assert out[4] == ("", 2, 2)
+    assert out[5] == ("", 2, 2)
+    # doc 6 repeats the run internally -> both occurrences cut even
+    # ignoring docs 1/2's copies
+    assert out[6] == ("intra middle end", 15, 12)
+
+
+def test_remove_duplicate_spans_overlap_merges(spark):
+    """Two overlapping duplicated 4-gram windows merge into one cut
+    (the kill flag is a max over the covering frame)."""
+    from org_revue_de_presse_trends_spark.operators.decontaminate import (
+        remove_duplicate_spans,
+    )
+
+    run = "a b c d e"  # 5 tokens: two overlapping 4-grams
+    rows = [
+        (1, f"x {run} y"),
+        (2, f"p q {run} r"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in remove_duplicate_spans(df, n=4, min_count=2).collect()
+    }
+    assert out[1] == ("x y", 5)
+    assert out[2] == ("p q r", 5)
