@@ -145,6 +145,7 @@ SECONDARY = [
     "source_overlap_kmv",
     "events_zorder_keys",
     "doc_exact_substring_dedup",
+    "doc_span_dedup_keep_first",
     "user_event_type_scd2",
     "customer_state_merge",
 ]

@@ -398,3 +398,56 @@ def remove_duplicate_spans(
         F.col(doc_text_col).alias("__text"),
     )
     return _cut_marked_spans(staged, ends, n, margin, doc_id_col)
+
+
+def remove_duplicate_spans_keep_first(
+    docs: DataFrame,
+    doc_id_col: str = "doc_id",
+    doc_text_col: str = "text",
+    n: int = 10,
+    margin: int = 0,
+    block_tokens: int = _BLOCK_TOKENS,
+) -> DataFrame:
+    """The C4 flavor of exact span dedup (Raffel et al. 2020, §2.2:
+    "we discarded all but one of any three-sentence span occurring
+    more than once"): where ``remove_duplicate_spans`` cuts EVERY
+    occurrence of a duplicated span, this keeps the canonical first
+    one — the occurrence with the smallest (doc_id, position) — and
+    cuts the rest, so exactly one copy of each duplicated region
+    survives in the corpus.
+
+    Same machinery as ``remove_duplicate_spans`` with one extra value
+    in the fingerprint window: the per-hash global minimum (id, p)
+    occurrence (a struct MIN in the same window pass — lexicographic,
+    deterministic because (id, p) is unique per gram row).  An
+    occurrence is cut iff its gram is duplicated AND it is not that
+    minimum.  Per-gram semantics: when two duplicated runs overlap, a
+    token of the canonical copy survives only while none of its
+    covering grams is marked, exactly mirroring the oracle's
+    row_number formulation.
+
+    Per document: (doc_id, text_clean, n_tokens, n_removed).
+    """
+    ends_all = _ngram_hash_ends(
+        docs, doc_id_col, doc_text_col, n, "id", block_tokens
+    )
+    w_df = Window.partitionBy("h")
+    first = F.min(F.struct("id", "p")).over(w_df)
+    ends = (
+        ends_all.withColumn("__c", F.count(F.lit(1)).over(w_df))
+        .withColumn("__f", first)
+        .filter(
+            (F.col("__c") >= F.lit(2))
+            & ~(
+                (F.col("id") == F.col("__f")["id"])
+                & (F.col("p") == F.col("__f")["p"])
+            )
+        )
+        .select("id", "p")
+        .repartition("id")
+    )
+    staged = docs.select(
+        F.col(doc_id_col).cast("long").alias("id"),
+        F.col(doc_text_col).alias("__text"),
+    )
+    return _cut_marked_spans(staged, ends, n, margin, doc_id_col)

@@ -249,3 +249,77 @@ def doc_exact_substring_dedup(
 
     docs = load_table(spark, sf_dir, "documents")
     return remove_duplicate_spans(docs, n=_EXACT_SPAN_N, min_count=2)
+
+
+_C4_SPAN_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x != '') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t, unnest(range(1, len(t)+1)) AS p FROM toks
+    ),
+    grams AS (
+      SELECT doc_id, p AS e,
+             array_to_string(t[p-{_EXACT_SPAN_N - 1}:p], ' ') AS g
+      FROM pos WHERE p >= {_EXACT_SPAN_N}
+      UNION ALL
+      SELECT doc_id, len(t) AS e, array_to_string(t, ' ') AS g
+      FROM toks WHERE len(t) < {_EXACT_SPAN_N} AND len(t) > 0
+    ),
+    ranked AS (
+      SELECT doc_id, e, g,
+             count(*) OVER (PARTITION BY g) AS c,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, e)
+               AS rn
+      FROM grams
+    ),
+    marked AS (
+      SELECT DISTINCT doc_id, e FROM ranked WHERE c >= 2 AND rn > 1
+    ),
+    flags AS (
+      SELECT pos.doc_id, pos.p, t[CAST(pos.p AS INT)] AS tok,
+             CASE WHEN m.e IS NULL THEN 0 ELSE 1 END AS f
+      FROM pos LEFT JOIN marked m
+        ON pos.doc_id = m.doc_id AND pos.p = m.e
+    ),
+    cov AS (
+      SELECT doc_id, p, tok,
+             max(f) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_EXACT_SPAN_N - 1} FOLLOWING) AS kill
+      FROM flags
+    ),
+    agg AS (
+      SELECT doc_id,
+             coalesce(string_agg(tok, ' ' ORDER BY p)
+                      FILTER (WHERE kill = 0), '') AS text_clean,
+             count(*) AS n_tokens,
+             CAST(sum(kill) AS BIGINT) AS n_removed
+      FROM cov GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.text_clean, d.text) AS text_clean,
+           coalesce(a.n_tokens, 0) AS n_tokens,
+           coalesce(a.n_removed, 0) AS n_removed
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("doc_span_dedup_keep_first", _C4_SPAN_ORACLE)
+def doc_span_dedup_keep_first(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """C4-style span dedup (Raffel et al. 2020 §2.2): of every token
+    span >= 10 tokens occurring verbatim more than once corpus-wide,
+    keep the occurrence with the smallest (doc_id, position) and cut
+    the rest (operators/decontaminate.
+    remove_duplicate_spans_keep_first — one extra struct-MIN in the
+    same fingerprint window pass as the Lee-et-al cut-all variant)."""
+    from ..operators.decontaminate import (
+        remove_duplicate_spans_keep_first,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans_keep_first(docs, n=_EXACT_SPAN_N)

@@ -373,3 +373,35 @@ def test_remove_duplicate_spans_overlap_merges(spark):
     }
     assert out[1] == ("x y", 5)
     assert out[2] == ("p q r", 5)
+
+
+def test_keep_first_span_dedup(spark):
+    """C4 flavor: the canonical first occurrence (smallest (doc_id,
+    pos)) of a duplicated span survives; every later copy is cut —
+    including later copies INSIDE the first document."""
+    from org_revue_de_presse_trends_spark.operators.decontaminate import (
+        remove_duplicate_spans_keep_first,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    rows = [
+        (1, f"one two {shared} three four"),
+        (2, f"five six {shared} seven eight"),
+        (3, f"intra {shared} again {shared} end"),
+        (4, "tiny twin"),
+        (5, "tiny twin"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_removed"])
+        for r in remove_duplicate_spans_keep_first(df, n=6).collect()
+    }
+    # doc 1 holds the canonical copy: untouched
+    assert out[1] == (rows[0][1], 10, 0)
+    # docs 2 and 3 lose every copy (doc 3's first internal copy is
+    # still later than doc 1's)
+    assert out[2] == ("five six seven eight", 10, 6)
+    assert out[3] == ("intra again end", 15, 12)
+    # short exact twins: first survives whole, second cut whole
+    assert out[4] == ("tiny twin", 2, 0)
+    assert out[5] == ("", 2, 2)
