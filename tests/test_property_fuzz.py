@@ -437,3 +437,119 @@ def test_gif_decoder_rejects_garbage_cleanly(data, seed):
         codecs.decode_gif(payload)
     except ValueError:
         pass  # the only admissible failure mode
+
+
+def _py_duplicate_span_removal(docs, n, keep_first=False):
+    """Pure-Python reference for remove_duplicate_spans[_keep_first]:
+    token n-grams (whole text for docs shorter than n), corpus-wide
+    multiplicity, forward kill window — mirrors the documented
+    semantics independently of the Spark formulation."""
+    toks = {i: [t for t in d.split(" ") if t != ""] for i, d in docs}
+    occ = {}  # gram -> list of (doc, end_pos) in (doc, pos) order
+    for i in sorted(toks):
+        t = toks[i]
+        if 0 < len(t) < n:
+            occ.setdefault(tuple(t), []).append((i, len(t) - 1))
+        for e in range(n - 1, len(t)):
+            occ.setdefault(tuple(t[e - n + 1 : e + 1]), []).append((i, e))
+    marked = set()
+    for g, places in occ.items():
+        if len(places) >= 2:
+            keep = {min(places)} if keep_first else set()
+            marked |= set(places) - keep
+    out = {}
+    for i, t in toks.items():
+        kill = [
+            any((i, e) in marked for e in range(p, min(p + n, len(t))))
+            for p in range(len(t))
+        ]
+        clean = " ".join(tok for tok, k in zip(t, kill) if not k)
+        out[i] = (clean if kill else docs_text(docs, i), len(t), sum(kill))
+    return out
+
+
+def docs_text(docs, i):
+    return dict(docs)[i]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=1, max_size=12)
+        .map(" ".join),
+        min_size=2,
+        max_size=12,
+    ),
+    st.integers(min_value=2, max_value=4),
+    st.booleans(),
+)
+def test_duplicate_span_removal_fuzz(spark, docs, n, keep_first):
+    """remove_duplicate_spans / _keep_first vs the pure-Python
+    reference on tiny-alphabet corpora (engineered for heavy gram
+    collisions, overlaps, short docs and exact twins)."""
+    from org_revue_de_presse_trends_spark.operators.decontaminate import (
+        remove_duplicate_spans,
+        remove_duplicate_spans_keep_first,
+    )
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fn = (
+        remove_duplicate_spans_keep_first
+        if keep_first
+        else remove_duplicate_spans
+    )
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_removed"])
+        for r in fn(df, n=n).collect()
+    }
+    exp = _py_duplicate_span_removal(rows, n, keep_first)
+    # normalize the reference's untouched-doc passthrough: the
+    # operator returns the ORIGINAL text for untouched docs
+    for i, d in rows:
+        e_clean, e_n, e_rm = exp[i]
+        if e_rm == 0:
+            e_clean = d
+        assert got[i] == (e_clean, e_n, e_rm), (i, d, got[i], exp[i])
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=40),
+        min_size=2,
+        max_size=10,
+    ),
+    st.integers(min_value=3, max_value=8),
+)
+def test_qchunk_matches_bruteforce_fuzz(spark, texts, max_dist):
+    """edit_distance_pairs_qchunk vs driver-side brute force on
+    small-alphabet strings (heavy chunk collisions, many short docs
+    hitting the pigeonhole fallback)."""
+    from org_revue_de_presse_trends_spark.operators.dedup import (
+        edit_distance_pairs_qchunk,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs_qchunk(df, max_dist=max_dist).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i] + [0] * len(b)
+            for j, cb in enumerate(b, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (ca != cb))
+            prev = cur
+        return prev[-1]
+
+    exp = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i < j and lev(a, b) <= max_dist:
+                exp[(i, j)] = lev(a, b)
+    assert got == exp, (texts, max_dist, got, exp)
