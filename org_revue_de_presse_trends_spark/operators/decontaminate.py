@@ -291,13 +291,19 @@ def _cut_marked_spans(
     through without re-tokenization."""
     dirty_ids = ends.select("id").distinct()
     dirty = staged.join(dirty_ids, "id", "left_semi")
+    # token TEXT never enters a shuffle (r7, the boilerplate lesson):
+    # the kill-flag window and the per-doc aggregate run over
+    # (id, p, __end) INTS; survivor positions come back as an array
+    # and the clean text is rebuilt by INDEX from the staged per-doc
+    # token array, in the scan stage.  Previously both the window and
+    # the reassembly groupBy carried every dirty token string.
     tok = dirty.select(
         "id",
-        F.posexplode(T.tokens(F.col("__text"))).alias("p", "t"),
-    ).select("id", F.col("p").cast("long").alias("p"), "t")
+        F.posexplode(T.tokens(F.col("__text"))).alias("p", "__t0"),
+    ).select("id", F.col("p").cast("long").alias("p"))
     marks = ends.withColumn("__end", F.lit(1))
     flagged = tok.join(marks, ["id", "p"], "left").select(
-        "id", "p", "t", F.coalesce("__end", F.lit(0)).alias("__end")
+        "id", "p", F.coalesce("__end", F.lit(0)).alias("__end")
     )
     w = (
         Window.partitionBy("id")
@@ -307,23 +313,27 @@ def _cut_marked_spans(
     # a gram ending at e covers tokens [e-n+1, e]; the frame looks
     # FORWARD from each token for an end within reach (± margin)
     killed = flagged.withColumn("__kill", F.max("__end").over(w))
+    flag_agg = killed.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("__kill").alias("n_removed"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("__kill") == 0, F.col("p")))
+        ).alias("__keep"),
+    )
     rebuilt = (
-        killed.groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("__kill").alias("n_removed"),
+        dirty.select("id", T.tokens(F.col("__text")).alias("__toks"))
+        .join(flag_agg, "id")
+        .select(
+            "id",
+            "n_tokens",
+            "n_removed",
             F.concat_ws(
                 " ",
                 F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("__kill") == 0,
-                                F.struct(F.col("p"), F.col("t")),
-                            )
-                        )
+                    F.col("__keep"),
+                    lambda p: F.element_at(
+                        F.col("__toks"), (p + F.lit(1)).cast("int")
                     ),
-                    lambda s: s["t"],
                 ),
             ).alias("text_clean"),
         )
