@@ -146,6 +146,7 @@ SECONDARY = [
     "events_zorder_keys",
     "doc_exact_substring_dedup",
     "doc_span_dedup_keep_first",
+    "funnel_view_click_purchase",
     "user_event_type_scd2",
     "customer_state_merge",
 ]

@@ -121,3 +121,53 @@ def event_type_daily_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     return burst_flags(daily)
+
+
+_FUNNEL_WITHIN = 21600  # 6 hours
+
+_FUNNEL_ORACLE = f"""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS step_1_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS step_2_ts
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.step_1_ts
+        AND e.ts <= s1.step_1_ts + INTERVAL {_FUNNEL_WITHIN} SECOND
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS step_3_ts
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.step_2_ts
+        AND e.ts <= s2.step_2_ts + INTERVAL {_FUNNEL_WITHIN} SECOND
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.step_1_ts, s2.step_2_ts, s3.step_3_ts,
+           CAST(1 + (CASE WHEN s2.step_2_ts IS NULL THEN 0 ELSE 1 END)
+                  + (CASE WHEN s3.step_3_ts IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS steps_completed
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
+@query("funnel_view_click_purchase", _FUNNEL_ORACLE)
+def funnel_view_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Greedy-earliest ordered funnel view -> click -> purchase with a
+    6-hour per-step window (operators/funnel.funnel_steps): one row
+    per user with a view event, step anchors NULL from the first
+    break, exactly the ClickHouse-windowFunnel-style product-analytics
+    shape the reference's trends engine never had."""
+    from ..operators.funnel import funnel_steps
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_steps(
+        ev,
+        ["view", "click", "purchase"],
+        within_seconds=_FUNNEL_WITHIN,
+    )
