@@ -147,6 +147,8 @@ SECONDARY = [
     "doc_exact_substring_dedup",
     "doc_span_dedup_keep_first",
     "funnel_view_click_purchase",
+    "user_retention_cohorts",
+    "event_type_transitions",
     "user_event_type_scd2",
     "customer_state_merge",
 ]

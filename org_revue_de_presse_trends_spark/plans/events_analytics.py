@@ -171,3 +171,84 @@ def funnel_view_click_purchase(
         ["view", "click", "purchase"],
         within_seconds=_FUNNEL_WITHIN,
     )
+
+
+_RETENTION_ORACLE = """
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, min(d) AS cohort_day FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           CAST(a.d - c.cohort_day AS BIGINT) AS day_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN cohorts c USING (user_id)
+    GROUP BY c.cohort_day, CAST(a.d - c.cohort_day AS BIGINT)
+"""
+
+
+@query("user_retention_cohorts", _RETENTION_ORACLE)
+def user_retention_cohorts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity day
+    (UTC calendar date), counted on each later active day as an offset
+    from their cohort — the standard product-analytics retention
+    matrix.  Shape: one distinct (user, day) pass, a per-user min, and
+    one aggregate; every exchange keyed on user then (cohort, offset),
+    no windows over full history."""
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(
+        F.min("d").alias("cohort_day")
+    )
+    return (
+        activity.join(cohorts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("d", "cohort_day").cast("long").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_TRANSITIONS_ORACLE = """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           count(*) AS n_transitions
+    FROM ordered WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+"""
+
+
+@query("event_type_transitions", _TRANSITIONS_ORACLE)
+def event_type_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order event-path transition counts: per user, events in
+    (ts, event_id) total order (the unique-id tiebreak invariant), each
+    consecutive pair counted into a (prev_type, next_type) matrix —
+    the Markov-chain view behind path/flow analysis."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
