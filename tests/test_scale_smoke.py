@@ -635,3 +635,73 @@ def test_zorder_key_scales_linearly_10x(spark):
         assert rows == n
     t_ratio = results[1_000_000][0] / results[100_000][0]
     assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× rows"
+
+
+def test_duplicate_span_removal_scales_linearly_10x(spark):
+    """remove_duplicate_spans: 10× docs (with planted duplicated runs
+    scaling alongside) must grow runtime/shuffle ~linearly — the gram
+    count-window partitions by fingerprint, never by corpus."""
+    from org_revue_de_presse_trends_spark.operators.decontaminate import (
+        remove_duplicate_spans,
+    )
+
+    mc = MetricsCollector(spark)
+    results = {}
+    for n in (500, 5_000):
+        # every 10th doc shares a 12-token run with its neighbor
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                "array_join(transform(sequence(1, 40), i -> CASE "
+                "WHEN i BETWEEN 5 AND 16 THEN concat('shared', "
+                "pmod(CASE WHEN id % 10 = 1 THEN id - 1 ELSE id END, 50), "
+                "'tok', i) "
+                "ELSE concat('w', pmod(xxhash64(id, i), 50000)) END), ' ')"
+            ).alias("text"),
+        )
+        out = remove_duplicate_spans(docs, n=10, min_count=2)
+        t0 = _time.perf_counter()
+        rows, qm = mc.measure(
+            f"spans_{n}", out, action=lambda d: d.count()
+        )
+        results[n] = (_time.perf_counter() - t0, qm.shuffle_bytes_written)
+        assert rows == n
+    t_ratio = results[5_000][0] / results[500][0]
+    s_ratio = results[5_000][1] / max(results[500][1], 1)
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× docs"
+    assert s_ratio < 30, f"shuffle grew {s_ratio:.1f}× for 10× docs"
+
+
+def test_funnel_scales_linearly_10x(spark):
+    """funnel_steps: per-step aggregates + user-keyed joins — 10×
+    events over 10× users must stay ~linear, and the completion
+    counts are closed-form (every user emits view<click<purchase)."""
+    from org_revue_de_presse_trends_spark.operators.funnel import (
+        funnel_steps,
+    )
+
+    mc = MetricsCollector(spark)
+    results = {}
+    for n in (30_000, 300_000):
+        users = n // 3
+        ev = spark.range(n).select(
+            (F.col("id") % users).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + (F.col("id") / users).cast("long")
+            ).alias("ts"),
+            F.element_at(
+                F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+                ((F.col("id") / users).cast("int") % 3) + 1,
+            ).alias("event_type"),
+        )
+        out = funnel_steps(ev, ["view", "click", "purchase"])
+        t0 = _time.perf_counter()
+        rows, qm = mc.measure(
+            f"funnel_{n}", out, action=lambda d: d.count()
+        )
+        results[n] = (_time.perf_counter() - t0, qm.shuffle_bytes_written)
+        assert rows == users
+    t_ratio = results[300_000][0] / results[30_000][0]
+    s_ratio = results[300_000][1] / max(results[30_000][1], 1)
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× events"
+    assert s_ratio < 30, f"shuffle grew {s_ratio:.1f}× for 10× events"
