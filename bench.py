@@ -351,6 +351,7 @@ def main() -> None:
         + [(n, plans.QUERIES[n], True) for n in SECONDARY]
         + [(n, fn, True) for n, fn in EXTRA_BENCH_ONLY.items()]
     )
+    suite_fns = [(n, fn) for n, fn, _ in suite]
     for name, fn, is_secondary in suite:
         try:
             sink = warm_secondary if is_secondary else warm
@@ -408,6 +409,34 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — harness boundary
             first_line = str(e).strip().splitlines()[0][:300] if str(e) else ""
             errors[name] = f"{type(e).__name__}: {first_line}"
+
+    # second-chance pass: a shared-VM steal-time stall can span a whole
+    # query's cold AND warm runs (observed in r7: one secondary query
+    # read 13.5 s in-suite vs 1.7 s standalone — both passes sat inside
+    # a ~30 s host stall, so the warm>>cold spike guard never fired).
+    # Re-time the slowest few queries of each section once, at the end
+    # of the suite (any earlier stall has passed by now), and keep the
+    # min — the same estimator the spike guard already uses.  Applied
+    # uniformly every round, so round-over-round comparability holds.
+    for sink in (warm, warm_secondary):
+        slowest = sorted(sink, key=lambda n: -sink[n])[:5]
+        for name in slowest:
+            fn = dict(suite_fns)[name]
+            try:
+                if mc is not None:
+                    _, qm3 = timed_collect(
+                        spark, fn, sf_dir, name, collector=mc
+                    )
+                    again = round(qm3.wall_sec, 3)
+                else:
+                    t0 = time.perf_counter()
+                    timed_collect(spark, fn, sf_dir, name)
+                    again = round(time.perf_counter() - t0, 3)
+            except Exception:  # noqa: BLE001 — keep the first timing
+                continue
+            if again < sink[name]:
+                warm_retries[name] = [sink[name], again]
+                sink[name] = again
 
     calib_after = _cpu_calibration()
     payload = build_payload(
