@@ -149,6 +149,7 @@ SECONDARY = [
     "funnel_view_click_purchase",
     "user_retention_cohorts",
     "event_type_transitions",
+    "funnel_sliding_window",
     "user_event_type_scd2",
     "customer_state_merge",
 ]

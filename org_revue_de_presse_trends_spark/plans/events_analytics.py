@@ -252,3 +252,54 @@ def event_type_transitions(
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+_SLIDING_FUNNEL_ORACLE = f"""
+    WITH anchors AS (
+      SELECT DISTINCT user_id, ts AS t0 FROM events
+      WHERE event_type = 'view'
+    ),
+    s2 AS (
+      SELECT a.user_id, a.t0, min(e.ts) AS t2
+      FROM events e JOIN anchors a ON e.user_id = a.user_id
+      WHERE e.event_type = 'click' AND e.ts > a.t0
+        AND e.ts <= a.t0 + INTERVAL {_FUNNEL_WITHIN} SECOND
+      GROUP BY a.user_id, a.t0
+    ),
+    s3 AS (
+      SELECT s2.user_id, s2.t0, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s2.t0 + INTERVAL {_FUNNEL_WITHIN} SECOND
+      GROUP BY s2.user_id, s2.t0
+    ),
+    lv AS (
+      SELECT a.user_id,
+             1 + (CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END)
+               + (CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END) AS lvl
+      FROM anchors a
+      LEFT JOIN s2 ON a.user_id = s2.user_id AND a.t0 = s2.t0
+      LEFT JOIN s3 ON a.user_id = s3.user_id AND a.t0 = s3.t0
+    )
+    SELECT user_id, count(*) AS n_anchors,
+           CAST(max(lvl) AS BIGINT) AS best_level,
+           count(*) FILTER (WHERE lvl = 3) AS n_full
+    FROM lv GROUP BY user_id
+"""
+
+
+@query("funnel_sliding_window", _SLIDING_FUNNEL_ORACLE)
+def funnel_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-windowFunnel semantics for view -> click -> purchase:
+    every view anchors its own 6-hour window, the chain advances
+    greedily inside it, and each user scores the best anchor
+    (operators/funnel.funnel_steps_sliding) — the exhaustive-anchor
+    complement to the greedy-earliest funnel_view_click_purchase."""
+    from ..operators.funnel import funnel_steps_sliding
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_steps_sliding(
+        ev,
+        ["view", "click", "purchase"],
+        window_seconds=_FUNNEL_WITHIN,
+    )

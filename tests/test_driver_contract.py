@@ -245,6 +245,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "source_data_card", "doc_contrastive_negatives",
         "event_type_daily_bursts", "funnel_view_click_purchase",
         "user_retention_cohorts", "event_type_transitions",
+        "funnel_sliding_window",
         "q4_priority_with_late_lines", "q6_forecast_revenue_change",
         "q8_market_share", "q17_small_quantity_revenue",
         "q21_waiting_suppliers", "q12_priority_by_lateness",

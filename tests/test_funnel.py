@@ -70,3 +70,34 @@ def test_funnel_unbounded_window_and_counts(spark):
         ).collect()
     }
     assert counts == {(1, "view"): 2, (2, "click"): 1}
+
+
+def test_sliding_funnel_catches_later_anchor(spark):
+    """The documented semantic gap: greedy-earliest anchors u3 at
+    09:00 and misses the 14:00 click; the sliding variant's 13:00
+    anchor catches it.  Full-chain counting and the strictly-after
+    rule carry over."""
+    from org_revue_de_presse_trends_spark.operators.funnel import (
+        funnel_steps_sliding,
+    )
+
+    rows = [
+        # u3 from the greedy test: second anchor completes step 2
+        (3, _ts(9), "view"), (3, _ts(13), "view"), (3, _ts(14), "click"),
+        # u6: two anchors, one full conversion
+        (6, _ts(8), "view"), (6, _ts(9), "click"), (6, _ts(10), "purchase"),
+        (6, _ts(20), "view"),
+        # u7: duplicate anchor timestamps collapse (distinct anchors)
+        (7, _ts(9), "view"), (7, _ts(9), "view"),
+    ]
+    out = {
+        r["user_id"]: (r["n_anchors"], r["best_level"], r["n_full"])
+        for r in funnel_steps_sliding(
+            _events(spark, rows),
+            ["view", "click", "purchase"],
+            window_seconds=7200,
+        ).collect()
+    }
+    assert out[3] == (2, 2, 0)
+    assert out[6] == (2, 3, 1)
+    assert out[7] == (1, 1, 0)
