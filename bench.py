@@ -436,7 +436,12 @@ def main() -> None:
             except Exception:  # noqa: BLE001 — keep the first timing
                 continue
             if again < sink[name]:
-                warm_retries[name] = [sink[name], again]
+                # append, never overwrite: the in-loop spike guard may
+                # already have recorded timings for this query, and
+                # its visibility promise must survive this pass too
+                warm_retries[name] = warm_retries.get(
+                    name, [sink[name]]
+                ) + [again]
                 sink[name] = again
 
     calib_after = _cpu_calibration()

@@ -343,8 +343,12 @@ def _cut_marked_spans(
         F.coalesce(F.col("text_clean"), F.col("__text")).alias(
             "text_clean"
         ),
+        # the extra 0 arm: size(tokens(NULL)) is NULL, and the oracles
+        # count a NULL-text doc as 0 tokens (r7 review finding)
         F.coalesce(
-            F.col("n_tokens"), F.size(T.tokens(F.col("__text"))).cast("long")
+            F.col("n_tokens"),
+            F.size(T.tokens(F.col("__text"))).cast("long"),
+            F.lit(0).cast("long"),
         ).alias("n_tokens"),
         F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias(
             "n_removed"

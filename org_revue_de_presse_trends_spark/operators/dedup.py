@@ -1178,14 +1178,16 @@ def edit_distance_pairs(
     """
     blocks = list(block_cols or [])
     w = int(max_dist) + 1
-    # spread_for_cpu + explicit broadcast: a small corpus arrives as
-    # ONE split and the banded-Levenshtein verify would inherit the
-    # probe side's layout through the broadcast join, serializing the
-    # whole O(candidates * n * max_dist) stage on 1-2 cores (r6
-    # verdict: 57.8 s at sf0.1 with tasks=2, shuffle_mb=0).  Spreading
-    # the probe scan parallelizes the verify across every core with no
-    # extra shuffle on the (wide) candidate pairs; A/B best-of-3 at
-    # sf0.1: 57.8 s -> see ARCHITECTURE.md (edit-distance note).
+    # spread_for_cpu: a small corpus arrives as ONE split and the
+    # banded-Levenshtein verify would inherit the probe side's layout
+    # through the (AQE-chosen broadcast) join, serializing the whole
+    # O(candidates * n * max_dist) stage on 1-2 cores (r6 verdict:
+    # 57.8 s at sf0.1 with tasks=2, shuffle_mb=0).  Spreading the
+    # probe scan parallelizes the verify across every core; A/B
+    # best-of-3 at sf0.1: 57.8 -> 3.2 s.  No broadcast HINT on the
+    # bucket side: AQE already broadcasts it at small scale (measured
+    # identical, 3.23 vs 3.24 s) and a forced broadcast would cap the
+    # operator at the 8 GB broadcast limit at 100 TB.
     left = spread_for_cpu(df).select(
         *blocks,
         F.col(id_col).alias("id_a"),
@@ -1208,7 +1210,7 @@ def edit_distance_pairs(
     )
     dist = F.levenshtein(F.col("__ta"), F.col("__tb"), max_dist)
     return (
-        left.join(F.broadcast(right), on=[*blocks, "__bkt"])
+        left.join(right, on=[*blocks, "__bkt"])
         .where(
             (F.col("id_a") < F.col("id_b"))
             & (F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
@@ -1224,6 +1226,7 @@ def edit_distance_pairs_qchunk(
     id_col: str = "doc_id",
     block_cols: list[str] | None = None,
     max_dist: int = 20,
+    max_doc_len: int = 8192,
 ) -> DataFrame:
     """(id_a, id_b, dist) for same-block pairs within Levenshtein
     distance ``max_dist`` via the ASYMMETRIC q-chunk signature scheme
@@ -1251,15 +1254,25 @@ def edit_distance_pairs_qchunk(
 
     Scale shape: index = n * (max_dist+1)-ish skinny rows (AQE
     broadcasts it at small scale, shuffle-joins at 100 TB); probe =
-    ~2-3 grams per character, generated in the scan stage (no
-    shuffle when the index broadcasts); candidates then collapse
-    through one distinct + two id-joins to re-attach texts before the
-    banded JVM levenshtein verify.  Join blocks are (block, q, gram)
-    — measured hottest block at sf0.1 is 8 docs; candidate volume is
-    corpus-dependent (docs sharing a verbatim phrase of length >= q
-    at aligned offsets are genuine candidates no exact scheme can
-    skip), measured 13.8k pairs at sf0.1 vs ~700k for length-bucket
-    blocking at the same threshold.
+    ~2-3 grams per character of length len/k each — O(len²/k) probe
+    BYTES per doc, quadratic in document length.  ``max_doc_len``
+    therefore bounds the q-chunk path (r7 review finding): documents
+    at or past it go through the length-bucket path instead, where a
+    long doc costs one banded-levenshtein row per candidate rather
+    than megabytes of grams.  Exactness across the boundary: a kept
+    long-path pair has at least one side >= max_doc_len, so its
+    partner is >= max_doc_len - max_dist by the length filter and both
+    sides live in the long set (docs >= max_doc_len - max_dist); pairs
+    with both sides < max_doc_len stay q-chunk-only (long-path pairs
+    with both < max_doc_len are dropped), so no pair is missed or
+    double-counted.  Candidates collapse through one distinct + two
+    id-joins to re-attach texts before the banded JVM levenshtein
+    verify.  Join blocks are (block, q, gram) — measured hottest block
+    at sf0.1 is 8 docs; candidate volume is corpus-dependent (docs
+    sharing a verbatim phrase of length >= q at aligned offsets are
+    genuine candidates no exact scheme can skip), measured 13.8k pairs
+    at sf0.1 vs ~700k for length-bucket blocking at the same
+    threshold.
 
     Why not for max_dist = Theta(len): q = len div (max_dist+1) is
     then O(1) chars and every doc collides with every doc — exact
@@ -1270,6 +1283,10 @@ def edit_distance_pairs_qchunk(
     blocks = list(block_cols or [])
     tau = int(max_dist)
     k = tau + 1
+    if int(max_doc_len) <= 2 * tau:
+        raise ValueError(
+            f"max_doc_len must exceed 2*max_dist, got {max_doc_len}"
+        )
     ln = F.length(text_col)
     docs = df.select(
         *blocks,
@@ -1277,11 +1294,14 @@ def edit_distance_pairs_qchunk(
         F.col(text_col).alias("txt"),
         ln.alias("len"),
     )
-    # index: docs long enough for the pigeonhole → skinny rows
-    # (block, q, gram, iid, ipos, ilen); the whole fan is codegen'd
-    # (sequence-explode + substring), no HOF lambda anywhere
+    # index: docs long enough for the pigeonhole and short enough for
+    # the O(len²/k) probe fan → skinny rows (block, q, gram, iid,
+    # ipos, ilen); the whole fan is codegen'd (sequence-explode +
+    # substring), no HOF lambda anywhere
     idx = (
-        docs.filter(F.col("len") >= k)
+        docs.filter(
+            (F.col("len") >= k) & (F.col("len") < max_doc_len)
+        )
         .withColumn("q", F.expr(f"len DIV {k}"))
         .withColumn(
             "ci",
@@ -1303,7 +1323,7 @@ def edit_distance_pairs_qchunk(
     # small corpus file arrives as one split (same shape as the
     # minhash win); the index side's broadcast join keeps this layout
     probe = (
-        spread_for_cpu(docs)
+        spread_for_cpu(docs.filter(F.col("len") < max_doc_len))
         .withColumn(
             "q",
             F.explode(
@@ -1382,4 +1402,38 @@ def edit_distance_pairs_qchunk(
         block_cols=blocks,
         max_dist=tau,
     )
-    return verified.unionByName(fallback)
+    # over-long docs: bucket path over everything a >= max_doc_len doc
+    # could pair with (>= max_doc_len - tau by the length filter),
+    # keeping only pairs whose longer side is actually >= max_doc_len
+    # so the q-chunk band keeps exclusive ownership of both-short-of-
+    # the-cap pairs (no duplicates, no gaps — see docstring)
+    long_docs = docs.filter(F.col("len") >= max_doc_len - tau)
+    long_pairs = edit_distance_pairs(
+        long_docs.select(
+            *blocks,
+            F.col("id").alias(id_col),
+            F.col("txt").alias(text_col),
+        ),
+        text_col=text_col,
+        id_col=id_col,
+        block_cols=blocks,
+        max_dist=tau,
+    )
+    lens = docs.select("id", "len")
+    long_pairs = (
+        long_pairs.join(
+            lens.select(
+                F.col("id").alias("id_a"), F.col("len").alias("__lla")
+            ),
+            "id_a",
+        )
+        .join(
+            lens.select(
+                F.col("id").alias("id_b"), F.col("len").alias("__llb")
+            ),
+            "id_b",
+        )
+        .where(F.greatest("__lla", "__llb") >= max_doc_len)
+        .select("id_a", "id_b", "dist")
+    )
+    return verified.unionByName(fallback).unionByName(long_pairs)

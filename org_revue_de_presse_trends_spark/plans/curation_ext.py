@@ -227,7 +227,8 @@ _EXACT_SPAN_ORACLE = f"""
       FROM cov GROUP BY doc_id
     )
     SELECT d.doc_id,
-           coalesce(a.text_clean, d.text) AS text_clean,
+           CASE WHEN coalesce(a.n_removed, 0) = 0 THEN d.text
+                ELSE a.text_clean END AS text_clean,
            coalesce(a.n_tokens, 0) AS n_tokens,
            coalesce(a.n_removed, 0) AS n_removed
     FROM documents d LEFT JOIN agg a USING (doc_id)
@@ -300,7 +301,8 @@ _C4_SPAN_ORACLE = f"""
       FROM cov GROUP BY doc_id
     )
     SELECT d.doc_id,
-           coalesce(a.text_clean, d.text) AS text_clean,
+           CASE WHEN coalesce(a.n_removed, 0) = 0 THEN d.text
+                ELSE a.text_clean END AS text_clean,
            coalesce(a.n_tokens, 0) AS n_tokens,
            coalesce(a.n_removed, 0) AS n_removed
     FROM documents d LEFT JOIN agg a USING (doc_id)

@@ -87,3 +87,35 @@ def test_qchunk_no_blocking(spark):
     assert [(r["id_a"], r["id_b"], r["dist"]) for r in out.collect()] == [
         (1, 2, 2)
     ]
+
+
+def test_qchunk_long_doc_cap_regimes(spark):
+    """max_doc_len routes over-long docs through the bucket path with
+    no duplicates and no gaps across the boundary: long-long pairs,
+    boundary-straddling pairs (one side just under the cap), and
+    mid-mid pairs must each be found exactly once."""
+    from org_revue_de_presse_trends_spark.operators.dedup import (
+        edit_distance_pairs_qchunk,
+    )
+
+    base = "abcdefghij" * 12  # 120 chars
+    long_a = base + "x" * 20          # 140 >= cap
+    rows = [
+        (1, long_a),                  # 140: long
+        (2, long_a[:-2] + "QQ"),      # 140: long, dist 2 to doc 1
+        (3, base + "x" * 11),         # 131: straddles (>= cap - tau)
+        (4, base),                    # 120: mid (q-chunk)
+        (5, base[:60] + "Z" + base[61:]),  # 120: mid, dist 1 to doc 4
+        (6, "completely different text made of other words entirely!!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = edit_distance_pairs_qchunk(df, max_dist=20, max_doc_len=140)
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in out.collect()}
+    # (1,2) long-long dist 2; (1,3)/(2,3) long-straddle dist 9/11;
+    # (4,5) mid-mid dist 1; (3,4) has len diff 11 <= 20 and dist 11
+    # found via the q-chunk band (both < 140)
+    assert got[(1, 2)] == 2
+    assert got[(1, 3)] == 9
+    assert got[(4, 5)] == 1
+    assert got[(3, 4)] == 11
+    assert out.count() == len(got)  # each pair exactly once
