@@ -152,6 +152,8 @@ SECONDARY = [
     "funnel_sliding_window",
     "user_event_type_scd2",
     "customer_state_merge",
+    "user_heavy_hitters_cms",
+    "doc_lm_stupid_backoff",
 ]
 
 

@@ -10,5 +10,6 @@ from . import (  # noqa: F401  (register on import)
     events_analytics,  # also past the window
     analytics_tpch2,  # also past the window
     curation_ext,  # also past the window
-    cdc_ext,  # registers LAST: also past the window
+    cdc_ext,  # also past the window
+    sketch_ext,  # registers LAST: also past the window
 )

@@ -251,6 +251,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "q21_waiting_suppliers", "q12_priority_by_lateness",
         "q20_excess_shippers", "q10_returned_item_customers",
         "doc_exact_substring_dedup", "doc_span_dedup_keep_first",
+        "user_heavy_hitters_cms", "doc_lm_stupid_backoff",
     ], f"unexpected overflow oracled set: {overflow}"
 
 
