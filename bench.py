@@ -154,6 +154,7 @@ SECONDARY = [
     "customer_state_merge",
     "user_heavy_hitters_cms",
     "doc_lm_stupid_backoff",
+    "doc_bloom_contamination",
 ]
 
 

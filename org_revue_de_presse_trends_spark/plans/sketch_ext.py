@@ -200,3 +200,109 @@ def doc_lm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stupid_backoff_doc_scores(
         train, val, text_col="text", id_col="doc_id"
     )
+
+
+#: Bloom geometry for the driver query — ~380 benchmark 13-grams into
+#: 66×62 = 4092 bits at k=3 gives a ~1.4% per-probe false-positive
+#: rate: n_maybe > n_exact on real fixture docs, so the approximate
+#: membership semantics (not just the exact path) are exercised.
+_BLOOM_WORDS = 66
+_BLOOM_K = 3
+_BLOOM_N = 13
+
+_GRAM13_SQL = " || ' ' || ".join(f"t[u.i+{d}]" for d in range(_BLOOM_N))
+
+
+@query(
+    "doc_bloom_contamination",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= {_BLOOM_N}
+    ),
+    dg AS (
+        SELECT DISTINCT doc_id, {_GRAM13_SQL} AS g
+        FROM toks, UNNEST(range(1, len(t) - {_BLOOM_N - 2})) AS u(i)
+    ),
+    bg AS (SELECT DISTINCT g FROM dg WHERE doc_id % 50 = 0),
+    pos AS (
+        SELECT g, s,
+               ({_md5_48_sql("s || '|' || g")})
+                   % {_BLOOM_WORDS * 62} AS p
+        FROM bg, UNNEST(range(0, {_BLOOM_K})) AS u(s)
+    ),
+    bits AS (
+        SELECT p // 62 AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(p % 62 AS INTEGER)) AS bits
+        FROM pos GROUP BY 1
+    ),
+    probe AS (
+        SELECT dg.doc_id, dg.g, s,
+               ({_md5_48_sql("s || '|' || dg.g")})
+                   % {_BLOOM_WORDS * 62} AS p
+        FROM dg, UNNEST(range(0, {_BLOOM_K})) AS u(s)
+    ),
+    hits AS (
+        SELECT probe.doc_id, probe.g,
+               bool_and(
+                   (COALESCE(b.bits, 0)
+                    & (CAST(1 AS BIGINT) << CAST(p % 62 AS INTEGER)))
+                   = (CAST(1 AS BIGINT) << CAST(p % 62 AS INTEGER))
+               ) AS maybe
+        FROM probe LEFT JOIN bits b ON b.word = probe.p // 62
+        GROUP BY probe.doc_id, probe.g
+    ),
+    flagged AS (
+        SELECT h.doc_id, h.maybe,
+               (bg.g IS NOT NULL) AS exact
+        FROM hits h LEFT JOIN bg ON bg.g = h.g
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_maybe,
+           CAST(SUM(CASE WHEN exact THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def doc_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination probe (operators/bloom.py): the
+    every-50th-doc benchmark's distinct 13-grams are compressed to
+    66 longs; every document's distinct 13-grams are probed map-only
+    against the broadcast bits, with the exact membership count
+    beside it (n_maybe ≥ n_exact always; the gap is the deterministic
+    false-positive set, reproduced value-exactly by the oracle).
+
+    Scale: the exact join ships the full benchmark gram set; the
+    filter is a few KB per million keys at a fixed FP rate, and the
+    corpus side never shuffles — flagged survivors (a ~1% superset)
+    go to the exact second pass.  See operators/bloom.py."""
+    from ..functions import text as T
+    from ..operators.bloom import bloom_build, bloom_probe
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(T.tokens(F.col("text"))) >= _BLOOM_N)
+        .select("doc_id", "text")
+    )
+    grams = T.with_shingles(docs, "text", "g", _BLOOM_N).select(
+        "doc_id", F.explode("g").alias("g")
+    )
+    bench = grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+    bloom = bloom_build(bench, "g", n_words=_BLOOM_WORDS, k=_BLOOM_K)
+    probed = bloom_probe(
+        grams, "g", bloom, n_words=_BLOOM_WORDS, k=_BLOOM_K
+    )
+    flagged = probed.join(
+        F.broadcast(bench.withColumn("__exact", F.lit(True))), "g", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("maybe_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_maybe"),
+        F.sum(F.when(F.col("__exact").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact"),
+    )

@@ -199,3 +199,77 @@ class TestStupidBackoffLM:
         assert sorted(tris) == ["a b a", "a b a", "b a b"]
         bis = [r["bg"] for r in bigram_stream(df).collect()]
         assert sorted(bis) == ["a b", "a b", "b a", "b a"]
+
+
+class TestBloom:
+    def _py_positions(self, v, k, n_words):
+        import hashlib
+
+        out = []
+        for j in range(k):
+            h = int(
+                hashlib.md5(f"{j}|{v}".encode()).hexdigest()[:12], 16
+            ) % (n_words * 62)
+            out.append((h // 62, 1 << (h % 62)))
+        return out
+
+    def test_matches_python_reference_including_fps(self, spark):
+        from org_revue_de_presse_trends_spark.operators.bloom import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        members = [f"member-{i}" for i in range(40)]
+        probes = members + [f"other-{i}" for i in range(400)]
+        n_words, k = 4, 3  # tiny on purpose: false positives certain
+        bf = bloom_build(
+            spark.createDataFrame([(m,) for m in members], "g string"),
+            "g",
+            n_words=n_words,
+            k=k,
+        )
+        got = {
+            r["g"]: r["maybe_member"]
+            for r in bloom_probe(
+                spark.createDataFrame([(p,) for p in probes], "g string"),
+                "g",
+                bf,
+                n_words=n_words,
+                k=k,
+            ).collect()
+        }
+        # python reference filter
+        words = {}
+        for m in members:
+            for w, mask in self._py_positions(m, k, n_words):
+                words[w] = words.get(w, 0) | mask
+        fps = 0
+        for p in probes:
+            ref = all(
+                words.get(w, 0) & mask == mask
+                for w, mask in self._py_positions(p, k, n_words)
+            )
+            assert got[p] == ref, p
+            if ref and p.startswith("other"):
+                fps += 1
+        assert all(got[m] for m in members)  # never a false negative
+        assert fps > 0  # 248 bits for 40 keys must collide
+
+    def test_filter_is_bounded_and_probe_preserves_rows(self, spark):
+        from org_revue_de_presse_trends_spark.operators.bloom import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        keys = spark.createDataFrame(
+            [(f"k{i}",) for i in range(500)], "g string"
+        )
+        bf = bloom_build(keys, "g", n_words=8, k=3)
+        assert bf.count() <= 8
+        # duplicate probe rows must survive (no dedup inside probe)
+        dup = spark.createDataFrame(
+            [("k1", 1), ("k1", 2), ("zzz", 3)], "g string, tag long"
+        )
+        out = bloom_probe(dup, "g", bf, n_words=8, k=3).collect()
+        assert len(out) == 3
+        assert {r["tag"] for r in out} == {1, 2, 3}

@@ -252,6 +252,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "q20_excess_shippers", "q10_returned_item_customers",
         "doc_exact_substring_dedup", "doc_span_dedup_keep_first",
         "user_heavy_hitters_cms", "doc_lm_stupid_backoff",
+        "doc_bloom_contamination",
     ], f"unexpected overflow oracled set: {overflow}"
 
 
