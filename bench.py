@@ -155,6 +155,9 @@ SECONDARY = [
     "user_heavy_hitters_cms",
     "doc_lm_stupid_backoff",
     "doc_bloom_contamination",
+    "doc_bm25_rarest_terms",
+    "doc_token_chunks",
+    "doc_nfc_normalization",
 ]
 
 

@@ -62,3 +62,25 @@ def token_count_pandas():
         return texts.str.split(" ").map(len).astype("int64")
 
     return _count
+
+
+def nfc_normalize_pandas():
+    """Unicode NFC canonical normalization (UAX #15) over Arrow
+    batches — combining sequences compose to their canonical
+    precomposed forms ('a' + U+0301 → 'á').  Spark has no built-in
+    normalizer, so this is a GENUINE escape-hatch member (not a twin):
+    unicodedata implements the same Unicode standard DuckDB's
+    nfc_normalize does, which is what lets q:doc_nfc_normalization be
+    oracled cross-engine."""
+
+    @pandas_udf("string")
+    def _nfc(texts: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return texts.map(
+            lambda t: None
+            if t is None
+            else unicodedata.normalize("NFC", t)
+        )
+
+    return _nfc

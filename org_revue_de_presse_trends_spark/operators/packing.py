@@ -83,3 +83,55 @@ def pack_sequences(
         f"{tokens_col} {in_types[tokens_col]}, seq_id long"
     )
     return binned.groupBy("_bin").applyInPandas(pack_bin, schema=schema)
+
+
+def token_chunks(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 32,
+    stride: int = 24,
+):
+    """(id_col, chunk_idx, chunk_text, n_tokens) — overlapping
+    token-window chunks (chunk i covers tokens [i*stride,
+    i*stride + size)), the context-window segmentation every training
+    pipeline applies before packing.  Start positions run while
+    start < doc length, so the tail chunk may be short but no token is
+    dropped; stride < size gives (size - stride)-token overlap.
+
+    Shape: chunk structs are built INSIDE the array domain (one
+    transform over the staged token array — total work and bytes are
+    O(len · size/stride), linear) and only then exploded, so the full
+    token array is never duplicated per chunk row (an explode-first
+    form would copy it ceil(len/stride) times — fatal for giant
+    documents).  Map-only: no windows, no shuffle."""
+    from pyspark.sql import functions as F
+
+    if int(stride) <= 0 or int(size) <= 0:
+        raise ValueError("size and stride must be positive")
+    d1 = df.select(
+        F.col(id_col),
+        F.expr(f"split(`{text_col}`, ' ')").alias("__t"),
+    )
+    k, st = int(size), int(stride)
+    d2 = d1.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"""transform(
+                    sequence(0, CAST((size(__t) - 1) DIV {st} AS INT)),
+                    i -> struct(
+                        CAST(i AS BIGINT) AS chunk_idx,
+                        array_join(slice(__t, i * {st} + 1, {k}), ' ')
+                            AS chunk_text,
+                        CAST(least({k}, size(__t) - i * {st}) AS BIGINT)
+                            AS n_tokens))"""
+            )
+        ).alias("c"),
+    )
+    return d2.select(
+        id_col,
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )

@@ -11,5 +11,6 @@ from . import (  # noqa: F401  (register on import)
     analytics_tpch2,  # also past the window
     curation_ext,  # also past the window
     cdc_ext,  # also past the window
-    sketch_ext,  # registers LAST: also past the window
+    sketch_ext,  # also past the window
+    retrieval_ext,  # registers LAST: also past the window
 )
