@@ -705,3 +705,128 @@ def test_funnel_scales_linearly_10x(spark):
     s_ratio = results[300_000][1] / max(results[30_000][1], 1)
     assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× events"
     assert s_ratio < 30, f"shuffle grew {s_ratio:.1f}× for 10× events"
+
+
+def test_cms_scales_with_fixed_state_10x(spark):
+    """Count-min sketch: 10× the stream must leave the counter table
+    at its fixed depth×width bound (the whole point), keep per-row
+    stream mass exact, and grow runtime/shuffle sub-quadratically."""
+    from org_revue_de_presse_trends_spark.operators.cms import cms_table
+
+    mc = MetricsCollector(spark)
+    results = {}
+    for n in (50_000, 500_000):
+        df = spark.range(n).select(
+            (F.col("id") % 997).alias("k")  # 997 distinct keys
+        )
+        tab = cms_table(df, "k", depth=4, width=64)
+        t0 = _time.perf_counter()
+        rows, qm = mc.measure(
+            f"cms_{n}", tab, action=lambda d: d.count()
+        )
+        results[n] = (_time.perf_counter() - t0, qm.shuffle_bytes_written)
+        assert rows <= 4 * 64  # state bound independent of stream size
+        # every sketch row holds the full stream weight
+        mass = {
+            r["row"]: r["m"]
+            for r in tab.groupBy("row")
+            .agg(F.sum("c").alias("m"))
+            .collect()
+        }
+        assert mass == {r: n for r in range(4)}
+    t_ratio = results[500_000][0] / results[50_000][0]
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× stream"
+
+
+def test_bloom_probe_scales_linearly_10x(spark):
+    """Bloom probe: the filter stays ≤ n_words rows at any key count
+    and the probe side is map-only (zero shuffle both scales)."""
+    from org_revue_de_presse_trends_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    mc = MetricsCollector(spark)
+    results = {}
+    keys = spark.range(2_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("g")
+    )
+    bf = bloom_build(keys, "g", n_words=32, k=3)
+    assert bf.count() <= 32
+    for n in (50_000, 500_000):
+        probes = spark.range(n).select(
+            F.concat(F.lit("p"), (F.col("id") % 10_000)).alias("g")
+        )
+        out = bloom_probe(probes, "g", bf, n_words=32, k=3)
+        t0 = _time.perf_counter()
+        rows, qm = mc.measure(
+            f"bloom_{n}", out, action=lambda d: d.count()
+        )
+        results[n] = (_time.perf_counter() - t0, qm.shuffle_bytes_written)
+        assert rows == n  # row-preserving
+        # only count()'s own final partial-aggregate exchange (~1.4KB,
+        # scale-independent) — the probe itself is map-only
+        assert qm.shuffle_bytes_written < 5_000, "probe must stay map-only"
+    t_ratio = results[500_000][0] / results[50_000][0]
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× probes"
+
+
+def test_stupid_backoff_scales_linearly_10x(spark):
+    """Held-out LM scoring: LM tables are vocab-bounded broadcasts;
+    10× the corpus must grow runtime/shuffle sub-quadratically and
+    score every val doc with ≥ 3 tokens."""
+    from org_revue_de_presse_trends_spark.operators.lm import (
+        stupid_backoff_doc_scores,
+    )
+
+    mc = MetricsCollector(spark)
+    results = {}
+    for n in (500, 5_000):
+        docs = _synthetic_docs(spark, n)
+        train = docs.filter(F.col("doc_id") % 10 != 0)
+        val = docs.filter(F.col("doc_id") % 10 == 0)
+        out = stupid_backoff_doc_scores(train, val)
+        t0 = _time.perf_counter()
+        rows, qm = mc.measure(
+            f"lm_{n}", out, action=lambda d: d.count()
+        )
+        results[n] = (_time.perf_counter() - t0, qm.shuffle_bytes_written)
+        assert rows == n // 10  # every val doc scored
+    t_ratio = results[5_000][0] / results[500][0]
+    s_ratio = results[5_000][1] / max(results[500][1], 1)
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× docs"
+    assert s_ratio < 30, f"shuffle grew {s_ratio:.1f}× for 10× docs"
+
+
+def test_token_chunks_scales_and_never_copies_the_array_10x(spark):
+    """Chunking is map-only (zero shuffle) with exact closed-form row
+    counts, including one giant document (100k tokens → 4167 chunks)
+    that an explode-first formulation would blow up on."""
+    from org_revue_de_presse_trends_spark.operators.packing import (
+        token_chunks,
+    )
+
+    mc = MetricsCollector(spark)
+    results = {}
+    for n in (1_000, 10_000):
+        docs = _synthetic_docs(spark, n)  # 30 tokens → 2 chunks each
+        out = token_chunks(docs, size=32, stride=24)
+        t0 = _time.perf_counter()
+        rows, qm = mc.measure(
+            f"chunks_{n}", out, action=lambda d: d.count()
+        )
+        results[n] = _time.perf_counter() - t0
+        assert rows == 2 * n
+        # only count()'s partial-aggregate exchange (scale-independent)
+        assert qm.shuffle_bytes_written < 5_000, "chunking must be map-only"
+    t_ratio = results[10_000] / results[1_000]
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× docs"
+    giant = spark.range(1).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "array_join(transform(sequence(1, 100000), "
+            "i -> concat('w', pmod(i, 50))), ' ')"
+        ).alias("text"),
+    )
+    out = token_chunks(giant, size=32, stride=24)
+    assert out.count() == (100_000 - 1) // 24 + 1
