@@ -158,6 +158,7 @@ SECONDARY = [
     "doc_bm25_rarest_terms",
     "doc_token_chunks",
     "doc_nfc_normalization",
+    "orders_hll_distinct_custkeys",
 ]
 
 

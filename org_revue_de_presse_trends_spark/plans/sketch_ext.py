@@ -1,7 +1,8 @@
 """Late-registering sketch/LM queries (past the driver's 50-slot
 window on purpose; the in-repo contract gate oracle-checks them):
-count-min-sketch heavy hitters (operators/cms.py) and held-out
-Stupid-Backoff LM scoring (operators/lm.py).
+count-min-sketch heavy hitters (operators/cms.py), held-out
+Stupid-Backoff LM scoring (operators/lm.py), and HyperLogLog
+distinct-count sketches (operators/hll.py).
 """
 
 from __future__ import annotations
@@ -309,4 +310,106 @@ def doc_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("__exact").isNotNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_exact"),
+    )
+
+
+#: HLL geometry for the driver query — p=8 (256 buckets) puts the
+#: ~1300 distinct custkeys per priority at sf0.01 in the RAW-estimator
+#: regime (> 2.5·m = 640), so the oracled formula is the one a user
+#: would actually read, not the linear-counting branch.
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P
+_HLL_REM = 1 << (60 - _HLL_P)
+_HLL_RHO_MAX = 60 - _HLL_P + 1
+_HLL_POW = 1 << _HLL_RHO_MAX
+
+
+def _hll_scale() -> float:
+    from ..operators.hll import _alpha
+
+    return _alpha(_HLL_M) * float(_HLL_M) * float(_HLL_M) * float(_HLL_POW)
+
+
+def _md5_60_sql(expr: str) -> str:
+    """DuckDB SQL for the 60-bit md5-prefix hash of ``expr`` — the
+    ``operators.hll.hll_hash`` mirror (strpos hex-decode widened to
+    15 chars; every 16**k term is a power of two, exact in double
+    before the BIGINT cast)."""
+    return f"""list_aggregate(list_transform(range(1, 16),
+        i -> (strpos('0123456789abcdef',
+                     substr(md5({expr}), CAST(i AS INTEGER), 1)) - 1)
+             * CAST(16 ** (15 - i) AS BIGINT)), 'sum')"""
+
+
+@query(
+    "orders_hll_distinct_custkeys",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT o_orderpriority,
+               ({_md5_60_sql("CAST(o_custkey AS VARCHAR)")}) AS h60
+        FROM orders
+    ),
+    reg AS (
+        SELECT o_orderpriority, h60 >> {60 - _HLL_P} AS bucket,
+               MAX(CASE WHEN h60 % {_HLL_REM} = 0 THEN {_HLL_RHO_MAX}
+                        ELSE {_HLL_RHO_MAX}
+                             - length(bin(h60 % {_HLL_REM})) END) AS r
+        FROM h GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT o_orderpriority, COUNT(*) AS nb,
+               CAST(SUM(CAST(2 ** ({_HLL_RHO_MAX} - r) AS BIGINT))
+                    AS BIGINT) AS zp
+        FROM reg GROUP BY 1
+    ),
+    ex AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+        FROM orders GROUP BY 1
+    )
+    SELECT agg.o_orderpriority,
+           ex.n_exact,
+           CAST(agg.nb AS BIGINT) AS hll_buckets_used,
+           CAST(agg.zp + ({_HLL_M} - agg.nb) * {_HLL_POW} AS BIGINT)
+               AS hll_zscaled,
+           ROUND({_hll_scale()!r}
+                 / CAST(agg.zp + ({_HLL_M} - agg.nb) * {_HLL_POW}
+                        AS DOUBLE), 3) AS hll_estimate
+    FROM agg JOIN ex USING (o_orderpriority)
+    """,
+)
+def orders_hll_distinct_custkeys(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HyperLogLog distinct customers per order priority
+    (operators/hll.py) beside the exact COUNT(DISTINCT): p=8 (256
+    register rows per group) estimates ~1300 distinct custkeys within
+    the sketch's 1.04/√m ≈ 6.5% σ, and the registers, the exact
+    BIGINT indicator sum, and the raw estimate all reproduce
+    value-exactly in DuckDB (60-bit md5-prefix hash, minimal-width
+    bin() rank, one literal-parsed scale constant, one IEEE division,
+    ROUND half-away-from-zero).
+
+    Scale: COUNT(DISTINCT) exchanges every distinct key; the sketch
+    exchanges ≤ 256 map-side-combined register rows per group per
+    task, and per-partition sketches MERGE by max (operators/hll.py
+    hll_merge) — per-day sketches roll up to per-month without a
+    rescan.  The corrected (linear-counting) estimate is deliberately
+    NOT in the oracled projection: it needs libm ln, which is not
+    bit-pinned across engines; tests golden-pin it instead."""
+    from ..operators.hll import hll_distinct
+
+    orders = load_table(spark, sf_dir, "orders")
+    est = hll_distinct(
+        orders, ["o_orderpriority"], "o_custkey", p=_HLL_P
+    )
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_exact")
+    )
+    return exact.join(est, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_exact",
+        "hll_buckets_used",
+        "hll_zscaled",
+        "hll_estimate",
     )

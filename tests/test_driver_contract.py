@@ -253,6 +253,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "doc_exact_substring_dedup", "doc_span_dedup_keep_first",
         "user_heavy_hitters_cms", "doc_lm_stupid_backoff",
         "doc_bloom_contamination",
+        "orders_hll_distinct_custkeys",
         "doc_bm25_rarest_terms", "doc_token_chunks",
         "doc_nfc_normalization",
     ], f"unexpected overflow oracled set: {overflow}"

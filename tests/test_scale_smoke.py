@@ -830,3 +830,50 @@ def test_token_chunks_scales_and_never_copies_the_array_10x(spark):
     )
     out = token_chunks(giant, size=32, stride=24)
     assert out.count() == (100_000 - 1) // 24 + 1
+
+
+def test_hll_scales_with_fixed_state_10x(spark):
+    """HyperLogLog: 10× the stream must leave the register table at
+    its fixed 2**p bound per group (the whole point — the shuffle
+    payload is the sketch, never the distinct stream) and grow runtime
+    sub-quadratically."""
+    from org_revue_de_presse_trends_spark.operators.hll import (
+        hll_distinct,
+        hll_registers,
+    )
+
+    mc = MetricsCollector(spark)
+    results = {}
+    for n in (50_000, 500_000):
+        df = spark.range(n).select(
+            (F.col("id") % 5).cast("string").alias("grp"),
+            (F.col("id") % 20_011).alias("v"),  # ~20k distinct per grp
+        )
+        reg = hll_registers(df, ["grp"], "v", p=8)
+        t0 = _time.perf_counter()
+        rows, qm = mc.measure(
+            f"hll_{n}", reg, action=lambda d: d.count()
+        )
+        results[n] = (_time.perf_counter() - t0, qm.shuffle_bytes_written)
+        assert rows <= 5 * 256  # state bound independent of stream size
+    # estimates stay sane at the big scale: gcd(5, 20011) = 1, so each
+    # group's 100k ids sweep ALL 20011 residues — truth is 20011/group
+    est = {
+        r["grp"]: r["est_corrected"]
+        for r in hll_distinct(
+            spark.range(500_000).select(
+                (F.col("id") % 5).cast("string").alias("grp"),
+                (F.col("id") % 20_011).alias("v"),
+            ),
+            ["grp"],
+            "v",
+            p=8,
+        ).collect()
+    }
+    for g, e in est.items():
+        assert abs(e - 20011) / 20011 < 0.25, f"group {g} estimate {e}"
+    t_ratio = results[500_000][0] / results[50_000][0]
+    s_ratio = results[500_000][1] / max(results[50_000][1], 1)
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× stream"
+    # shuffle carries ≤ m register rows per group per task either way
+    assert s_ratio < 5, f"shuffle grew {s_ratio:.1f}× for 10× stream"
