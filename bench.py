@@ -159,6 +159,7 @@ SECONDARY = [
     "doc_token_chunks",
     "doc_nfc_normalization",
     "orders_hll_distinct_custkeys",
+    "event_type_pagerank",
 ]
 
 

@@ -1,0 +1,119 @@
+"""Graph centrality — weighted PageRank over a distributed edge list.
+
+The corpus-curation use: rank pages/domains/documents by link or
+similarity structure (Page et al. 1999, "The PageRank citation
+ranking"; web-corpus pipelines weight crawl frontiers and quality
+priors this way), and rank event types by the user-path transition
+matrix (Markov-chain stationary-visit view of product analytics).
+
+Determinism discipline (the house scaled-long rule): ranks live as
+exact BIGINTs at a fixed decimal scale.  Every per-edge contribution
+is one double expression with a pinned shape —
+``round(d · rank · weight / out_weight)`` — whose multiply/divide
+tree any engine evaluates identically under IEEE-754, immediately
+rounded back to a long; the per-node reduce is then an exact integer
+SUM, so iteration results are bit-identical regardless of engine,
+partitioning, or aggregation order.  A DuckDB oracle unrolls the same
+iterations as CTEs and hash-matches value-exactly
+(plans/events_analytics.event_type_pagerank).
+
+Semantics: the unnormalized "Google" variant — r₀ = 1 per node,
+rₜ₊₁(v) = (1-d) + d·Σ_{(u,v)∈E} rₜ(u)·w(u,v)/out_w(u).  Dangling
+nodes (no out-edges) receive but do not redistribute mass (their mass
+decays — the simplified variant; redistribution needs a global
+broadcast per round and is not what similarity graphs need).
+
+Scale: per round, one join of edges against the rank table (both
+keyed by node — the join exchange is reused by the groupBy(dst) that
+follows only via AQE; edges are localCheckpointed ONCE so the
+typically-expensive candidate-pair lineage never re-executes) and one
+integer-sum aggregate.  No collects inside the loop; lineage is cut
+per round (CLAUDE.md iterative-loop invariant).
+
+Exactness bound: contributions are exact while
+``d · max_rank_scaled · max_weight < 2**53``.  Total scaled mass is
+≤ n_nodes · scale, so the default scale of 10⁹ is safe up to roughly
+a million nodes at unit weights; pass a smaller ``scale`` for larger
+graphs (documented, asserted nowhere — the caller owns the budget).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    scale: int = 10**9,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """PageRank over a weighted directed edge list → (node,
+    rank_scaled BIGINT, pagerank DOUBLE).
+
+    ``rank_scaled`` is the exact fixed-point state after exactly
+    ``iterations`` rounds (no convergence test — a pinned iteration
+    count is what an oracle can unroll); ``pagerank`` is the one
+    deterministic IEEE division ``rank_scaled / scale``.  Undirected
+    graphs: pass each edge in both directions."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # one materialization: the edge lineage (often a candidate-pair
+    # join) must not re-execute every round
+    e = e.join(out_w, "src").localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    base = round((1.0 - damping) * scale)  # exact long, same literal
+    ranks = nodes.withColumn(
+        "rank_scaled", F.lit(int(scale)).cast("long")
+    )
+    # pinned expression tree: ((d * r) * w) / out_w — left-assoc
+    # multiply chain then one divide, identical in Spark and DuckDB SQL
+    contrib = F.round(
+        F.lit(damping)
+        * F.col("rank_scaled").cast("double")
+        * F.col("w").cast("double")
+        / F.col("out_w").cast("double")
+    ).cast("long")
+    for _ in range(iterations):
+        msgs = (
+            e.join(ranks, e.src == ranks.node)
+            .select(F.col("dst").alias("node"), contrib.alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(msgs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0))
+                )
+                .cast("long")
+                .alias("rank_scaled"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "node",
+        "rank_scaled",
+        (F.col("rank_scaled").cast("double") / F.lit(float(scale))).alias(
+            "pagerank"
+        ),
+    )

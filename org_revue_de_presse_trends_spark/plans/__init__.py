@@ -12,5 +12,6 @@ from . import (  # noqa: F401  (register on import)
     curation_ext,  # also past the window
     cdc_ext,  # also past the window
     sketch_ext,  # also past the window
-    retrieval_ext,  # registers LAST: also past the window
+    retrieval_ext,  # also past the window
+    graph_ext,  # registers LAST: also past the window
 )

@@ -1,0 +1,119 @@
+"""Weighted PageRank (operators/graph.py) — exact equality vs a
+pure-Python scaled-long reference, structural sanity on known graphs,
+and layout independence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from org_revue_de_presse_trends_spark.operators.graph import (
+    weighted_pagerank,
+)
+
+
+def _py_pagerank(edges, iterations=3, damping=0.85, scale=10**9):
+    """Mirror of the operator: same pinned double expression per edge,
+    same integer sums."""
+    out_w = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0) + w
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    base = round((1.0 - damping) * scale)
+    r = {n: scale for n in nodes}
+    for _ in range(iterations):
+        mass = {n: 0 for n in nodes}
+        for s, d, w in edges:
+            c = round(damping * float(r[s]) * float(w) / float(out_w[s]))
+            mass[d] += c
+        r = {n: base + mass[n] for n in nodes}
+    return r
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(
+        edges, "src string, dst string, weight long"
+    )
+
+
+class TestPageRank:
+    def test_matches_python_reference_exactly(self, spark):
+        # weighted digraph with a cycle, a hub, and a dangling sink
+        edges = [
+            ("a", "b", 3), ("a", "c", 1), ("b", "c", 2),
+            ("c", "a", 5), ("c", "d", 1), ("b", "d", 4),
+            ("e", "a", 2),  # e has no in-edges, d has no out-edges
+        ]
+        got = {
+            r["node"]: r["rank_scaled"]
+            for r in weighted_pagerank(
+                _edges_df(spark, edges), iterations=4
+            ).collect()
+        }
+        assert got == _py_pagerank(edges, iterations=4)
+
+    def test_star_graph_center_dominates(self, spark):
+        edges = [(f"leaf{i}", "center", 1) for i in range(10)] + [
+            ("center", f"leaf{i}", 1) for i in range(10)
+        ]
+        ranks = {
+            r["node"]: r["pagerank"]
+            for r in weighted_pagerank(
+                _edges_df(spark, edges), iterations=5
+            ).collect()
+        }
+        assert all(
+            ranks["center"] > ranks[f"leaf{i}"] for i in range(10)
+        )
+
+    def test_dangling_node_keeps_base_rank_only_when_unlinked(self, spark):
+        # d is a pure sink: it accumulates mass but redistributes none;
+        # e -> f chain: f's second-round input decays (e's rank fell to
+        # base after round 1)
+        edges = [("a", "d", 1), ("b", "d", 1), ("e", "f", 1)]
+        got = {
+            r["node"]: r["rank_scaled"]
+            for r in weighted_pagerank(
+                _edges_df(spark, edges), iterations=3
+            ).collect()
+        }
+        assert got == _py_pagerank(edges, iterations=3)
+        base = round(0.15 * 10**9)
+        # sources with no in-edges settle at exactly the base rank
+        for n in ("a", "b", "e"):
+            assert got[n] == base
+        assert got["d"] > got["f"] > base
+
+    def test_weights_shift_rank(self, spark):
+        # b and c identical except a sends 9x the weight to b
+        edges = [("a", "b", 9), ("a", "c", 1)]
+        got = {
+            r["node"]: r["rank_scaled"]
+            for r in weighted_pagerank(
+                _edges_df(spark, edges), iterations=2
+            ).collect()
+        }
+        assert got == _py_pagerank(edges, iterations=2)
+        assert got["b"] > got["c"]
+
+    def test_layout_independent(self, spark):
+        edges = [
+            (f"n{i}", f"n{(i * 7 + 3) % 50}", (i % 5) + 1)
+            for i in range(200)
+        ]
+        df = _edges_df(spark, edges)
+        a = sorted(map(tuple, weighted_pagerank(df).collect()))
+        b = sorted(
+            map(
+                tuple,
+                weighted_pagerank(df.repartition(13, "dst")).collect(),
+            )
+        )
+        assert a == b
+
+    def test_validation(self, spark):
+        df = _edges_df(spark, [("a", "b", 1)])
+        with pytest.raises(ValueError):
+            weighted_pagerank(df, iterations=0)
+        with pytest.raises(ValueError):
+            weighted_pagerank(df, damping=1.0)

@@ -877,3 +877,33 @@ def test_hll_scales_with_fixed_state_10x(spark):
     assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× stream"
     # shuffle carries ≤ m register rows per group per task either way
     assert s_ratio < 5, f"shuffle grew {s_ratio:.1f}× for 10× stream"
+
+
+def test_pagerank_scales_linearly_10x(spark):
+    """Weighted PageRank: 10× the edges must grow runtime and shuffle
+    ~linearly (per round: one edges⋈ranks join + one integer-sum
+    aggregate — nothing quadratic anywhere), with the round count
+    pinned by the iterations parameter."""
+    from org_revue_de_presse_trends_spark.operators.graph import (
+        weighted_pagerank,
+    )
+
+    mc = MetricsCollector(spark)
+    results = {}
+    for n in (20_000, 200_000):
+        edges = spark.range(n).select(
+            (F.col("id") % 4_001).cast("string").alias("src"),
+            ((F.col("id") * 7 + 3) % 4_001).cast("string").alias("dst"),
+            ((F.col("id") % 5) + 1).alias("weight"),
+        )
+        out = weighted_pagerank(edges, iterations=3)
+        t0 = _time.perf_counter()
+        rows, qm = mc.measure(
+            f"pagerank_{n}", out, action=lambda d: d.count()
+        )
+        results[n] = (_time.perf_counter() - t0, qm.shuffle_bytes_written)
+        assert rows == 4_001  # one rank row per node
+    t_ratio = results[200_000][0] / results[20_000][0]
+    s_ratio = results[200_000][1] / max(results[20_000][1], 1)
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× edges"
+    assert s_ratio < 30, f"shuffle grew {s_ratio:.1f}× for 10× edges"
