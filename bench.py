@@ -160,6 +160,7 @@ SECONDARY = [
     "doc_nfc_normalization",
     "orders_hll_distinct_custkeys",
     "event_type_pagerank",
+    "doc_centrality_pagerank",
 ]
 
 

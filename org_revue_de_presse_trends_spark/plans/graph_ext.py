@@ -17,14 +17,16 @@ _PR_BASE = round((1.0 - _PR_D) * _PR_SCALE)
 _PR_ITERS = 4
 
 
-def _pagerank_oracle() -> str:
-    """Unrolled-CTE DuckDB mirror of ``weighted_pagerank`` over the
-    event-transition graph: per iteration the SAME pinned expression
-    tree ``round(d · rank · w / out_w)`` cast to BIGINT, then an exact
-    integer SUM — value-identical to the Spark loop by construction."""
+def _pr_iters_sql(iters: int) -> tuple[str, str]:
+    """Unrolled PageRank iterations as DuckDB CTE text: per iteration
+    the SAME pinned expression tree ``round(d · rank · w / out_w)``
+    cast to BIGINT, then an exact integer SUM — value-identical to
+    the Spark loop by construction.  Expects CTEs ``e(src, dst, w)``,
+    ``nodes(node)``, ``ow(src, out_w)``, ``r0(node, rank_scaled)`` in
+    scope; returns (cte_chunk, final_table_name)."""
     its = []
     prev = "r0"
-    for k in range(1, _PR_ITERS + 1):
+    for k in range(1, iters + 1):
         its.append(
             f"""
     it{k} AS (
@@ -42,7 +44,20 @@ def _pagerank_oracle() -> str:
     )"""
         )
         prev = f"it{k}"
-    chained = ",".join(its)
+    return ",".join(its), prev
+
+
+_PR_COMMON = """
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM e GROUP BY src),
+    r0 AS (
+        SELECT node, CAST({scale} AS BIGINT) AS rank_scaled
+        FROM nodes
+    ),"""
+
+
+def _event_pagerank_oracle() -> str:
+    chained, last = _pr_iters_sql(_PR_ITERS)
     return f"""
     WITH ordered AS (
         SELECT user_id, event_type,
@@ -56,26 +71,20 @@ def _pagerank_oracle() -> str:
                CAST(count(*) AS BIGINT) AS w
         FROM ordered WHERE prev_type IS NOT NULL
         GROUP BY 1, 2
-    ),
-    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-    ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM e GROUP BY src),
-    r0 AS (
-        SELECT node, CAST({_PR_SCALE} AS BIGINT) AS rank_scaled
-        FROM nodes
-    ),{chained}
+    ),{_PR_COMMON.format(scale=_PR_SCALE)}{chained}
     SELECT node AS event_type, rank_scaled,
            CAST(rank_scaled AS DOUBLE) / {float(_PR_SCALE)!r} AS pagerank
-    FROM {prev}
+    FROM {last}
     """
 
 
-@query("event_type_pagerank", _pagerank_oracle())
+@query("event_type_pagerank", _event_pagerank_oracle())
 def event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the first-order event-transition graph
     (operators/graph.py): edges are (prev_type → next_type, count)
     from each user's (ts, event_id)-ordered path — the Markov-chain
     stationary-visit view of which event types user journeys
-    concentrate on.  Exactly {iters} iterations at damping 0.85 with
+    concentrate on.  Exactly 4 iterations at damping 0.85 with
     ranks as scaled longs; the DuckDB oracle unrolls the same rounds
     as CTEs and every rank_scaled hash-matches bit-exactly (the
     per-edge double expression has a pinned IEEE shape; the per-node
@@ -112,6 +121,102 @@ def event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-event_type_pagerank.__doc__ = event_type_pagerank.__doc__.replace(
-    "{iters}", str(_PR_ITERS)
-)
+#: containment-pair graph parameters — mirror doc_overlap_pairs
+#: (analytics_tpch.py) so the edge set is the already-oracled one
+_CENTRALITY_ITERS = 3
+
+
+def _doc_centrality_oracle() -> str:
+    chained, last = _pr_iters_sql(_CENTRALITY_ITERS)
+    return f"""
+    WITH base AS (
+        SELECT doc_id AS id, source,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+                   i -> string_split(text,' ')[i] || ' ' ||
+                        string_split(text,' ')[i+1] || ' ' ||
+                        string_split(text,' ')[i+2]
+               )) AS sh
+        FROM documents
+    ),
+    ex0 AS (SELECT id, source, unnest(sh) AS shingle FROM base),
+    exf AS (
+        SELECT id, source, shingle
+        FROM (SELECT id, source, shingle,
+                     COUNT(*) OVER (PARTITION BY source, shingle) AS df
+              FROM ex0)
+        WHERE df <= 1000
+    ),
+    ex AS (
+        SELECT id, source, shingle,
+               COUNT(*) OVER (PARTITION BY id) AS n_sh
+        FROM exf
+    ),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+               COUNT(*) AS n_inter
+        FROM ex a JOIN ex b
+          ON a.shingle = b.shingle AND a.source = b.source AND a.id < b.id
+        GROUP BY a.id, b.id, a.n_sh, b.n_sh
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        WHERE CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE)
+              >= 0.1
+    ),
+    e AS (
+        SELECT id_a AS src, id_b AS dst, CAST(1 AS BIGINT) AS w FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst, CAST(1 AS BIGINT) AS w FROM pairs
+    ),{_PR_COMMON.format(scale=_PR_SCALE)}{chained}
+    SELECT node AS doc_id, rank_scaled,
+           CAST(rank_scaled AS DOUBLE) / {float(_PR_SCALE)!r} AS pagerank
+    FROM {last}
+    """
+
+
+@query("doc_centrality_pagerank", _doc_centrality_oracle())
+def doc_centrality_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Document centrality in the containment near-dup graph: PageRank
+    (operators/graph.py, 3 iterations) over the symmetrized
+    doc_overlap_pairs edge set — central documents anchor clusters of
+    partial copies, the signal a curation pipeline uses to pick the
+    canonical representative (keep the hub, drop the satellites)
+    instead of keep-first.
+
+    Cross-engine: the edge set is the already-oracled containment
+    join; ranks are scaled longs (pinned IEEE per-edge expression +
+    exact integer sums), so the whole composition hash-matches.
+    Isolated documents (no near-dup edge) are absent by construction —
+    centrality is only defined on the pair graph."""
+    from ..operators import dedup as D
+    from ..operators.graph import weighted_pagerank
+
+    pairs = D.shingle_pairs_overlap(
+        load_table(spark, sf_dir, "documents"),
+        block_cols=["source"],
+        k=3,
+        threshold=0.1,
+    ).select("id_a", "id_b")
+    edges = (
+        pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        .withColumn("weight", F.lit(1).cast("long"))
+    )
+    ranks = weighted_pagerank(
+        edges,
+        iterations=_CENTRALITY_ITERS,
+        damping=_PR_D,
+        scale=_PR_SCALE,
+    )
+    return ranks.select(
+        F.col("node").alias("doc_id"), "rank_scaled", "pagerank"
+    )
