@@ -32,6 +32,25 @@ from pyspark.sql import functions as F
 from ..functions.expressions import civil_day
 
 
+def _numbered_subdirs(fs, hpath, root: str, prefix: str) -> dict[int, str]:
+    """``<root>/<prefix><int>`` subdirectories, keyed by the int —
+    the delta/compact-marker listing shared by the stateful
+    foreachBatch sinks (``_tmp_*`` from an interrupted compaction is
+    skipped by the int parse)."""
+    rp = hpath(root)
+    if not fs.exists(rp):
+        return {}
+    out = {}
+    for st in fs.listStatus(rp):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(prefix):
+            try:
+                out[int(name[len(prefix):])] = str(st.getPath())
+            except ValueError:
+                continue
+    return out
+
+
 def windowed_daily_counts(
     events: DataFrame,
     watermark: str = "2 hours",
@@ -419,18 +438,7 @@ def foreach_batch_burst_detect(
         )
 
         def _subdirs(root: str, prefix: str) -> dict[int, str]:
-            rp = hpath(root)
-            if not fs.exists(rp):
-                return {}
-            out = {}
-            for st in fs.listStatus(rp):
-                name = st.getPath().getName()
-                if st.isDirectory() and name.startswith(prefix):
-                    try:
-                        out[int(name[len(prefix):])] = str(st.getPath())
-                    except ValueError:
-                        continue  # _tmp_* from an interrupted compact
-            return out
+            return _numbered_subdirs(fs, hpath, root, prefix)
 
         # (2) aggregate-on-read: max compact marker + deltas above it
         compacts = _subdirs(compact_root, "upto=")
@@ -464,5 +472,82 @@ def foreach_batch_burst_detect(
                     fs.delete(hpath(p), True)
             for k, p in compacts.items():
                 fs.delete(hpath(p), True)
+
+    return run
+
+
+def foreach_batch_hll_distinct(
+    spark,
+    sketch_path: str,
+    estimates_path: str,
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "user_id",
+    p: int = 8,
+    compact_every: int = 8,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming distinct-count: per-batch HyperLogLog registers
+    (operators/hll.py) accumulated across micro-batches, with the
+    per-group estimate table recomputed after every batch — distinct
+    users per event type over an unbounded stream WITHOUT ever storing
+    the key set (``dropDuplicates`` state grows with |keys|; this
+    state is ≤ groups × 2**p rows forever).
+
+    Replay safety is BY ALGEBRA, not bookkeeping: sketches merge by
+    per-bucket MAX, which is idempotent — a replayed batch max-merges
+    to exactly the same registers, so at-least-once delivery can never
+    inflate the estimate (unlike SUM-merged counts, where the
+    per-batch-delta overwrite is what prevents double counting).  The
+    burst-detect delta/compact layout is reused anyway, but here it
+    only bounds read fan-in: per-batch register deltas under
+    ``<sketch>/delta/batch_id=N``, a max-merged snapshot under
+    ``<sketch>/compact/upto=K`` (temp-write + atomic rename; readers
+    take the max marker and ignore older dirs; GC safe at any time).
+
+    The estimate table is derived state — overwritten from the merged
+    registers every batch, so a replay regenerates it."""
+    from ..operators.hll import hll_estimate, hll_registers
+
+    gcols = list(group_cols)
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        hpath = spark._jvm.org.apache.hadoop.fs.Path
+        fs = hpath(sketch_path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        delta_root = f"{sketch_path}/delta"
+        compact_root = f"{sketch_path}/compact"
+        reg = hll_registers(batch_df, gcols, value_col, p=p)
+        # idempotent per-batch delta (replay rewrites identical rows —
+        # and even a duplicate register row is harmless under max)
+        reg.write.mode("overwrite").parquet(
+            f"{delta_root}/batch_id={batch_id}"
+        )
+        compacts = _numbered_subdirs(fs, hpath, compact_root, "upto=")
+        upto = max(compacts) if compacts else 0
+        deltas = _numbered_subdirs(fs, hpath, delta_root, "batch_id=")
+        live = [path for k, path in deltas.items() if k >= upto]
+        paths = ([compacts[upto]] if compacts else []) + live
+        merged = (
+            spark.read.parquet(*paths)
+            .groupBy(*gcols, "bucket")
+            .agg(F.max("r").alias("r"))
+        )
+        hll_estimate(merged, gcols, p=p).write.mode(
+            "overwrite"
+        ).parquet(estimates_path)
+        if len(live) > compact_every:
+            dst = hpath(f"{compact_root}/upto={batch_id + 1}")
+            if not fs.exists(dst):
+                tmp = f"{compact_root}/_tmp_upto={batch_id + 1}"
+                merged.write.mode("overwrite").parquet(tmp)
+                if not fs.rename(hpath(tmp), dst):
+                    raise IOError(
+                        f"compact rename failed: {tmp} -> {dst}"
+                    )
+            for k, path in deltas.items():
+                if k <= batch_id:
+                    fs.delete(hpath(path), True)
+            for k, path in compacts.items():
+                fs.delete(hpath(path), True)
 
     return run

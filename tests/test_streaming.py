@@ -863,3 +863,57 @@ def test_burst_detect_replay_idempotent_and_compacts(spark, tmp_path):
         for r in burst_flags(daily).collect()
     }
     assert got == want and got, "replayed/compacted bursts diverge"
+
+
+def test_streaming_hll_replay_idempotent_and_matches_batch(spark, tmp_path):
+    """Streaming HLL distinct-count: after chunked arrival with a
+    replayed batch and a compaction cycle, the merged registers AND the
+    estimate table must equal the one-shot batch sketch exactly —
+    max-merge is idempotent by algebra, so no replay can inflate it."""
+    from org_revue_de_presse_trends_spark.operators.hll import (
+        hll_distinct,
+        hll_registers,
+    )
+    from org_revue_de_presse_trends_spark.streaming.incremental import (
+        foreach_batch_hll_distinct,
+    )
+
+    ev = load_table(spark, SF, "events").select("event_type", "user_id")
+    sketch_path = str(tmp_path / "hll_sketch")
+    est_path = str(tmp_path / "hll_est")
+    run = foreach_batch_hll_distinct(
+        spark, sketch_path, est_path, compact_every=1
+    )
+    chunks = [
+        ev.filter(F.crc32(F.col("user_id").cast("string")) % 3 == i)
+        for i in range(3)
+    ]
+    run(chunks[0], 0)
+    run(chunks[0], 0)  # replay of batch 0 — max-merge must absorb it
+    run(chunks[1], 1)  # triggers compaction (2 live deltas > 1)
+    run(chunks[1], 1)  # replay AFTER compaction + GC of its delta
+    run(chunks[2], 2)
+    got = {
+        (r["event_type"], r["bucket"]): r["r"]
+        for r in spark.read.parquet(f"{sketch_path}/compact/upto=2")
+        .unionByName(
+            spark.read.parquet(f"{sketch_path}/delta/batch_id=2")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("r"))
+        .collect()
+    }
+    want = {
+        (r["event_type"], r["bucket"]): r["r"]
+        for r in hll_registers(ev, ["event_type"], "user_id").collect()
+    }
+    assert got == want
+    est = {
+        r["event_type"]: (r["hll_zscaled"], r["hll_estimate"])
+        for r in spark.read.parquet(est_path).collect()
+    }
+    batch = {
+        r["event_type"]: (r["hll_zscaled"], r["hll_estimate"])
+        for r in hll_distinct(ev, ["event_type"], "user_id").collect()
+    }
+    assert est == batch
