@@ -161,6 +161,7 @@ SECONDARY = [
     "orders_hll_distinct_custkeys",
     "event_type_pagerank",
     "doc_centrality_pagerank",
+    "embedding_pca_covariance",
 ]
 
 

@@ -199,3 +199,67 @@ def doc_nfc_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.col("__nfc")).alias("nfc_md5"),
         )
     )
+
+
+#: embedding dimensionality of the fixture table
+_PCA_DIM = 64
+
+
+@query(
+    "embedding_pca_covariance",
+    f"""
+    WITH pr AS (
+        SELECT CAST(i.i AS INTEGER) AS i, CAST(j.j AS INTEGER) AS j
+        FROM range(1, {_PCA_DIM + 1}) AS i(i),
+             range(1, {_PCA_DIM + 1}) AS j(j)
+        WHERE j.j >= i.i
+    ),
+    t AS (
+        SELECT p.i, p.j,
+               CAST(ROUND(CAST(e.embedding[p.i] AS DOUBLE)
+                          * CAST(e.embedding[p.j] AS DOUBLE)
+                          * 1000000000000.0) AS BIGINT) AS t
+        FROM embeddings e, pr p
+    ),
+    sxy AS (
+        SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(t) AS BIGINT) AS sxy_scaled
+        FROM t GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT CAST(d.i AS INTEGER) AS i,
+               CAST(SUM(CAST(ROUND(CAST(e.embedding[CAST(d.i AS INTEGER)]
+                                        AS DOUBLE)
+                                   * 1000000.0) AS BIGINT)) AS BIGINT) AS sx
+        FROM embeddings e, range(1, {_PCA_DIM + 1}) AS d(i)
+        GROUP BY 1
+    )
+    SELECT sxy.i, sxy.j, sxy.n, sxy.sxy_scaled,
+           ROUND(CAST(sxy.sxy_scaled AS DOUBLE) / CAST(sxy.n AS DOUBLE)
+                     / 1000000000000.0
+                 - (CAST(a.sx AS DOUBLE) / CAST(sxy.n AS DOUBLE)
+                        / 1000000.0)
+                   * (CAST(b.sx AS DOUBLE) / CAST(sxy.n AS DOUBLE)
+                        / 1000000.0), 9) AS cov
+    FROM sxy JOIN c a ON a.i = sxy.i JOIN c b ON b.i = sxy.j
+    """,
+)
+def embedding_pca_covariance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact covariance of the embedding table's 64 coordinates
+    (operators/pca.covariance_exact — upper triangle, 2080 entries):
+    per-row products rounded to scaled longs, exact integer sums, one
+    pinned IEEE expression for the centered covariance — value-exact
+    in DuckDB at any partitioning.
+
+    This is the cross-engine VALIDATOR for the PCA scale path
+    (operators/pca.gram_and_mean: one mapInPandas pass shipping a
+    d²-float BLAS partial Gram per partition — driver cost is d²,
+    never n — then numpy eigh and an X @ Wᵀ projection matmul;
+    golden-pinned in tests because LAPACK is not bit-pinned across
+    engines, covariance is)."""
+    from ..operators.pca import covariance_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return covariance_exact(emb, dim=_PCA_DIM)

@@ -256,6 +256,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "orders_hll_distinct_custkeys",
         "doc_bm25_rarest_terms", "doc_token_chunks",
         "doc_nfc_normalization",
+        "embedding_pca_covariance",
         "event_type_pagerank", "doc_centrality_pagerank",
     ], f"unexpected overflow oracled set: {overflow}"
 

@@ -907,3 +907,26 @@ def test_pagerank_scales_linearly_10x(spark):
     s_ratio = results[200_000][1] / max(results[20_000][1], 1)
     assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× edges"
     assert s_ratio < 30, f"shuffle grew {s_ratio:.1f}× for 10× edges"
+
+
+def test_pca_gram_scales_linearly_10x(spark):
+    """PCA Gram path: 10× the vectors must grow the one-pass partial
+    computation ~linearly while the driver-bound payload stays at
+    numPartitions × d² floats (independent of n)."""
+    from org_revue_de_presse_trends_spark.operators.pca import (
+        gram_and_mean,
+    )
+
+    d = 16
+    results = {}
+    for n in (20_000, 200_000):
+        emb = _synthetic_embeddings(spark, n, d).select(
+            F.col("embedding").cast("array<float>").alias("embedding")
+        )
+        t0 = _time.perf_counter()
+        gram, mean, cnt = gram_and_mean(emb, dim=d)
+        results[n] = _time.perf_counter() - t0
+        assert cnt == n
+        assert gram.shape == (d, d)
+    t_ratio = results[200_000] / results[20_000]
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× vectors"
