@@ -162,6 +162,7 @@ SECONDARY = [
     "event_type_pagerank",
     "doc_centrality_pagerank",
     "embedding_pca_covariance",
+    "value_bootstrap_ci",
 ]
 
 

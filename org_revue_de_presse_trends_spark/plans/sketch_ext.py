@@ -413,3 +413,93 @@ def orders_hll_distinct_custkeys(
         "hll_zscaled",
         "hll_estimate",
     )
+
+
+#: Poisson-bootstrap geometry for the driver query
+_BOOT_B = 64
+_BOOT_SCALE = 10**6
+
+
+def _bootstrap_oracle() -> str:
+    from ..operators.bootstrap import POISSON1_CDF, W_CAP
+
+    ladder = " ".join(
+        f"WHEN u < {POISSON1_CDF[k]!r} THEN {k}"
+        for k in range(len(POISSON1_CDF))
+    )
+    coin = _md5_48_sql("CAST(b AS VARCHAR) || '|' || CAST(id AS VARCHAR)")
+    return f"""
+    WITH fan AS (
+        SELECT e.event_id AS id,
+               CAST(ROUND(e.value * {float(_BOOT_SCALE)!r}) AS BIGINT) AS v,
+               u.b
+        FROM events e, UNNEST(range(0, {_BOOT_B})) AS u(b)
+    ),
+    coins AS (
+        SELECT b, v,
+               (CAST(({coin}) AS DOUBLE) + 0.5) / 281474976710656.0 AS u
+        FROM fan
+    ),
+    w AS (
+        SELECT b, v, (CASE {ladder} ELSE {W_CAP} END) AS w FROM coins
+    ),
+    m AS (
+        SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+               ROUND(CAST(SUM(w * v) AS DOUBLE)
+                     / CAST(SUM(w) AS DOUBLE)
+                     / {float(_BOOT_SCALE)!r}, 9) AS mean_value
+        FROM w GROUP BY b
+    ),
+    pt AS (
+        SELECT ROUND(
+                   CAST(SUM(CAST(ROUND(value * {float(_BOOT_SCALE)!r})
+                                 AS BIGINT)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE)
+                   / {float(_BOOT_SCALE)!r}, 9) AS point_mean
+        FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_resamples,
+           (SELECT point_mean FROM pt) AS point_mean,
+           ROUND(quantile_cont(mean_value, 0.025), 9) AS mean_lo,
+           ROUND(quantile_cont(mean_value, 0.975), 9) AS mean_hi
+    FROM m
+    """
+
+
+@query("value_bootstrap_ci", _bootstrap_oracle())
+def value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean event value
+    (operators/bootstrap.py): 64 resamples in ONE pass — each row
+    draws a deterministic Poisson(1) replication weight per resample
+    from a fresh md5 coin, weighted sums stay exact scaled-long
+    integers, and the percentile-method interval comes from the exact
+    interpolated percentile both engines share.  The whole thing —
+    coins, weights, 64 resample means, CI bounds — reproduces
+    value-exactly in DuckDB.
+
+    Scale: the classic bootstrap needs global n and random access; the
+    Poisson bootstrap is a streaming fan with map-side combine (the
+    shuffle carries B partial rows per task, never B×n), which is why
+    it is the uncertainty method for massive data (Chamandy et al.
+    2012)."""
+    from ..operators.bootstrap import bootstrap_ci, poisson_bootstrap_means
+
+    ev = load_table(spark, sf_dir, "events")
+    means = poisson_bootstrap_means(
+        ev, "value", "event_id", n_resamples=_BOOT_B, scale=_BOOT_SCALE
+    )
+    ci = bootstrap_ci(means, alpha=0.05)
+    pt = ev.agg(
+        F.round(
+            F.sum(
+                F.round(F.col("value").cast("double") * _BOOT_SCALE, 0)
+                .cast("long")
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(float(_BOOT_SCALE)),
+            9,
+        ).alias("point_mean")
+    )
+    return ci.crossJoin(F.broadcast(pt)).select(
+        "n_resamples", "point_mean", "mean_lo", "mean_hi"
+    )

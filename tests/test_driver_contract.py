@@ -253,7 +253,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "doc_exact_substring_dedup", "doc_span_dedup_keep_first",
         "user_heavy_hitters_cms", "doc_lm_stupid_backoff",
         "doc_bloom_contamination",
-        "orders_hll_distinct_custkeys",
+        "orders_hll_distinct_custkeys", "value_bootstrap_ci",
         "doc_bm25_rarest_terms", "doc_token_chunks",
         "doc_nfc_normalization",
         "embedding_pca_covariance",

@@ -930,3 +930,33 @@ def test_pca_gram_scales_linearly_10x(spark):
         assert gram.shape == (d, d)
     t_ratio = results[200_000] / results[20_000]
     assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× vectors"
+
+
+def test_poisson_bootstrap_scales_linearly_10x(spark):
+    """Poisson bootstrap: 10× the rows at fixed B must grow runtime
+    ~linearly and keep the exchange at B partial rows per task (the
+    map-side combine is the whole point — never B×n through the
+    shuffle)."""
+    from org_revue_de_presse_trends_spark.operators.bootstrap import (
+        poisson_bootstrap_means,
+    )
+
+    mc = MetricsCollector(spark)
+    results = {}
+    for n in (20_000, 200_000):
+        df = spark.range(n).select(
+            F.col("id"),
+            ((F.col("id") % 101).cast("double") + 0.5).alias("value"),
+        )
+        out = poisson_bootstrap_means(df, "value", "id", n_resamples=32)
+        t0 = _time.perf_counter()
+        rows, qm = mc.measure(
+            f"boot_{n}", out, action=lambda d: d.count()
+        )
+        results[n] = (_time.perf_counter() - t0, qm.shuffle_bytes_written)
+        assert rows == 32
+    t_ratio = results[200_000][0] / results[20_000][0]
+    s_ratio = results[200_000][1] / max(results[20_000][1], 1)
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× rows"
+    # shuffle is B rows per task both scales — must stay ~flat
+    assert s_ratio < 5, f"shuffle grew {s_ratio:.1f}× for 10× rows"
