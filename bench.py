@@ -163,6 +163,7 @@ SECONDARY = [
     "doc_centrality_pagerank",
     "embedding_pca_covariance",
     "value_bootstrap_ci",
+    "value_histogram_quantiles",
 ]
 
 

@@ -1,0 +1,146 @@
+"""Mergeable fixed-width histograms with interpolated quantiles — the
+100 TB percentile path.
+
+Exact ``percentile()`` (q:value_percentiles_exact) is the VALIDATOR:
+it shuffles every value into a per-group sort.  At corpus scale the
+production shape is a histogram sketch (what monitoring systems and
+query optimizers actually use): counts per deterministic bin are exact
+integers that partial-aggregate map-side and MERGE BY SUM across
+partitions / days / sources, and quantiles come from linear
+interpolation inside the covering bin — state is |bins| rows per
+group, the value stream never crosses an exchange.
+
+Determinism discipline (house rule): the bin index is
+``floor(value / width)`` — one IEEE division + floor, identical in any
+engine; counts are exact longs; the quantile estimate is one pinned
+expression tree over exact integers rounded to 9 dp.  The whole thing
+is DuckDB-oracle-able (plans/sketch_ext.value_histogram_quantiles).
+
+Quantile convention (pinned, documented): for quantile q over n rows,
+target rank ``t = q·(n−1)`` (the same zero-based interpolated rank
+percentile()/quantile_cont use).  With bins sorted ascending and
+cum(b) = rows in bins below b, the covering bin is the unique one with
+``cum(b) ≤ t < cum(b) + c(b)``, and
+
+    est = lo(b) + width · ((t − cum(b) + 0.5) / c(b))
+
+— the mid-rank convention: ranks inside a bin are spread uniformly at
+half-offsets, so a bin holding one row estimates its value at the bin
+midpoint.  |error| ≤ width/2 always, exact as width → 0."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    width: float = 1.0,
+) -> DataFrame:
+    """Fixed-width histogram: (group_cols…, bin BIGINT, c BIGINT).
+    bin = floor(value/width) — negatives land in negative bins; NULL
+    values are dropped (they have no rank).  Merge two histograms by
+    union + sum(c) — exactly ``histogram`` of the union."""
+    if not width > 0:
+        raise ValueError(f"width must be > 0, got {width}")
+    src = df.filter(F.col(value_col).isNotNull())
+    b = F.floor(
+        F.col(value_col).cast("double") / F.lit(float(width))
+    ).cast("long")
+    return src.groupBy(*group_cols, b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+
+def histogram_merge(
+    a: DataFrame, b: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """union + per-bin SUM — the map-side-combinable merge that makes
+    per-partition / per-day histograms roll up without a rescan."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bin")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    qs: Sequence[float],
+    group_cols: Sequence[str] = (),
+    width: float = 1.0,
+) -> DataFrame:
+    """Interpolated quantile estimates from a histogram:
+    (group_cols…, n BIGINT, q_<label> DOUBLE per requested q).
+
+    Per group: one window cumsum over bins in ascending order (ROWS
+    frame, bin is the total order — house invariant), then for each q
+    the covering bin is selected by an exact-integer comparison
+    ``cum_before ≤ t < cum_before + c`` lifted to integers
+    (t = q·(n−1) compared via scaled arithmetic in doubles — one
+    pinned tree), and the estimate interpolates at mid-rank offsets:
+    ``(bin·width) + width·((t − cum_before + 0.5) / c)``, rounded to
+    9 dp.  |error| ≤ width/2.
+
+    Shuffle shape: the window and the aggregate are both keyed by the
+    group — one exchange of |bins| rows per group, never the values.
+    """
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    gcols = list(group_cols)
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = Window.partitionBy(*gcols)
+    staged = hist.select(
+        *gcols,
+        "bin",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cum_before"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    aggs = [F.max("n").alias("n")]
+    for q in qs:
+        label = f"q_{str(q).replace('.', '_')}"
+        t = F.lit(float(q)) * (F.col("n") - F.lit(1)).cast("double")
+        # exactly one bin covers t: the cum ranges partition [0, n)
+        # and t = q·(n−1) ≤ n−1 < n, so q = 1.0 needs no special case
+        covering = (F.col("cum_before").cast("double") <= t) & (
+            t < (F.col("cum_before") + F.col("c")).cast("double")
+        )
+        est = F.round(
+            F.col("bin").cast("double") * F.lit(float(width))
+            + F.lit(float(width))
+            * (
+                (t - F.col("cum_before").cast("double") + F.lit(0.5))
+                / F.col("c").cast("double")
+            ),
+            9,
+        )
+        aggs.append(F.max(F.when(covering, est)).alias(label))
+    return staged.groupBy(*gcols).agg(*aggs)
+
+
+def histogram_quantiles_of(
+    df: DataFrame,
+    value_col: str,
+    qs: Sequence[float],
+    group_cols: Sequence[str] = (),
+    width: float = 1.0,
+) -> DataFrame:
+    """One-call sketch-and-estimate."""
+    return histogram_quantiles(
+        histogram(df, value_col, group_cols, width=width),
+        qs,
+        group_cols,
+        width=width,
+    )

@@ -503,3 +503,74 @@ def value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ci.crossJoin(F.broadcast(pt)).select(
         "n_resamples", "point_mean", "mean_lo", "mean_hi"
     )
+
+
+#: histogram-quantile geometry for the driver query
+_HIST_W = 5.0
+_HIST_QS = (0.5, 0.9, 0.99)
+
+
+def _hist_oracle() -> str:
+    cols = []
+    for q in _HIST_QS:
+        label = f"q_{str(q).replace('.', '_')}"
+        t = f"{q!r} * CAST(n - 1 AS DOUBLE)"
+        cols.append(
+            f"""MAX(CASE WHEN CAST(cum_before AS DOUBLE) <= {t}
+                 AND {t} < CAST(cum_before + c AS DOUBLE)
+            THEN ROUND(CAST(bin AS DOUBLE) * {_HIST_W!r}
+                       + {_HIST_W!r}
+                         * (({t} - CAST(cum_before AS DOUBLE) + 0.5)
+                            / CAST(c AS DOUBLE)), 9) END) AS {label}"""
+        )
+    sel = ",\n           ".join(cols)
+    return f"""
+    WITH h AS (
+        SELECT event_type,
+               CAST(FLOOR(value / {_HIST_W!r}) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, bin, c,
+               CAST(COALESCE(SUM(c) OVER (
+                   PARTITION BY event_type ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before,
+               CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM h
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           {sel}
+    FROM s GROUP BY event_type
+    """
+
+
+@query("value_histogram_quantiles", _hist_oracle())
+def value_histogram_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Histogram-sketch quantiles per event type
+    (operators/histogram.py): fixed-width bins (exact long counts,
+    merge-by-sum), p50/p90/p99 by mid-rank interpolation inside the
+    covering bin — every estimate within width/2 of the exact
+    percentile, and the whole pipeline (bins, cumsums, one pinned
+    interpolation tree) reproduces value-exactly in DuckDB.
+
+    Scale: q:value_percentiles_exact is the VALIDATOR — exact
+    percentile() shuffles every value into a per-group sort; this
+    exchanges |bins| counter rows per group and the value stream never
+    crosses an exchange.  Per-partition/per-day histograms roll up by
+    union+sum (operators/histogram.histogram_merge) without a rescan —
+    the monitoring-system shape at any corpus size."""
+    from ..operators.histogram import histogram_quantiles_of
+
+    ev = load_table(spark, sf_dir, "events")
+    return histogram_quantiles_of(
+        ev,
+        "value",
+        qs=_HIST_QS,
+        group_cols=["event_type"],
+        width=_HIST_W,
+    )

@@ -254,6 +254,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "user_heavy_hitters_cms", "doc_lm_stupid_backoff",
         "doc_bloom_contamination",
         "orders_hll_distinct_custkeys", "value_bootstrap_ci",
+        "value_histogram_quantiles",
         "doc_bm25_rarest_terms", "doc_token_chunks",
         "doc_nfc_normalization",
         "embedding_pca_covariance",

@@ -1,0 +1,147 @@
+"""Histogram sketch (operators/histogram.py) — Python-mirror exact
+equality, the union≡merge property, the width/2 error bound against
+exact percentiles, and layout independence."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from org_revue_de_presse_trends_spark.operators.histogram import (
+    histogram,
+    histogram_merge,
+    histogram_quantiles,
+    histogram_quantiles_of,
+)
+
+
+def _py_quantiles(values, qs, width):
+    """Mirror of the pinned convention."""
+    bins = {}
+    for v in values:
+        b = math.floor(v / width)
+        bins[b] = bins.get(b, 0) + 1
+    n = len(values)
+    out = []
+    for q in qs:
+        t = q * float(n - 1)
+        cum = 0
+        for b in sorted(bins):
+            c = bins[b]
+            if cum <= t < cum + c:
+                out.append(
+                    round(b * width + width * ((t - cum + 0.5) / c), 9)
+                )
+                break
+            cum += c
+    return out
+
+
+def _exact_quantile(values, q):
+    s = sorted(values)
+    t = q * (len(s) - 1)
+    lo = int(math.floor(t))
+    hi = min(lo + 1, len(s) - 1)
+    return s[lo] + (t - lo) * (s[hi] - s[lo])
+
+
+def _df(spark, values):
+    return spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)],
+        "id long, value double",
+    )
+
+
+VALUES = [((i * 37) % 101) + ((i * 7) % 13) / 16.0 for i in range(400)]
+
+
+class TestHistogram:
+    def test_quantiles_match_python_mirror_exactly(self, spark):
+        qs = (0.1, 0.5, 0.9, 0.99, 0.0, 1.0)
+        row = histogram_quantiles_of(
+            _df(spark, VALUES), "value", qs=qs, width=4.0
+        ).collect()[0]
+        got = [row[f"q_{str(q).replace('.', '_')}"] for q in qs]
+        assert got == _py_quantiles(VALUES, qs, 4.0)
+        assert row["n"] == len(VALUES)
+
+    def test_error_bounded_by_half_width(self, spark):
+        for width in (8.0, 2.0, 0.5):
+            row = histogram_quantiles_of(
+                _df(spark, VALUES), "value", qs=(0.5, 0.9), width=width
+            ).collect()[0]
+            for q in (0.5, 0.9):
+                est = row[f"q_{str(q).replace('.', '_')}"]
+                exact = _exact_quantile(VALUES, q)
+                assert abs(est - exact) <= width / 2 + 1e-9, (
+                    width,
+                    q,
+                    est,
+                    exact,
+                )
+
+    def test_union_equals_merge(self, spark):
+        a, b = VALUES[:150], VALUES[150:]
+        merged = sorted(
+            map(
+                tuple,
+                histogram_merge(
+                    histogram(_df(spark, a), "value", width=3.0),
+                    histogram(_df(spark, b), "value", width=3.0),
+                ).collect(),
+            )
+        )
+        direct = sorted(
+            map(
+                tuple,
+                histogram(_df(spark, VALUES), "value", width=3.0).collect(),
+            )
+        )
+        assert merged == direct
+
+    def test_negative_values_and_grouping(self, spark):
+        rows = [("a", -7.5), ("a", -0.1), ("a", 3.0), ("b", 10.0)]
+        df = spark.createDataFrame(rows, "g string, value double")
+        h = {
+            (r["g"], r["bin"]): r["c"]
+            for r in histogram(df, "value", ["g"], width=5.0).collect()
+        }
+        assert h == {("a", -2): 1, ("a", -1): 1, ("a", 0): 1, ("b", 2): 1}
+        out = {
+            r["g"]: r["q_0_5"]
+            for r in histogram_quantiles_of(
+                df, "value", qs=(0.5,), group_cols=["g"], width=5.0
+            ).collect()
+        }
+        # group a: t=1, covering bin -1 (cum 1<=1<2) → -5 + 5*0.5
+        assert out["a"] == -2.5
+        assert out["b"] == 12.5  # single row → bin midpoint
+
+    def test_layout_independent(self, spark):
+        df = _df(spark, VALUES)
+        a = sorted(
+            map(
+                tuple,
+                histogram_quantiles_of(
+                    df, "value", qs=(0.5, 0.9), width=2.0
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                histogram_quantiles_of(
+                    df.repartition(9, "id"), "value", qs=(0.5, 0.9), width=2.0
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    def test_validation(self, spark):
+        df = _df(spark, [1.0])
+        with pytest.raises(ValueError):
+            histogram(df, "value", width=0.0)
+        with pytest.raises(ValueError):
+            histogram_quantiles_of(df, "value", qs=(1.5,))

@@ -960,3 +960,39 @@ def test_poisson_bootstrap_scales_linearly_10x(spark):
     assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× rows"
     # shuffle is B rows per task both scales — must stay ~flat
     assert s_ratio < 5, f"shuffle grew {s_ratio:.1f}× for 10× rows"
+
+
+def test_histogram_quantiles_scale_with_fixed_state_10x(spark):
+    """Histogram sketch: 10× the values must leave the per-group state
+    at |bins| rows (the whole point — the value stream never crosses
+    an exchange) and grow runtime sub-quadratically."""
+    from org_revue_de_presse_trends_spark.operators.histogram import (
+        histogram,
+        histogram_quantiles,
+    )
+
+    mc = MetricsCollector(spark)
+    results = {}
+    for n in (50_000, 500_000):
+        df = spark.range(n).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            (((F.col("id") * 37) % 1009).cast("double") / 2.0).alias(
+                "value"
+            ),
+        )
+        h = histogram(df, "value", ["g"], width=4.0)
+        t0 = _time.perf_counter()
+        rows, qm = mc.measure(
+            f"hist_{n}", h, action=lambda d: d.count()
+        )
+        results[n] = (_time.perf_counter() - t0, qm.shuffle_bytes_written)
+        assert rows <= 3 * (1009 // 8 + 2)  # |groups| x |bins| bound
+        q = histogram_quantiles(h, qs=(0.5,), group_cols=["g"], width=4.0)
+        est = {r["g"]: r["q_0_5"] for r in q.collect()}
+        # values are ~uniform on [0, 504.5): median ~252 within width/2+
+        for g, e in est.items():
+            assert abs(e - 252.25) < 6.0, (g, e)
+    t_ratio = results[500_000][0] / results[50_000][0]
+    s_ratio = results[500_000][1] / max(results[50_000][1], 1)
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× values"
+    assert s_ratio < 5, f"shuffle must stay ~flat, grew {s_ratio:.1f}×"
