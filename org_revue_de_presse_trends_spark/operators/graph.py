@@ -43,6 +43,56 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _pagerank_driver(
+    spark, rows, iterations: int, damping: float, scale: int, node_type
+) -> DataFrame:
+    """Driver union-find-style fast path for small graphs (the
+    cluster_pairs precedent): one collect instead of O(iterations)
+    checkpoint jobs whose fixed scheduling latency dominates at small
+    edge counts.  BIT-IDENTICAL to the distributed loop: the same
+    pinned expression per edge, rounded like Spark's ROUND — decimal
+    HALF_UP over the shortest repr (the probed house rule: Python
+    round() is half-even and diverges on exact .5 ties like
+    0.85·10⁹/256 = 3320312.5; floor(x+0.5) diverges one ulp below
+    ties, e.g. 0.49999999999999994 + 0.5 == 1.0)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import types as T
+
+    def _round_half_up(x: float) -> int:
+        return int(
+            Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        )
+
+    out_w = {}
+    for r in rows:
+        out_w[r["src"]] = r["out_w"]  # pre-joined, identical per src
+    nodes = sorted(
+        {r["src"] for r in rows} | {r["dst"] for r in rows}
+    )
+    base = round((1.0 - damping) * scale)
+    rank = {n: int(scale) for n in nodes}
+    for _ in range(iterations):
+        mass = {n: 0 for n in nodes}
+        for r in rows:
+            c = damping * float(rank[r["src"]]) * float(r["w"]) / float(
+                r["out_w"]
+            )
+            mass[r["dst"]] += _round_half_up(c)
+        rank = {n: base + mass[n] for n in nodes}
+    schema = T.StructType(
+        [
+            T.StructField("node", node_type),
+            T.StructField("rank_scaled", T.LongType()),
+            T.StructField("pagerank", T.DoubleType()),
+        ]
+    )
+    data = [
+        (n, rank[n], float(rank[n]) / float(scale)) for n in nodes
+    ]
+    return spark.createDataFrame(data, schema)
+
+
 def weighted_pagerank(
     edges: DataFrame,
     iterations: int = 3,
@@ -51,6 +101,7 @@ def weighted_pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str = "weight",
+    small_graph_max: int | None = 100_000,
 ) -> DataFrame:
     """PageRank over a weighted directed edge list → (node,
     rank_scaled BIGINT, pagerank DOUBLE).
@@ -59,7 +110,13 @@ def weighted_pagerank(
     ``iterations`` rounds (no convergence test — a pinned iteration
     count is what an oracle can unroll); ``pagerank`` is the one
     deterministic IEEE division ``rank_scaled / scale``.  Undirected
-    graphs: pass each edge in both directions."""
+    graphs: pass each edge in both directions.
+
+    Edge lists at or under ``small_graph_max`` (after the one
+    localCheckpoint) take a driver fast path — one collect instead of
+    O(iterations) jobs, bit-identical output (measured on the event
+    graph: per-round scheduling latency dominated).  Pass 0/None to
+    force the distributed loop."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     if not 0.0 < damping < 1.0:
@@ -73,6 +130,15 @@ def weighted_pagerank(
     # one materialization: the edge lineage (often a candidate-pair
     # join) must not re-execute every round
     e = e.join(out_w, "src").localCheckpoint()
+    if small_graph_max and e.count() <= small_graph_max:
+        return _pagerank_driver(
+            edges.sparkSession,
+            e.collect(),
+            iterations,
+            damping,
+            scale,
+            e.schema["src"].dataType,
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

@@ -260,6 +260,12 @@ def embedding_pca_covariance(
     golden-pinned in tests because LAPACK is not bit-pinned across
     engines, covariance is)."""
     from ..operators.pca import covariance_exact
+    from ..operators.skew import spread_for_cpu
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # single-split scan feeding the interpreted 2080-term HOF fan —
+    # the spread_for_cpu shape; measured best-of-3 at sf0.1 (see
+    # ARCHITECTURE note)
+    emb = spread_for_cpu(
+        load_table(spark, sf_dir, "embeddings").select("embedding")
+    )
     return covariance_exact(emb, dim=_PCA_DIM)

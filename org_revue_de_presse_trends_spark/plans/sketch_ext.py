@@ -483,8 +483,14 @@ def value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     it is the uncertainty method for massive data (Chamandy et al.
     2012)."""
     from ..operators.bootstrap import bootstrap_ci, poisson_bootstrap_means
+    from ..operators.skew import spread_for_cpu
 
-    ev = load_table(spark, sf_dir, "events")
+    # single-split scan feeding a CPU-heavy map-only fan (B md5 coins
+    # per row before the map-side combine) — the spread_for_cpu shape;
+    # measured best-of-3 at sf0.1: 12.1 → see ARCHITECTURE note
+    ev = spread_for_cpu(
+        load_table(spark, sf_dir, "events").select("event_id", "value")
+    )
     means = poisson_bootstrap_means(
         ev, "value", "event_id", n_resamples=_BOOT_B, scale=_BOOT_SCALE
     )

@@ -12,9 +12,17 @@ from org_revue_de_presse_trends_spark.operators.graph import (
 )
 
 
+def _round_half_up(x):
+    # Spark ROUND semantics: decimal HALF_UP over the shortest repr
+    # (Python round() is half-even — the probed house rule)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(x)).quantize(Decimal("1"), ROUND_HALF_UP))
+
+
 def _py_pagerank(edges, iterations=3, damping=0.85, scale=10**9):
     """Mirror of the operator: same pinned double expression per edge,
-    same integer sums."""
+    same integer sums, same HALF_UP rounding."""
     out_w = {}
     for s, _, w in edges:
         out_w[s] = out_w.get(s, 0) + w
@@ -24,7 +32,9 @@ def _py_pagerank(edges, iterations=3, damping=0.85, scale=10**9):
     for _ in range(iterations):
         mass = {n: 0 for n in nodes}
         for s, d, w in edges:
-            c = round(damping * float(r[s]) * float(w) / float(out_w[s]))
+            c = _round_half_up(
+                damping * float(r[s]) * float(w) / float(out_w[s])
+            )
             mass[d] += c
         r = {n: base + mass[n] for n in nodes}
     return r
@@ -117,3 +127,49 @@ class TestPageRank:
             weighted_pagerank(df, iterations=0)
         with pytest.raises(ValueError):
             weighted_pagerank(df, damping=1.0)
+
+
+class TestFastPath:
+    def test_fastpath_equals_distributed_on_rounding_tie(self, spark):
+        # hub with 256 unit out-edges: round 1 contribution is
+        # 0.85e9/256 = 3320312.5 — an exact .5 tie where half-even
+        # rounding would diverge from Spark's HALF_UP
+        edges = [("hub", f"leaf{i}", 1) for i in range(256)] + [
+            (f"leaf{i}", "hub", 1) for i in range(256)
+        ]
+        df = _edges_df(spark, edges)
+        fast = sorted(
+            map(tuple, weighted_pagerank(df, iterations=3).collect())
+        )
+        dist = sorted(
+            map(
+                tuple,
+                weighted_pagerank(
+                    df, iterations=3, small_graph_max=0
+                ).collect(),
+            )
+        )
+        assert fast == dist
+        assert fast == sorted(
+            (n, r, r / 1e9)
+            for n, r in _py_pagerank(edges, iterations=3).items()
+        )
+
+    def test_fastpath_equals_distributed_weighted(self, spark):
+        edges = [
+            (f"n{i}", f"n{(i * 11 + 5) % 40}", (i % 7) + 1)
+            for i in range(300)
+        ]
+        df = _edges_df(spark, edges)
+        fast = sorted(
+            map(tuple, weighted_pagerank(df, iterations=4).collect())
+        )
+        dist = sorted(
+            map(
+                tuple,
+                weighted_pagerank(
+                    df, iterations=4, small_graph_max=0
+                ).collect(),
+            )
+        )
+        assert fast == dist

@@ -896,7 +896,9 @@ def test_pagerank_scales_linearly_10x(spark):
             ((F.col("id") * 7 + 3) % 4_001).cast("string").alias("dst"),
             ((F.col("id") % 5) + 1).alias("weight"),
         )
-        out = weighted_pagerank(edges, iterations=3)
+        # force the distributed loop — the smoke pins ITS scaling (the
+        # driver fast path is for small graphs and has its own tests)
+        out = weighted_pagerank(edges, iterations=3, small_graph_max=0)
         t0 = _time.perf_counter()
         rows, qm = mc.measure(
             f"pagerank_{n}", out, action=lambda d: d.count()
