@@ -42,6 +42,17 @@ WINDOW_ROTATION = [
     "dedup_edit_distance_bounded",
     "user_event_type_scd2",
     "customer_state_merge",
+    # r7b: the six operator families added late in round 7 rotate
+    # straight into the window so the driver's own artifact exercises
+    # them against regenerated fixtures; six r1-era golden-stable
+    # veterans (doc token/quality/lang/chunks/vocab stats + rolling
+    # revenue) move to the in-repo-gated overflow in exchange.
+    "orders_hll_distinct_custkeys",
+    "value_bootstrap_ci",
+    "value_histogram_quantiles",
+    "embedding_pca_covariance",
+    "event_type_pagerank",
+    "doc_centrality_pagerank",
 ]
 
 

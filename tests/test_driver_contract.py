@@ -184,6 +184,9 @@ WINDOW_QUERIES = [
     "doc_boilerplate_removal", "dedup_edit_distance",
     "dedup_edit_distance_bounded", "user_event_type_scd2",
     "customer_state_merge",
+    "orders_hll_distinct_custkeys", "value_bootstrap_ci",
+    "value_histogram_quantiles", "embedding_pca_covariance",
+    "event_type_pagerank", "doc_centrality_pagerank",
     "q1_pricing_summary", "q3_top_revenue_orders",
     "q5_supplier_nation_revenue", "daily_top_events",
     "events_daily_counts", "events_json_extract",
@@ -201,9 +204,6 @@ WINDOW_QUERIES = [
     "grouping_sets_order_stats", "lateral_top2_orders_per_customer",
     "qty_price_correlation", "orders_with_late_lines",
     "nation_pair_revenue", "customer_order_distribution",
-    "rolling_30d_customer_revenue", "doc_token_stats",
-    "doc_quality_scores", "doc_lang_id", "doc_chunks",
-    "vocab_top_tokens",
 ]
 
 
@@ -227,6 +227,9 @@ def test_driver_window_is_pinned_and_fully_oracled():
     # visible set — they get the in-repo gate only
     overflow = [n for n in oracles if n not in window]
     assert overflow == [
+        "rolling_30d_customer_revenue", "doc_token_stats",
+        "doc_quality_scores", "doc_lang_id", "doc_chunks",
+        "vocab_top_tokens",
         "doc_top_tfidf_terms", "dedup_exact_docs", "dedup_ngram_jaccard",
         "dedup_clusters", "embedding_near_dup", "corpus_selection",
         "doc_embedding_join", "ann_cosine_topk",
@@ -253,12 +256,8 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "doc_exact_substring_dedup", "doc_span_dedup_keep_first",
         "user_heavy_hitters_cms", "doc_lm_stupid_backoff",
         "doc_bloom_contamination",
-        "orders_hll_distinct_custkeys", "value_bootstrap_ci",
-        "value_histogram_quantiles",
         "doc_bm25_rarest_terms", "doc_token_chunks",
         "doc_nfc_normalization",
-        "embedding_pca_covariance",
-        "event_type_pagerank", "doc_centrality_pagerank",
     ], f"unexpected overflow oracled set: {overflow}"
 
 
