@@ -553,3 +553,127 @@ def test_qchunk_matches_bruteforce_fuzz(spark, texts, max_dist):
             if i < j and lev(a, b) <= max_dist:
                 exp[(i, j)] = lev(a, b)
     assert got == exp, (texts, max_dist, got, exp)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-10**6, max_value=10**6),
+             min_size=1, max_size=200),
+    st.integers(min_value=4, max_value=10),
+)
+def test_hll_registers_match_python_fuzz(spark, values, p):
+    """HLL registers equal the pure-Python md5 mirror at every p, for
+    arbitrary (including duplicated and negative) long inputs."""
+    from org_revue_de_presse_trends_spark.operators.hll import (
+        hll_registers,
+    )
+
+    df = spark.createDataFrame(
+        [("g", v) for v in values], "grp string, v long"
+    )
+    got = {
+        r["bucket"]: r["r"]
+        for r in hll_registers(df, ["grp"], "v", p=p).collect()
+    }
+    w = 60 - p
+    want = {}
+    for v in set(values):
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        b, rem = h >> w, h % (1 << w)
+        rho = (w + 1) if rem == 0 else (w + 1) - rem.bit_length()
+        want[b] = max(want.get(b, 0), rho)
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1000.0, max_value=1000.0,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=150,
+    ),
+    st.sampled_from([0.5, 2.0, 7.3]),
+    st.sampled_from([0.0, 0.25, 0.5, 0.9, 1.0]),
+)
+def test_histogram_quantile_matches_python_fuzz(spark, values, width, q):
+    """Histogram quantile equals the pinned-convention Python mirror
+    and is within width/2 of the exact interpolated percentile."""
+    import math
+
+    from org_revue_de_presse_trends_spark.operators.histogram import (
+        histogram_quantiles_of,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)],
+        "id long, value double",
+    )
+    label = f"q_{str(q).replace('.', '_')}"
+    row = histogram_quantiles_of(
+        df, "value", qs=(q,), width=width
+    ).collect()[0]
+    # python mirror
+    bins = {}
+    for v in values:
+        b = math.floor(v / width)
+        bins[b] = bins.get(b, 0) + 1
+    n = len(values)
+    t = q * float(n - 1)
+    cum = 0
+    for b in sorted(bins):
+        c = bins[b]
+        if cum <= t < cum + c:
+            want = round(b * width + width * ((t - cum + 0.5) / c), 9)
+            break
+        cum += c
+    assert row[label] == want
+    s = sorted(values)
+    lo = int(math.floor(t))
+    hi = min(lo + 1, n - 1)
+    exact = s[lo] + (t - lo) * (s[hi] - s[lo])
+    assert abs(row[label] - exact) <= width / 2 + 1e-6
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1, max_size=60,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_pagerank_matches_python_fuzz(spark, raw_edges, iterations):
+    """Arbitrary small weighted digraphs (self-loops and parallel
+    edges included): fast path equals the HALF_UP Python mirror."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from org_revue_de_presse_trends_spark.operators.graph import (
+        weighted_pagerank,
+    )
+
+    edges = [(f"n{s}", f"n{d}", w) for s, d, w in raw_edges]
+    df = spark.createDataFrame(
+        edges, "src string, dst string, weight long"
+    )
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in weighted_pagerank(df, iterations=iterations).collect()
+    }
+    out_w = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0) + w
+    nodes = {s for s, _, _ in edges} | {d for _, d, _ in edges}
+    rank = {nd: 10**9 for nd in nodes}
+    for _ in range(iterations):
+        mass = {nd: 0 for nd in nodes}
+        for s, d, w in edges:
+            x = 0.85 * float(rank[s]) * float(w) / float(out_w[s])
+            mass[d] += int(
+                Decimal(repr(x)).quantize(Decimal("1"), ROUND_HALF_UP)
+            )
+        rank = {nd: 150000000 + mass[nd] for nd in nodes}
+    assert got == rank
