@@ -164,6 +164,7 @@ SECONDARY = [
     "embedding_pca_covariance",
     "value_bootstrap_ci",
     "value_histogram_quantiles",
+    "customer_directory_fuzzy_link",
 ]
 
 

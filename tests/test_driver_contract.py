@@ -258,6 +258,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "doc_bloom_contamination",
         "doc_bm25_rarest_terms", "doc_token_chunks",
         "doc_nfc_normalization",
+        "customer_directory_fuzzy_link",
     ], f"unexpected overflow oracled set: {overflow}"
 
 

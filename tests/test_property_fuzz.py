@@ -677,3 +677,52 @@ def test_pagerank_matches_python_fuzz(spark, raw_edges, iterations):
             )
         rank = {nd: 150000000 + mass[nd] for nd in nodes}
     assert got == rank
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abcx", min_size=0, max_size=14),
+             min_size=1, max_size=12),
+    st.lists(st.text(alphabet="abcx", min_size=0, max_size=14),
+             min_size=1, max_size=12),
+    st.integers(min_value=1, max_value=3),
+)
+def test_fuzzy_join_matches_bruteforce_fuzz(spark, ls, rs, tau):
+    """Cross-table fuzzy join equals the brute-force Levenshtein cross
+    join on adversarial small-alphabet strings (heavy collisions,
+    empties, near-misses)."""
+    from org_revue_de_presse_trends_spark.operators.linkage import (
+        fuzzy_join,
+    )
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    l = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ls)], "lid long, txt string"
+    )
+    r = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(rs)], "rid long, txt string"
+    )
+    got = {
+        (x["lid"], x["rid"], x["dist"])
+        for x in fuzzy_join(
+            l, r, "txt", "txt", "lid", "rid", max_dist=tau
+        ).collect()
+    }
+    want = {
+        (i, 100 + j, lev(a, b))
+        for i, a in enumerate(ls)
+        for j, b in enumerate(rs)
+        if lev(a, b) <= tau
+    }
+    assert got == want

@@ -998,3 +998,46 @@ def test_histogram_quantiles_scale_with_fixed_state_10x(spark):
     s_ratio = results[500_000][1] / max(results[50_000][1], 1)
     assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× values"
     assert s_ratio < 5, f"shuffle must stay ~flat, grew {s_ratio:.1f}×"
+
+
+def test_fuzzy_join_scales_linearly_10x(spark):
+    """Cross-table fuzzy join: 10× both tables at fixed planted-match
+    density must grow runtime/shuffle ~linearly (candidates are an
+    equi-join on (chunk_len, gram) over random keys — never |L|×|R|)."""
+    from org_revue_de_presse_trends_spark.operators.linkage import (
+        fuzzy_join,
+    )
+
+    mc = MetricsCollector(spark)
+    results = {}
+    for n in (2_000, 20_000):
+        right = spark.range(n).select(
+            F.col("id").alias("rid"), F.md5(F.col("id").cast("string")).alias("txt")
+        )
+        left = spark.range(n).select(
+            (F.col("id") + 10_000_000).alias("lid"),
+            # every 2nd entry gets one char substituted (planted link)
+            F.when(
+                F.col("id") % 2 == 0,
+                F.concat(
+                    F.expr("substring(md5(cast(id as string)), 1, 9)"),
+                    F.lit("z"),
+                    F.expr("substring(md5(cast(id as string)), 11)"),
+                ),
+            )
+            .otherwise(F.md5(F.col("id").cast("string")))
+            .alias("txt"),
+        )
+        out = fuzzy_join(
+            left, right, "txt", "txt", "lid", "rid", max_dist=2
+        )
+        t0 = _time.perf_counter()
+        rows, qm = mc.measure(
+            f"fuzzy_{n}", out, action=lambda d: d.count()
+        )
+        results[n] = (_time.perf_counter() - t0, qm.shuffle_bytes_written)
+        assert rows == n  # every left entry links to exactly its source
+    t_ratio = results[20_000][0] / results[2_000][0]
+    s_ratio = results[20_000][1] / max(results[2_000][1], 1)
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× rows"
+    assert s_ratio < 30, f"shuffle grew {s_ratio:.1f}× for 10× rows"
