@@ -165,6 +165,7 @@ SECONDARY = [
     "value_bootstrap_ci",
     "value_histogram_quantiles",
     "customer_directory_fuzzy_link",
+    "doc_lm_kneser_ney",
 ]
 
 

@@ -212,3 +212,98 @@ def stupid_backoff_doc_scores(
             ).alias("mean_log10_score"),
         )
     )
+
+
+def kneser_ney_doc_scores(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, n_bigrams, mean_log10_kn) — per-document mean log10
+    interpolated Kneser-Ney bigram probability of every ``score``
+    document under the model counted from ``train`` (Kneser & Ney
+    1995; absolute-discounting formulation of Chen & Goodman 1998):
+
+        P(w2|w1) = (max(c(w1 w2) − D, 0)
+                    + D · N1+(w1 ·) · P_cont(w2)) / c(w1 ·)
+        P_cont(w2) = max(N1+(· w2), 1) / N1+(· ·)
+        D = n1 / (n1 + 2 · n2)
+
+    with c(w1 ·) the bigram-table marginal (so probabilities normalize
+    over the observed event space), N1+ the distinct-continuation type
+    counts, and n1/n2 the bigram types seen exactly once/twice.
+    Pinned conventions (mirrored in the DuckDB oracle): unseen w1
+    falls back to P_cont alone; the max(…, 1) floor keeps unseen-w2
+    continuation mass finite (the stupid-backoff OOV-floor
+    discipline).  Documents with < 2 tokens have no bigrams and are
+    absent.
+
+    Every model component is an exact integer aggregate; D and each
+    probability are single pinned IEEE expression trees over them, and
+    per-bigram log10 scores are rounded to 6 decimals and scaled to
+    longs BEFORE the per-document sum (the house cross-engine rule) —
+    so scores reproduce value-exactly in any engine.
+
+    Scale shape: two count aggregations + three type-count
+    aggregations over the train split (map-side combined,
+    vocab/bigram-bounded), broadcast onto the scoring split's bigram
+    stream, one per-document aggregate.  Same deployment shape as
+    stupid_backoff_doc_scores; KN trades its extra type-count tables
+    for properly normalized held-out probabilities."""
+    bg = bigram_stream(train, text_col, id_col).select(
+        F.expr("split(bg, ' ')[0]").alias("w1"),
+        F.expr("split(bg, ' ')[1]").alias("w2"),
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # bigram-table marginals + distinct-continuation type counts
+    head = c12.groupBy("w1").agg(
+        F.sum("c12").alias("cw1"),
+        F.count(F.lit(1)).alias("n1p_w1"),
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_w2"))
+    glob = c12.agg(
+        F.count(F.lit(1)).alias("n1p_all"),
+        F.sum((F.col("c12") == 1).cast("long")).alias("n_once"),
+        F.sum((F.col("c12") == 2).cast("long")).alias("n_twice"),
+    )
+    sb = bigram_stream(score, text_col, id_col).select(
+        F.col(id_col),
+        F.expr("split(bg, ' ')[0]").alias("w1"),
+        F.expr("split(bg, ' ')[1]").alias("w2"),
+    )
+    j = (
+        sb.join(F.broadcast(c12), ["w1", "w2"], "left")
+        .join(F.broadcast(head), "w1", "left")
+        .join(F.broadcast(cont), "w2", "left")
+        .crossJoin(F.broadcast(glob))
+    )
+    d = F.col("n_once").cast("double") / (
+        F.col("n_once").cast("double")
+        + F.lit(2.0) * F.col("n_twice").cast("double")
+    )
+    pcont = F.greatest(
+        F.coalesce(F.col("n1p_w2"), F.lit(0)), F.lit(1)
+    ).cast("double") / F.col("n1p_all").cast("double")
+    p_seen_head = (
+        F.greatest(
+            F.coalesce(F.col("c12"), F.lit(0)).cast("double") - d,
+            F.lit(0.0),
+        )
+        + d * F.col("n1p_w1").cast("double") * pcont
+    ) / F.col("cw1").cast("double")
+    p = F.when(F.col("cw1").isNotNull(), p_seen_head).otherwise(pcont)
+    scaled = F.round(F.log10(p) * F.lit(1000000.0)).cast("long")
+    return (
+        j.select(F.col(id_col), scaled.alias("__s"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum("__s").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0),
+                6,
+            ).alias("mean_log10_kn"),
+        )
+    )

@@ -580,3 +580,96 @@ def value_histogram_quantiles(
         group_cols=["event_type"],
         width=_HIST_W,
     )
+
+
+@query(
+    "doc_lm_kneser_ney",
+    f"""
+    WITH d AS (
+        SELECT doc_id, text,
+               {split_case_sql(_LM_WEIGHTS, "doc_id", seed=_LM_SEED)} AS split
+        FROM documents
+    ),
+    tr AS (SELECT string_split(text, ' ') AS t FROM d WHERE split = 'train'),
+    bgs AS (
+        SELECT t[u.i] AS w1, t[u.i+1] AS w2
+        FROM tr, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bgs GROUP BY 1, 2),
+    head AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS cw1,
+               COUNT(*) AS n1p_w1
+        FROM c12 GROUP BY 1
+    ),
+    cont AS (SELECT w2, COUNT(*) AS n1p_w2 FROM c12 GROUP BY 1),
+    gstats AS (
+        SELECT COUNT(*) AS n1p_all,
+               SUM(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS n_once,
+               SUM(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS n_twice
+        FROM c12
+    ),
+    sc AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM d WHERE split = 'val'
+    ),
+    sb AS (
+        SELECT doc_id, t[u.i] AS w1, t[u.i+1] AS w2
+        FROM sc, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    scored AS (
+        SELECT sb.doc_id,
+               CAST(ROUND(log10(
+                   CASE WHEN h.cw1 IS NOT NULL THEN
+                       (GREATEST(CAST(COALESCE(c.c12, 0) AS DOUBLE)
+                                 - (CAST(g.n_once AS DOUBLE)
+                                    / (CAST(g.n_once AS DOUBLE)
+                                       + 2.0 * CAST(g.n_twice AS DOUBLE))),
+                                 0.0)
+                        + (CAST(g.n_once AS DOUBLE)
+                           / (CAST(g.n_once AS DOUBLE)
+                              + 2.0 * CAST(g.n_twice AS DOUBLE)))
+                          * CAST(h.n1p_w1 AS DOUBLE)
+                          * (CAST(GREATEST(COALESCE(ct.n1p_w2, 0), 1)
+                                  AS DOUBLE)
+                             / CAST(g.n1p_all AS DOUBLE)))
+                       / CAST(h.cw1 AS DOUBLE)
+                   ELSE
+                       CAST(GREATEST(COALESCE(ct.n1p_w2, 0), 1) AS DOUBLE)
+                       / CAST(g.n1p_all AS DOUBLE)
+                   END) * 1000000.0) AS BIGINT) AS s
+        FROM sb
+        LEFT JOIN c12 c ON c.w1 = sb.w1 AND c.w2 = sb.w2
+        LEFT JOIN head h ON h.w1 = sb.w1
+        LEFT JOIN cont ct ON ct.w2 = sb.w2
+        CROSS JOIN gstats g
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+                AS DOUBLE) AS mean_log10_kn
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out interpolated Kneser-Ney bigram scores
+    (operators/lm.kneser_ney_doc_scores): absolute discount
+    D = n1/(n1+2·n2) from the train split's bigram counts-of-counts,
+    continuation probabilities from distinct-context type counts, val
+    documents scored by mean log10 P_KN(w2|w1).  Beside
+    doc_lm_stupid_backoff on the SAME hash-assigned split — the
+    properly-normalized smoother next to the web-scale heuristic.
+
+    Cross-engine: every model component is an exact integer aggregate;
+    D and each probability are one pinned IEEE tree; per-bigram
+    log-scores round to scaled longs before the per-doc sum (the
+    surprisal discipline)."""
+    from ..operators.lm import kneser_ney_doc_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = assign_split(docs, _LM_WEIGHTS, id_col="doc_id", seed=_LM_SEED)
+    return kneser_ney_doc_scores(
+        d.filter(F.col("split") == "train"),
+        d.filter(F.col("split") == "val"),
+        text_col="text",
+        id_col="doc_id",
+    )

@@ -273,3 +273,123 @@ class TestBloom:
         out = bloom_probe(dup, "g", bf, n_words=8, k=3).collect()
         assert len(out) == 3
         assert {r["tag"] for r in out} == {1, 2, 3}
+
+
+class TestKneserNey:
+    @staticmethod
+    def _py_kn(train_docs, score_docs):
+        """Pure-Python mirror of kneser_ney_doc_scores' pinned
+        conventions (scaled-long log rounding included)."""
+        import math
+        from collections import Counter
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def rhu(x):
+            return int(
+                Decimal(repr(x)).quantize(Decimal("1"), ROUND_HALF_UP)
+            )
+
+        c12 = Counter()
+        for d in train_docs:
+            t = d.split(" ")
+            for a, b in zip(t, t[1:]):
+                c12[(a, b)] += 1
+        cw1, n1p_w1, n1p_w2 = Counter(), Counter(), Counter()
+        for (a, b), c in c12.items():
+            cw1[a] += c
+            n1p_w1[a] += 1
+            n1p_w2[b] += 1
+        n1p_all = len(c12)
+        n_once = sum(1 for c in c12.values() if c == 1)
+        n_twice = sum(1 for c in c12.values() if c == 2)
+        D = float(n_once) / (float(n_once) + 2.0 * float(n_twice))
+        out = {}
+        for i, d in enumerate(score_docs):
+            t = d.split(" ")
+            ss = []
+            for a, b in zip(t, t[1:]):
+                pcont = float(max(n1p_w2.get(b, 0), 1)) / float(n1p_all)
+                if a in cw1:
+                    p = (
+                        max(float(c12.get((a, b), 0)) - D, 0.0)
+                        + D * float(n1p_w1[a]) * pcont
+                    ) / float(cw1[a])
+                else:
+                    p = pcont
+                ss.append(rhu(math.log10(p) * 1000000.0))
+            if ss:
+                out[i] = (
+                    len(ss),
+                    round(float(sum(ss)) / len(ss) / 1000000.0, 6),
+                )
+        return out
+
+    def test_matches_python_reference(self, spark):
+        from org_revue_de_presse_trends_spark.operators.lm import (
+            kneser_ney_doc_scores,
+        )
+
+        train = [
+            "the cat sat on the mat",
+            "the dog sat on the rug",
+            "a cat and a dog",
+            "the cat ran",
+        ]
+        score = [
+            "the cat sat",         # seen bigrams
+            "the zebra ran",       # unseen bigram, seen head
+            "zebra gnu the cat",   # unseen head -> continuation arm
+            "one",                 # single token: no bigrams, absent
+        ]
+        tr = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(train)], "doc_id long, text string"
+        )
+        sc = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(score)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["mean_log10_kn"])
+            for r in kneser_ney_doc_scores(tr, sc).collect()
+        }
+        assert got == self._py_kn(train, score)
+        assert 3 not in got  # no-bigram doc absent
+
+    def test_probabilities_normalize_over_seen_heads(self, spark):
+        """For a head w1 seen in training, sum over the TRAIN bigram
+        vocab of P_KN(w2|w1) stays <= 1 + tiny (the discount mass is
+        redistributed through P_cont, floored continuation adds at
+        most |V_floor|/N1+ beyond it)."""
+        import math
+        from collections import Counter
+
+        train = [
+            "b a b b a c a b a a c b",
+            "c c a b a b c a",
+        ]
+        c12 = Counter()
+        for d in train:
+            t = d.split(" ")
+            for x, y in zip(t, t[1:]):
+                c12[(x, y)] += 1
+        cw1, n1p_w1, n1p_w2 = Counter(), Counter(), Counter()
+        for (x, y), c in c12.items():
+            cw1[x] += c
+            n1p_w1[x] += 1
+            n1p_w2[y] += 1
+        n1p_all = len(c12)
+        n_once = sum(1 for c in c12.values() if c == 1)
+        n_twice = sum(1 for c in c12.values() if c == 2)
+        D = n_once / (n_once + 2.0 * n_twice)
+        vocab = {y for _, y in c12}
+        for w1 in cw1:
+            s = 0.0
+            for w2 in vocab:
+                pcont = max(n1p_w2.get(w2, 0), 1) / n1p_all
+                s += (
+                    max(c12.get((w1, w2), 0) - D, 0.0)
+                    + D * n1p_w1[w1] * pcont
+                ) / cw1[w1]
+            assert s <= 1.0 + 1e-9, (w1, s)
+            assert s >= 0.5  # discounting never destroys most mass
+        assert 0.0 < D < 1.0
+        assert math.isfinite(D)

@@ -255,7 +255,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "q20_excess_shippers", "q10_returned_item_customers",
         "doc_exact_substring_dedup", "doc_span_dedup_keep_first",
         "user_heavy_hitters_cms", "doc_lm_stupid_backoff",
-        "doc_bloom_contamination",
+        "doc_bloom_contamination", "doc_lm_kneser_ney",
         "doc_bm25_rarest_terms", "doc_token_chunks",
         "doc_nfc_normalization",
         "customer_directory_fuzzy_link",
