@@ -166,6 +166,7 @@ SECONDARY = [
     "value_histogram_quantiles",
     "customer_directory_fuzzy_link",
     "doc_lm_kneser_ney",
+    "doc_neardup_clustering",
 ]
 
 

@@ -183,3 +183,76 @@ def weighted_pagerank(
             "pagerank"
         ),
     )
+
+
+def triangle_stats(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over
+    an undirected simple graph given as canonical pairs →
+    (node, degree BIGINT, n_triangles BIGINT, clustering DOUBLE).
+
+    clustering(v) = 2·T(v) / (deg(v)·(deg(v)−1)), 0 when deg < 2 —
+    the near-dup-graph diagnostic: cliquish neighborhoods (template
+    families, mirrored sites) score ~1, chain-shaped false-positive
+    paths score ~0, so it separates "cluster is a real duplicate
+    family" from "transitive LSH chain" before a keep-one collapse.
+
+    Plan shape: triangles are two self-equi-joins of the
+    NODE-ORDERED edge list (a<b<c) — each triangle counted exactly
+    once, candidates bounded by Σ deg²(the standard enumeration; at
+    100 TB order endpoints by DEGREE first so the join fans out from
+    low-degree endpoints — the Schank-Wagner forward heuristic — and
+    cap hub keys like every bucket join here).  All counts are exact
+    integers; the coefficient is one pinned IEEE division, rounded to
+    9 dp — oracled value-exactly in DuckDB."""
+    e = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .select("x", "y", "z")
+    )
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0))
+        .cast("long")
+        .alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+                / (
+                    F.col("degree").cast("double")
+                    * (F.col("degree") - F.lit(1)).cast("double")
+                ),
+                9,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )

@@ -309,3 +309,108 @@ def customer_directory_fuzzy_link(
         F.col("rid").alias("right_id"),
         "dist",
     )
+
+
+#: the containment-pair CTE chain (shared with the centrality oracle)
+_PAIRS_CTES = """
+    base AS (
+        SELECT doc_id AS id, source,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+                   i -> string_split(text,' ')[i] || ' ' ||
+                        string_split(text,' ')[i+1] || ' ' ||
+                        string_split(text,' ')[i+2]
+               )) AS sh
+        FROM documents
+    ),
+    ex0 AS (SELECT id, source, unnest(sh) AS shingle FROM base),
+    exf AS (
+        SELECT id, source, shingle
+        FROM (SELECT id, source, shingle,
+                     COUNT(*) OVER (PARTITION BY source, shingle) AS df
+              FROM ex0)
+        WHERE df <= 1000
+    ),
+    ex AS (
+        SELECT id, source, shingle,
+               COUNT(*) OVER (PARTITION BY id) AS n_sh
+        FROM exf
+    ),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+               COUNT(*) AS n_inter
+        FROM ex a JOIN ex b
+          ON a.shingle = b.shingle AND a.source = b.source AND a.id < b.id
+        GROUP BY a.id, b.id, a.n_sh, b.n_sh
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        WHERE CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE)
+              >= 0.1
+    )"""
+
+
+@query(
+    "doc_neardup_clustering",
+    f"""
+    WITH {_PAIRS_CTES},
+    e AS (
+        SELECT LEAST(id_a, id_b) AS a, GREATEST(id_a, id_b) AS b
+        FROM pairs WHERE id_a <> id_b GROUP BY 1, 2
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY 1
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pn AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM (SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+        GROUP BY 1
+    )
+    SELECT d.node AS doc_id, d.degree,
+           CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.degree >= 2 THEN
+               ROUND(2.0 * CAST(COALESCE(pn.n_triangles, 0) AS DOUBLE)
+                     / (CAST(d.degree AS DOUBLE)
+                        * CAST(d.degree - 1 AS DOUBLE)), 9)
+           ELSE 0.0 END AS clustering
+    FROM deg d LEFT JOIN pn ON pn.node = d.node
+    """,
+)
+def doc_neardup_clustering(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Triangle counts and local clustering coefficient per document
+    in the containment near-dup graph (operators/graph.triangle_stats)
+    — the diagnostic that separates a real duplicate FAMILY (cliquish
+    neighborhood, clustering ≈ 1) from a transitive LSH chain
+    (path-shaped, clustering ≈ 0) before a keep-one collapse commits
+    to merging a cluster.
+
+    Cross-engine: node-ordered triangle enumeration (each triangle
+    once), exact integer counts, one pinned IEEE division rounded to
+    9 dp — value-exact in DuckDB over the already-oracled pair CTE."""
+    from ..operators import dedup as D
+    from ..operators.graph import triangle_stats
+
+    pairs = D.shingle_pairs_overlap(
+        load_table(spark, sf_dir, "documents"),
+        block_cols=["source"],
+        k=3,
+        threshold=0.1,
+    ).select("id_a", "id_b")
+    return triangle_stats(pairs).select(
+        F.col("node").alias("doc_id"),
+        "degree",
+        "n_triangles",
+        "clustering",
+    )

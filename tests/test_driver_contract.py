@@ -259,6 +259,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "doc_bm25_rarest_terms", "doc_token_chunks",
         "doc_nfc_normalization",
         "customer_directory_fuzzy_link",
+        "doc_neardup_clustering",
     ], f"unexpected overflow oracled set: {overflow}"
 
 

@@ -173,3 +173,51 @@ class TestFastPath:
             )
         )
         assert fast == dist
+
+
+class TestTriangles:
+    def test_clique_path_and_star(self, spark):
+        from org_revue_de_presse_trends_spark.operators.graph import (
+            triangle_stats,
+        )
+
+        # K4 on 0-3 (4 triangles, every node in 3), a path 10-11-12
+        # (no triangles), a star 20-(21,22,23) (no triangles), plus a
+        # duplicate and a self-loop that must be ignored
+        k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        pairs = (
+            k4
+            + [(10, 11), (11, 12)]
+            + [(20, 21), (20, 22), (20, 23)]
+            + [(1, 0), (5, 5)]  # reversed duplicate + self-loop
+        )
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = {
+            r["node"]: (r["degree"], r["n_triangles"], r["clustering"])
+            for r in triangle_stats(df).collect()
+        }
+        for v in range(4):
+            assert got[v] == (3, 3, 1.0)
+        assert got[11] == (2, 0, 0.0)
+        assert got[10] == (1, 0, 0.0)
+        assert got[20] == (3, 0, 0.0)
+        assert got[21] == (1, 0, 0.0)
+        assert 5 not in got  # self-loop contributes nothing
+
+    def test_partial_clustering_value(self, spark):
+        from org_revue_de_presse_trends_spark.operators.graph import (
+            triangle_stats,
+        )
+
+        # triangle 0-1-2 plus pendant 2-3: node 2 has deg 3, 1 triangle
+        # -> clustering 2*1/(3*2) = 1/3 (rounded to 9dp)
+        df = spark.createDataFrame(
+            [(0, 1), (1, 2), (0, 2), (2, 3)], "id_a long, id_b long"
+        )
+        got = {
+            r["node"]: (r["degree"], r["n_triangles"], r["clustering"])
+            for r in triangle_stats(df).collect()
+        }
+        assert got[2] == (3, 1, 0.333333333)
+        assert got[0] == (2, 1, 1.0)
+        assert got[3] == (1, 0, 0.0)
