@@ -524,3 +524,95 @@ def test_lake_delete_matching_many_partitions_bounded_plan(spark, tmp_path):
     # a literal OR-chain would mention dozens of day values; the
     # semi-join plan mentions none outside the (bounded) broadcast
     assert plan.count("2024-01-") < 5
+
+
+class TestCompaction:
+    def _write_splintered(self, spark, path, day, n_files, n_rows):
+        from org_revue_de_presse_trends_spark.sources.lake import (
+            write_partitioned,
+        )
+        from pyspark.sql import functions as F
+
+        df = (
+            spark.range(n_rows)
+            .select(
+                F.col("id"),
+                (F.col("id") * 7 % 100).alias("v"),
+                F.lit(day).alias("day"),
+                F.lit("t").alias("statusType"),
+            )
+            .repartition(n_files)
+        )
+        write_partitioned(df, path, mode="append")
+
+    def _files(self, tmp_path, sub):
+        import os
+
+        d = os.path.join(str(tmp_path), "lake", sub)
+        return [
+            f
+            for f in os.listdir(d)
+            if not f.startswith(("_", ".")) and os.path.isfile(
+                os.path.join(d, f)
+            )
+        ]
+
+    def test_compacts_splinters_and_preserves_content(
+        self, spark, tmp_path
+    ):
+        from org_revue_de_presse_trends_spark.sources.lake import (
+            compact_small_files,
+        )
+
+        path = str(tmp_path / "lake")
+        self._write_splintered(spark, path, "2024-01-01", 8, 500)
+        self._write_splintered(spark, path, "2024-01-02", 1, 100)
+        before = {
+            tuple(r)
+            for r in spark.read.parquet(path)
+            .select("id", "v", "day", "statusType")
+            .collect()
+        }
+        sub1 = "day=2024-01-01/statusType=t"
+        sub2 = "day=2024-01-02/statusType=t"
+        assert len(self._files(tmp_path, sub1)) == 8
+        untouched_before = set(self._files(tmp_path, sub2))
+        stats = compact_small_files(spark, path, target_bytes=1 << 30)
+        assert stats["partitions_compacted"] == 1
+        assert stats["files_before"] == 8
+        assert stats["files_after"] == 1
+        assert len(self._files(tmp_path, sub1)) == 1
+        # untouched partition: same physical files
+        assert set(self._files(tmp_path, sub2)) == untouched_before
+        after = {
+            tuple(r)
+            for r in spark.read.parquet(path)
+            .select("id", "v", "day", "statusType")
+            .collect()
+        }
+        assert after == before  # content untouched, layout only
+
+    def test_idempotent_and_over_target_splits(self, spark, tmp_path):
+        from org_revue_de_presse_trends_spark.sources.lake import (
+            compact_small_files,
+        )
+
+        path = str(tmp_path / "lake")
+        self._write_splintered(spark, path, "2024-02-01", 10, 4000)
+        # tiny target: partition is over-target -> several output
+        # files, but fewer than the 10 splinters
+        import os
+
+        sub = "day=2024-02-01/statusType=t"
+        total = sum(
+            os.path.getsize(os.path.join(str(tmp_path), "lake", sub, f))
+            for f in self._files(tmp_path, sub)
+        )
+        target = max(1, total // 3)  # want ~3-4 output files
+        stats = compact_small_files(spark, path, target_bytes=target)
+        n_after = len(self._files(tmp_path, sub))
+        assert stats["partitions_compacted"] == 1
+        assert 1 < n_after < 10
+        # second run: already at/under target file count -> no-op
+        stats2 = compact_small_files(spark, path, target_bytes=target)
+        assert stats2["partitions_compacted"] == 0
