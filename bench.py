@@ -167,6 +167,7 @@ SECONDARY = [
     "customer_directory_fuzzy_link",
     "doc_lm_kneser_ney",
     "doc_neardup_clustering",
+    "value_moments_by_type",
 ]
 
 

@@ -144,3 +144,88 @@ def histogram_quantiles_of(
         group_cols,
         width=width,
     )
+
+
+def grouped_moments(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    scale: int = 10**3,
+) -> DataFrame:
+    """Deterministic population moments per group: (group_cols…,
+    n BIGINT, mean, variance, skewness, kurt_excess DOUBLE, all
+    rounded to 9 dp).
+
+    Spark's built-in ``skewness``/``kurtosis`` stream float updates —
+    results drift with partitioning and aggregation order.  Here
+    values become scaled longs (``round(v·scale)``), the four power
+    sums are EXACT decimal(38,0)/HUGEINT integers (v⁴ ≤ (|v|·scale)⁴
+    must stay under 10³⁸ — lower ``scale`` for wide-valued data), and
+    the central-moment formulas are layered pinned IEEE trees over
+    those exact sums — bit-identical at any partitioning, order, or
+    engine (oracled in plans/sketch_ext.value_moments_by_type).
+
+    Degenerate groups (variance 0 — all values equal after
+    quantization) emit NULL skewness/kurtosis rather than a 0/0."""
+    s = float(scale)
+    v = F.round(F.col(value_col).cast("double") * F.lit(s), 0).cast(
+        "long"
+    )
+    v2 = (v * v).alias("_v2")  # ≤ (|v|·scale)² — still a long
+    dec = "decimal(38,0)"
+    agg = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols, v.alias("_v"), v2
+    )
+    sums = agg.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("_v").cast(dec)).alias("_s1"),
+        F.sum(F.col("_v2").cast(dec)).alias("_s2"),
+        F.sum(
+            (F.col("_v2").cast(dec) * F.col("_v").cast(dec)).cast(dec)
+        ).alias("_s3"),
+        F.sum(
+            (F.col("_v2").cast(dec) * F.col("_v2").cast(dec)).cast(dec)
+        ).alias("_s4"),
+    )
+    nd = F.col("n").cast("double")
+    staged = sums.select(
+        *group_cols,
+        "n",
+        (F.col("_s1").cast("double") / nd / F.lit(s)).alias("_a1"),
+        (F.col("_s2").cast("double") / nd / F.lit(s * s)).alias("_a2"),
+        (F.col("_s3").cast("double") / nd / F.lit(s * s * s)).alias(
+            "_a3"
+        ),
+        (
+            F.col("_s4").cast("double") / nd / F.lit(s * s * s * s)
+        ).alias("_a4"),
+    )
+    a1, a2, a3, a4 = (F.col(c) for c in ("_a1", "_a2", "_a3", "_a4"))
+    central = staged.select(
+        *group_cols,
+        "n",
+        a1.alias("_m1"),
+        (a2 - a1 * a1).alias("_m2"),
+        (a3 - F.lit(3.0) * a1 * a2 + F.lit(2.0) * a1 * a1 * a1).alias(
+            "_m3"
+        ),
+        (
+            a4
+            - F.lit(4.0) * a1 * a3
+            + F.lit(6.0) * a1 * a1 * a2
+            - F.lit(3.0) * a1 * a1 * a1 * a1
+        ).alias("_m4"),
+    )
+    m2, m3, m4 = (F.col(c) for c in ("_m2", "_m3", "_m4"))
+    return central.select(
+        *group_cols,
+        "n",
+        F.round(F.col("_m1"), 9).alias("mean"),
+        F.round(m2, 9).alias("variance"),
+        F.when(
+            m2 > 0, F.round(m3 / (F.sqrt(m2) * m2), 9)
+        ).alias("skewness"),
+        F.when(
+            m2 > 0, F.round(m4 / (m2 * m2) - F.lit(3.0), 9)
+        ).alias("kurt_excess"),
+    )

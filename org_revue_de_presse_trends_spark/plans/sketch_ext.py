@@ -673,3 +673,72 @@ def doc_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="text",
         id_col="doc_id",
     )
+
+
+@query(
+    "value_moments_by_type",
+    """
+    WITH x AS (
+        SELECT event_type,
+               CAST(ROUND(value * 1000.0) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    sums AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(v AS HUGEINT)) AS s1,
+               SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS s2,
+               SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)
+                   * CAST(v AS HUGEINT)) AS s3,
+               SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)
+                   * CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS s4
+        FROM x GROUP BY 1
+    ),
+    st AS (
+        SELECT event_type, n,
+               CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0 AS a1,
+               CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS a2,
+               CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+                   / 1000000000.0 AS a3,
+               CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+                   / 1000000000000.0 AS a4
+        FROM sums
+    ),
+    c AS (
+        SELECT event_type, n, a1 AS m1,
+               a2 - a1 * a1 AS m2,
+               a3 - 3.0 * a1 * a2 + 2.0 * a1 * a1 * a1 AS m3,
+               a4 - 4.0 * a1 * a3 + 6.0 * a1 * a1 * a2
+                  - 3.0 * a1 * a1 * a1 * a1 AS m4
+        FROM st
+    )
+    SELECT event_type, n,
+           ROUND(m1, 9) AS mean,
+           ROUND(m2, 9) AS variance,
+           CASE WHEN m2 > 0 THEN ROUND(m3 / (SQRT(m2) * m2), 9)
+                END AS skewness,
+           CASE WHEN m2 > 0 THEN ROUND(m4 / (m2 * m2) - 3.0, 9)
+                END AS kurt_excess
+    FROM c
+    """,
+)
+def value_moments_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic skewness/kurtosis per event type
+    (operators/histogram.grouped_moments): Spark's built-in
+    skewness()/kurtosis() stream float updates whose result drifts
+    with partitioning and aggregation order; here values are scaled
+    longs, the four power sums are exact decimal(38,0)/HUGEINT
+    integers, and the central-moment formulas are layered pinned IEEE
+    trees over those exact sums — bit-identical at any layout and
+    value-exact against DuckDB.
+
+    Scale: one map-side-combined aggregation (five integer sums per
+    group), no second pass for the mean — the textbook one-pass
+    moment pipeline made deterministic."""
+    from ..operators.histogram import grouped_moments
+
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_moments(
+        ev, "value", group_cols=["event_type"], scale=10**3
+    )

@@ -145,3 +145,53 @@ class TestHistogram:
             histogram(df, "value", width=0.0)
         with pytest.raises(ValueError):
             histogram_quantiles_of(df, "value", qs=(1.5,))
+
+
+class TestMoments:
+    def test_matches_numpy_and_layout_independent(self, spark):
+        import numpy as np
+
+        from org_revue_de_presse_trends_spark.operators.histogram import (
+            grouped_moments,
+        )
+
+        vals = [((i * 37) % 101) + ((i * 7) % 13) / 8.0 for i in range(500)]
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)],
+            "id long, value double",
+        )
+        row = grouped_moments(df, "value", scale=10**3).collect()[0]
+        # scale 1e3 quantizes to 3 decimals — all inputs exact at 3dp,
+        # so the result should agree with numpy to ~1e-9
+        a = np.array(vals)
+        c = a - a.mean()
+        var = (c**2).mean()
+        assert row["n"] == 500
+        assert row["mean"] == pytest.approx(a.mean(), abs=1e-8)
+        assert row["variance"] == pytest.approx(var, abs=1e-6)
+        assert row["skewness"] == pytest.approx(
+            (c**3).mean() / var**1.5, abs=1e-8
+        )
+        assert row["kurt_excess"] == pytest.approx(
+            (c**4).mean() / var**2 - 3.0, abs=1e-8
+        )
+        b = grouped_moments(
+            df.repartition(11, "id"), "value", scale=10**3
+        ).collect()[0]
+        assert tuple(row) == tuple(b)  # bit-identical at any layout
+
+    def test_degenerate_group_null_moments(self, spark):
+        from org_revue_de_presse_trends_spark.operators.histogram import (
+            grouped_moments,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 5.0), ("a", 5.0), ("b", 1.0), ("b", 2.0)],
+            "g string, value double",
+        )
+        got = {
+            r["g"]: (r["variance"], r["skewness"], r["kurt_excess"])
+            for r in grouped_moments(df, "value", ["g"]).collect()
+        }
+        assert got["a"] == (0.0, None, None)
+        assert got["b"][0] == 0.25 and got["b"][1] == 0.0
