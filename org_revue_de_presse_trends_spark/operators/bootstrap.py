@@ -111,11 +111,16 @@ def poisson_bootstrap_means(
     return agg.select(
         F.col("b").cast("int").alias("b"),
         "n_eff",
-        F.round(
-            F.col("_swv").cast("double")
-            / F.col("n_eff").cast("double")
-            / F.lit(float(scale)),
-            9,
+        # a zero-weight resample (P = e^-n, real only for tiny inputs)
+        # must yield NULL, not the engine-divergent 0/0 NaN
+        F.when(
+            F.col("n_eff") > 0,
+            F.round(
+                F.col("_swv").cast("double")
+                / F.col("n_eff").cast("double")
+                / F.lit(float(scale)),
+                9,
+            ),
         ).alias("mean_value"),
     )
 

@@ -445,9 +445,10 @@ def _bootstrap_oracle() -> str:
     ),
     m AS (
         SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
-               ROUND(CAST(SUM(w * v) AS DOUBLE)
-                     / CAST(SUM(w) AS DOUBLE)
-                     / {float(_BOOT_SCALE)!r}, 9) AS mean_value
+               CASE WHEN SUM(w) > 0 THEN
+                   ROUND(CAST(SUM(w * v) AS DOUBLE)
+                         / CAST(SUM(w) AS DOUBLE)
+                         / {float(_BOOT_SCALE)!r}, 9) END AS mean_value
         FROM w GROUP BY b
     ),
     pt AS (

@@ -551,3 +551,74 @@ def foreach_batch_hll_distinct(
                 fs.delete(hpath(path), True)
 
     return run
+
+
+def foreach_batch_histogram_quantiles(
+    spark,
+    sketch_path: str,
+    quantiles_path: str,
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    width: float = 1.0,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    compact_every: int = 8,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming histogram quantiles: per-batch fixed-width bin counts
+    (operators/histogram.py) accumulated across micro-batches, the
+    per-group quantile table recomputed after every batch — running
+    p50/p90/p99 over an unbounded stream with state ≤ groups × |bins|
+    rows forever.
+
+    The idempotency contrast with ``foreach_batch_hll_distinct`` is
+    the point: histogram counts merge by SUM, which is NOT idempotent,
+    so replay safety comes from the per-batch-delta discipline (a
+    replayed batch OVERWRITES its own ``delta/batch_id=N`` with
+    identical rows — never a sum-merge into a shared table), exactly
+    the burst-detect bookkeeping; HLL registers merge by MAX and are
+    replay-safe by algebra alone.  Same compaction markers
+    (temp-write + atomic rename, readers take the max marker, GC safe
+    anytime) bound read fan-in."""
+    from ..operators.histogram import histogram, histogram_quantiles
+
+    gcols = list(group_cols)
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        hpath = spark._jvm.org.apache.hadoop.fs.Path
+        fs = hpath(sketch_path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        delta_root = f"{sketch_path}/delta"
+        compact_root = f"{sketch_path}/compact"
+        h = histogram(batch_df, value_col, gcols, width=width)
+        h.write.mode("overwrite").parquet(
+            f"{delta_root}/batch_id={batch_id}"
+        )
+        compacts = _numbered_subdirs(fs, hpath, compact_root, "upto=")
+        upto = max(compacts) if compacts else 0
+        deltas = _numbered_subdirs(fs, hpath, delta_root, "batch_id=")
+        live = [path for k, path in deltas.items() if k >= upto]
+        paths = ([compacts[upto]] if compacts else []) + live
+        merged = (
+            spark.read.parquet(*paths)
+            .groupBy(*gcols, "bin")
+            .agg(F.sum("c").alias("c"))
+        )
+        histogram_quantiles(
+            merged, qs=qs, group_cols=gcols, width=width
+        ).write.mode("overwrite").parquet(quantiles_path)
+        if len(live) > compact_every:
+            dst = hpath(f"{compact_root}/upto={batch_id + 1}")
+            if not fs.exists(dst):
+                tmp = f"{compact_root}/_tmp_upto={batch_id + 1}"
+                merged.write.mode("overwrite").parquet(tmp)
+                if not fs.rename(hpath(tmp), dst):
+                    raise IOError(
+                        f"compact rename failed: {tmp} -> {dst}"
+                    )
+            for k, path in deltas.items():
+                if k <= batch_id:
+                    fs.delete(hpath(path), True)
+            for k, path in compacts.items():
+                fs.delete(hpath(path), True)
+
+    return run

@@ -917,3 +917,64 @@ def test_streaming_hll_replay_idempotent_and_matches_batch(spark, tmp_path):
         for r in hll_distinct(ev, ["event_type"], "user_id").collect()
     }
     assert est == batch
+
+
+def test_streaming_histogram_replay_idempotent_and_matches_batch(
+    spark, tmp_path
+):
+    """Streaming histogram quantiles: chunked arrival with a replayed
+    batch and a compaction cycle must end with the merged bins AND the
+    quantile table exactly equal to the one-shot batch sketch —
+    sum-merge is NOT idempotent, so this pins the per-batch-delta
+    discipline doing its job (the contrast with the HLL sink's
+    by-algebra safety)."""
+    from org_revue_de_presse_trends_spark.operators.histogram import (
+        histogram,
+        histogram_quantiles_of,
+    )
+    from org_revue_de_presse_trends_spark.streaming.incremental import (
+        foreach_batch_histogram_quantiles,
+    )
+
+    ev = load_table(spark, SF, "events").select("event_type", "value")
+    sketch_path = str(tmp_path / "hist_sketch")
+    q_path = str(tmp_path / "hist_q")
+    run = foreach_batch_histogram_quantiles(
+        spark, sketch_path, q_path, width=5.0, compact_every=1
+    )
+    chunks = [
+        ev.filter(F.crc32(F.col("value").cast("string")) % 3 == i)
+        for i in range(3)
+    ]
+    run(chunks[0], 0)
+    run(chunks[0], 0)  # replay: delta overwrite absorbs it
+    run(chunks[1], 1)  # compaction fires
+    run(chunks[1], 1)  # replay after compaction + GC
+    run(chunks[2], 2)
+    got_bins = {
+        (r["event_type"], r["bin"]): r["c"]
+        for r in spark.read.parquet(f"{sketch_path}/compact/upto=2")
+        .unionByName(
+            spark.read.parquet(f"{sketch_path}/delta/batch_id=2")
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    }
+    want_bins = {
+        (r["event_type"], r["bin"]): r["c"]
+        for r in histogram(ev, "value", ["event_type"], width=5.0).collect()
+    }
+    assert got_bins == want_bins
+    got_q = {
+        r["event_type"]: (r["n"], r["q_0_5"], r["q_0_9"], r["q_0_99"])
+        for r in spark.read.parquet(q_path).collect()
+    }
+    want_q = {
+        r["event_type"]: (r["n"], r["q_0_5"], r["q_0_9"], r["q_0_99"])
+        for r in histogram_quantiles_of(
+            ev, "value", qs=(0.5, 0.9, 0.99),
+            group_cols=["event_type"], width=5.0,
+        ).collect()
+    }
+    assert got_q == want_q
