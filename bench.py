@@ -168,6 +168,7 @@ SECONDARY = [
     "doc_lm_kneser_ney",
     "doc_neardup_clustering",
     "value_moments_by_type",
+    "value_drift_psi",
 ]
 
 

@@ -229,3 +229,68 @@ def grouped_moments(
             m2 > 0, F.round(m4 / (m2 * m2) - F.lit(3.0), 9)
         ).alias("kurt_excess"),
     )
+
+
+def psi(
+    hist_p: DataFrame,
+    hist_q: DataFrame,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Population Stability Index between two histograms (the
+    train/serve drift metric: PSI < 0.1 stable, 0.1-0.25 moderate,
+    > 0.25 action) → (group_cols…, n_bins BIGINT, psi DOUBLE).
+
+        PSI = Σ_bins (pᵢ − qᵢ) · ln(pᵢ / qᵢ)
+
+    Zero-bin convention (pinned): add-one smoothing over the UNION bin
+    set — pᵢ = (cᵖᵢ + 1) / (nᵖ + B) with B the union bin count — so
+    every term is finite and the inputs to ln are exact-integer
+    ratios.  Cross-engine: per-bin terms are rounded to 10⁻⁶-scaled
+    longs BEFORE the sum (libm ln agrees at 6 dp — the
+    doc_token_entropy discipline), so the index reproduces
+    value-exactly in any engine.
+
+    One full-outer bin join + one aggregate per group; both sides are
+    |bins|-sized sketches, never the data."""
+    gcols = list(group_cols)
+    p = hist_p.select(
+        *gcols, "bin", F.col("c").alias("_cp")
+    )
+    q = hist_q.select(
+        *gcols, "bin", F.col("c").alias("_cq")
+    )
+    joined = p.join(q, [*gcols, "bin"], "full_outer").select(
+        *gcols,
+        "bin",
+        F.coalesce(F.col("_cp"), F.lit(0)).alias("_cp"),
+        F.coalesce(F.col("_cq"), F.lit(0)).alias("_cq"),
+    )
+    wn = Window.partitionBy(*gcols)
+    staged = joined.select(
+        *gcols,
+        "bin",
+        "_cp",
+        "_cq",
+        F.sum("_cp").over(wn).alias("_np"),
+        F.sum("_cq").over(wn).alias("_nq"),
+        F.count(F.lit(1)).over(wn).alias("_nb"),
+    )
+    pi = (F.col("_cp") + F.lit(1)).cast("double") / (
+        F.col("_np") + F.col("_nb")
+    ).cast("double")
+    qi = (F.col("_cq") + F.lit(1)).cast("double") / (
+        F.col("_nq") + F.col("_nb")
+    ).cast("double")
+    term = F.round((pi - qi) * F.log(pi / qi) * F.lit(1000000.0)).cast(
+        "long"
+    )
+    return (
+        staged.select(*gcols, F.col("_nb").alias("n_bins"), term.alias("_t"))
+        .groupBy(*gcols)
+        .agg(
+            F.max("n_bins").cast("long").alias("n_bins"),
+            F.round(
+                F.sum("_t").cast("double") / F.lit(1000000.0), 6
+            ).alias("psi"),
+        )
+    )

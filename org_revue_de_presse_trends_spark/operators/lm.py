@@ -278,10 +278,18 @@ def kneser_ney_doc_scores(
         .join(F.broadcast(cont), "w2", "left")
         .crossJoin(F.broadcast(glob))
     )
-    d = F.col("n_once").cast("double") / (
+    # pinned convention: a corpus with NO once- or twice-seen bigrams
+    # (tiny vocab at scale — every bigram count >= 3) has an undefined
+    # Ney discount; fall back to D = 0.5 instead of an ANSI 0/0
+    # (surfaced by the sf0.1 fixtures: 31-word vocab, n1 = n2 = 0)
+    d = F.when(
+        F.col("n_once") + F.lit(2) * F.col("n_twice") > 0,
         F.col("n_once").cast("double")
-        + F.lit(2.0) * F.col("n_twice").cast("double")
-    )
+        / (
+            F.col("n_once").cast("double")
+            + F.lit(2.0) * F.col("n_twice").cast("double")
+        ),
+    ).otherwise(F.lit(0.5))
     pcont = F.greatest(
         F.coalesce(F.col("n1p_w2"), F.lit(0)), F.lit(1)
     ).cast("double") / F.col("n1p_all").cast("double")

@@ -603,11 +603,20 @@ def value_histogram_quantiles(
         FROM c12 GROUP BY 1
     ),
     cont AS (SELECT w2, COUNT(*) AS n1p_w2 FROM c12 GROUP BY 1),
-    gstats AS (
+    gstats0 AS (
         SELECT COUNT(*) AS n1p_all,
                SUM(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS n_once,
                SUM(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS n_twice
         FROM c12
+    ),
+    gstats AS (
+        SELECT n1p_all,
+               CASE WHEN n_once + 2 * n_twice > 0 THEN
+                   CAST(n_once AS DOUBLE)
+                   / (CAST(n_once AS DOUBLE)
+                      + 2.0 * CAST(n_twice AS DOUBLE))
+               ELSE 0.5 END AS d
+        FROM gstats0
     ),
     sc AS (
         SELECT doc_id, string_split(text, ' ') AS t
@@ -622,13 +631,8 @@ def value_histogram_quantiles(
                CAST(ROUND(log10(
                    CASE WHEN h.cw1 IS NOT NULL THEN
                        (GREATEST(CAST(COALESCE(c.c12, 0) AS DOUBLE)
-                                 - (CAST(g.n_once AS DOUBLE)
-                                    / (CAST(g.n_once AS DOUBLE)
-                                       + 2.0 * CAST(g.n_twice AS DOUBLE))),
-                                 0.0)
-                        + (CAST(g.n_once AS DOUBLE)
-                           / (CAST(g.n_once AS DOUBLE)
-                              + 2.0 * CAST(g.n_twice AS DOUBLE)))
+                                 - g.d, 0.0)
+                        + g.d
                           * CAST(h.n1p_w1 AS DOUBLE)
                           * (CAST(GREATEST(COALESCE(ct.n1p_w2, 0), 1)
                                   AS DOUBLE)
@@ -743,3 +747,73 @@ def value_moments_by_type(
     return grouped_moments(
         ev, "value", group_cols=["event_type"], scale=10**3
     )
+
+
+@query(
+    "value_drift_psi",
+    """
+    WITH hp AS (
+        SELECT event_type, CAST(FLOOR(value / 5.0) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    hg AS (
+        SELECT CAST(FLOOR(value / 5.0) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    ts AS (SELECT DISTINCT event_type FROM events),
+    hq AS (SELECT ts.event_type, hg.bin, hg.c FROM ts, hg),
+    j AS (
+        SELECT COALESCE(p.event_type, q.event_type) AS event_type,
+               COALESCE(p.bin, q.bin) AS bin,
+               COALESCE(p.c, 0) AS cp, COALESCE(q.c, 0) AS cq
+        FROM hp p FULL OUTER JOIN hq q
+          ON q.event_type = p.event_type AND q.bin = p.bin
+    ),
+    s AS (
+        SELECT event_type, bin, cp, cq,
+               SUM(cp) OVER (PARTITION BY event_type) AS np,
+               SUM(cq) OVER (PARTITION BY event_type) AS nq,
+               COUNT(*) OVER (PARTITION BY event_type) AS nb
+        FROM j
+    ),
+    t AS (
+        SELECT event_type, nb,
+               CAST(ROUND(
+                   (CAST(cp + 1 AS DOUBLE) / CAST(np + nb AS DOUBLE)
+                    - CAST(cq + 1 AS DOUBLE) / CAST(nq + nb AS DOUBLE))
+                   * ln((CAST(cp + 1 AS DOUBLE) / CAST(np + nb AS DOUBLE))
+                        / (CAST(cq + 1 AS DOUBLE)
+                           / CAST(nq + nb AS DOUBLE)))
+                   * 1000000.0) AS BIGINT) AS tt
+        FROM s
+    )
+    SELECT event_type, CAST(MAX(nb) AS BIGINT) AS n_bins,
+           CAST(ROUND(CAST(SUM(tt) AS DOUBLE) / 1000000.0, 6)
+                AS DOUBLE) AS psi
+    FROM t GROUP BY 1
+    """,
+)
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each event type's value
+    distribution against the global one (operators/histogram.psi) —
+    the segment-drift report an ML-ops pipeline runs on every feature:
+    PSI < 0.1 stable, > 0.25 action.  Add-one smoothing over the union
+    bin set keeps every term finite (convention pinned in the
+    operator); per-bin terms round to 10⁻⁶-scaled longs before the
+    exact sum (the entropy discipline), so the index reproduces
+    value-exactly in DuckDB.
+
+    Scale: both sides are |bins|-row histogram sketches — computing
+    drift between two 100 TB snapshots costs two histogram passes plus
+    a |bins|-sized join, and per-day histograms are already maintained
+    by the streaming sink."""
+    from ..operators.histogram import histogram, psi
+
+    ev = load_table(spark, sf_dir, "events")
+    hp = histogram(ev, "value", ["event_type"], width=5.0)
+    hg = histogram(ev, "value", [], width=5.0)
+    types = ev.select("event_type").distinct()
+    hq = types.crossJoin(hg)
+    return psi(hp, hq, ["event_type"])

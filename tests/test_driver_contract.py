@@ -256,7 +256,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "doc_exact_substring_dedup", "doc_span_dedup_keep_first",
         "user_heavy_hitters_cms", "doc_lm_stupid_backoff",
         "doc_bloom_contamination", "doc_lm_kneser_ney",
-        "value_moments_by_type",
+        "value_moments_by_type", "value_drift_psi",
         "doc_bm25_rarest_terms", "doc_token_chunks",
         "doc_nfc_normalization",
         "customer_directory_fuzzy_link",

@@ -195,3 +195,64 @@ class TestMoments:
         }
         assert got["a"] == (0.0, None, None)
         assert got["b"][0] == 0.25 and got["b"][1] == 0.0
+
+
+class TestPSI:
+    def test_identical_distributions_near_zero(self, spark):
+        from org_revue_de_presse_trends_spark.operators.histogram import (
+            histogram,
+            psi,
+        )
+
+        df = _df(spark, VALUES)
+        h = histogram(df, "value", width=4.0)
+        row = psi(h, h).collect()[0]
+        assert row["psi"] == 0.0  # identical histograms: every term 0
+
+    def test_shifted_distribution_flags_drift(self, spark):
+        from org_revue_de_presse_trends_spark.operators.histogram import (
+            histogram,
+            psi,
+        )
+
+        a = _df(spark, VALUES)
+        b = _df(spark, [v + 40.0 for v in VALUES])  # hard shift
+        row = psi(
+            histogram(a, "value", width=4.0),
+            histogram(b, "value", width=4.0),
+        ).collect()[0]
+        assert row["psi"] > 0.25  # the standard "action" threshold
+
+    def test_matches_python_mirror_exactly(self, spark):
+        import math
+
+        from org_revue_de_presse_trends_spark.operators.histogram import (
+            histogram,
+            psi,
+        )
+
+        a_vals = VALUES[:200]
+        b_vals = [v * 1.2 for v in VALUES[200:]]
+        row = psi(
+            histogram(_df(spark, a_vals), "value", width=8.0),
+            histogram(_df(spark, b_vals), "value", width=8.0),
+        ).collect()[0]
+
+        def bins(vals):
+            out = {}
+            for v in vals:
+                b = math.floor(v / 8.0)
+                out[b] = out.get(b, 0) + 1
+            return out
+
+        bp, bq = bins(a_vals), bins(b_vals)
+        union = sorted(set(bp) | set(bq))
+        nb = len(union)
+        np_, nq_ = sum(bp.values()), sum(bq.values())
+        s = 0
+        for b in union:
+            pi = float(bp.get(b, 0) + 1) / float(np_ + nb)
+            qi = float(bq.get(b, 0) + 1) / float(nq_ + nb)
+            s += round((pi - qi) * math.log(pi / qi) * 1000000.0)
+        assert row["n_bins"] == nb
+        assert row["psi"] == round(s / 1000000.0, 6)
