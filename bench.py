@@ -169,6 +169,8 @@ SECONDARY = [
     "doc_neardup_clustering",
     "value_moments_by_type",
     "value_drift_psi",
+    "orders_quality_report",
+    "value_ks_click_vs_purchase",
 ]
 
 

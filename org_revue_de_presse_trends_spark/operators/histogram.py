@@ -294,3 +294,65 @@ def psi(
             ).alias("psi"),
         )
     )
+
+
+def ks_statistic(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic → one row
+    (n_a BIGINT, n_b BIGINT, ks_stat DOUBLE):
+    D = max over distinct values of |F_A(v) − F_B(v)| with both ECDFs
+    evaluated AFTER all ties at v (the standard convention — counting
+    per distinct value makes ties a non-issue).
+
+    The nonparametric drift check beside PSI: no binning convention,
+    no smoothing, but it needs a total order — one window cumsum over
+    the DISTINCT value set (explicit ROWS frame, value is the unique
+    order key — house invariant).  At 100 TB the distinct set itself
+    is the bottleneck: this is the VALIDATOR; the scale path is the
+    same statistic over histogram bins (compose with ``histogram`` —
+    binned ECDFs differ from exact by ≤ the bin mass).
+
+    Cross-engine: counts are exact longs; each candidate D is one
+    pinned IEEE expression rounded to 9 dp; MAX over identical sets is
+    engine-independent."""
+    a = df_a.select(
+        F.col(value_col).alias("value"),
+        F.lit(1).alias("_ia"),
+        F.lit(0).alias("_ib"),
+    ).filter(F.col("value").isNotNull())
+    b = df_b.select(
+        F.col(value_col).alias("value"),
+        F.lit(0).alias("_ia"),
+        F.lit(1).alias("_ib"),
+    ).filter(F.col("value").isNotNull())
+    g = (
+        a.unionByName(b)
+        .groupBy("value")
+        .agg(
+            F.sum("_ia").cast("long").alias("ca"),
+            F.sum("_ib").cast("long").alias("cb"),
+        )
+    )
+    tot = g.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.select(
+        "value",
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+    ).crossJoin(F.broadcast(tot))
+    d = F.round(
+        F.abs(
+            F.col("cuma").cast("double") / F.col("n_a").cast("double")
+            - F.col("cumb").cast("double") / F.col("n_b").cast("double")
+        ),
+        9,
+    )
+    return c.groupBy("n_a", "n_b").agg(F.max(d).alias("ks_stat"))

@@ -817,3 +817,130 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     types = ev.select("event_type").distinct()
     hq = types.crossJoin(hg)
     return psi(hp, hq, ["event_type"])
+
+
+@query(
+    "orders_quality_report",
+    """
+    WITH w AS (
+        SELECT
+            ROUND(CAST(COUNT(o_custkey) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE), 9) AS m0,
+            ROUND(CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE), 9) AS m1,
+            ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 9) AS m2,
+            ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 9) AS m3,
+            ROUND(CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE), 9) AS m4,
+            CAST(COUNT(*) AS DOUBLE) AS m5
+        FROM orders
+    )
+    SELECT 'completeness>=1.0' AS constraint, 'o_custkey' AS "column",
+           m0 AS metric, m0 >= 1.0 AS passed FROM w
+    UNION ALL SELECT 'uniqueness>=1.0', 'o_orderkey', m1, m1 >= 1.0 FROM w
+    UNION ALL SELECT 'min>=0.0', 'o_totalprice', m2, m2 >= 0.0 FROM w
+    UNION ALL SELECT 'max<=600000.0', 'o_totalprice', m3,
+                     m3 <= 600000.0 FROM w
+    UNION ALL SELECT 'accepted_values>=1.0', 'o_orderstatus', m4,
+                     m4 >= 1.0 FROM w
+    UNION ALL SELECT 'non_empty', '*', m5, m5 >= 1.0 FROM w
+    """,
+)
+def orders_quality_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Declarative data-quality constraint report over orders
+    (operators/checks.py — the Deequ model, Schelter et al. VLDB'18):
+    completeness, key uniqueness, value bounds, accepted domains, and
+    non-emptiness, ALL computed in one aggregate pass and emitted as
+    (constraint, column, metric, passed) rows — the gate a training
+    pipeline runs on every ingest before anything downstream touches
+    the data.
+
+    Cross-engine: metrics are exact counts/mins/maxes and pinned
+    9 dp ratios — the whole report reproduces value-exactly in
+    DuckDB.  Scale: N constraints = one scan + one map-side-combined
+    aggregate, never N scans."""
+    from ..operators.checks import (
+        accepted_values,
+        completeness,
+        max_bound,
+        min_bound,
+        non_empty,
+        quality_report,
+        uniqueness,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return quality_report(
+        orders,
+        [
+            completeness("o_custkey"),
+            uniqueness(["o_orderkey"]),
+            min_bound("o_totalprice", 0.0),
+            max_bound("o_totalprice", 600000.0),
+            accepted_values("o_orderstatus", ["O", "F", "P"]),
+            non_empty(),
+        ],
+    )
+
+
+@query(
+    "value_ks_click_vs_purchase",
+    """
+    WITH a AS (
+        SELECT value FROM events
+        WHERE event_type = 'click' AND value IS NOT NULL
+    ),
+    b AS (
+        SELECT value FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    u AS (
+        SELECT value, 1 AS ia, 0 AS ib FROM a
+        UNION ALL SELECT value, 0 AS ia, 1 AS ib FROM b
+    ),
+    g AS (
+        SELECT value, CAST(SUM(ia) AS BIGINT) AS ca,
+               CAST(SUM(ib) AS BIGINT) AS cb
+        FROM u GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+               CAST(SUM(cb) AS BIGINT) AS n_b
+        FROM g
+    ),
+    c AS (
+        SELECT CAST(SUM(ca) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cuma,
+               CAST(SUM(cb) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cumb
+        FROM g
+    )
+    SELECT t.n_a, t.n_b,
+           (SELECT MAX(ROUND(ABS(
+                CAST(cuma AS DOUBLE) / CAST(t.n_a AS DOUBLE)
+                - CAST(cumb AS DOUBLE) / CAST(t.n_b AS DOUBLE)), 9))
+            FROM c) AS ks_stat
+    FROM tot t
+    """,
+)
+def value_ks_click_vs_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the click
+    and purchase value distributions (operators/histogram.ks_statistic)
+    — the binning-free drift check beside value_drift_psi.  Counts are
+    exact longs, each ECDF gap one pinned IEEE expression rounded to
+    9 dp, MAX over an identical set — value-exact in DuckDB."""
+    from ..operators.histogram import ks_statistic
+
+    ev = load_table(spark, sf_dir, "events")
+    return ks_statistic(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+    )

@@ -256,3 +256,42 @@ class TestPSI:
             s += round((pi - qi) * math.log(pi / qi) * 1000000.0)
         assert row["n_bins"] == nb
         assert row["psi"] == round(s / 1000000.0, 6)
+
+
+class TestKS:
+    def test_matches_python_reference_exactly(self, spark):
+        from org_revue_de_presse_trends_spark.operators.histogram import (
+            ks_statistic,
+        )
+
+        a_vals = [((i * 13) % 47) / 2.0 for i in range(120)]
+        b_vals = [((i * 7) % 53) / 2.0 + 3.0 for i in range(90)]
+        a = _df(spark, a_vals)
+        b = _df(spark, b_vals)
+        row = ks_statistic(a, b).collect()[0]
+        # python mirror: ECDF gap evaluated at every distinct value
+        pts = sorted(set(a_vals) | set(b_vals))
+        na, nb = len(a_vals), len(b_vals)
+        want = max(
+            round(
+                abs(
+                    sum(1 for x in a_vals if x <= v) / na
+                    - sum(1 for x in b_vals if x <= v) / nb
+                ),
+                9,
+            )
+            for v in pts
+        )
+        assert (row["n_a"], row["n_b"]) == (na, nb)
+        assert row["ks_stat"] == pytest.approx(want, abs=2e-9)
+
+    def test_identical_samples_zero_and_disjoint_one(self, spark):
+        from org_revue_de_presse_trends_spark.operators.histogram import (
+            ks_statistic,
+        )
+
+        a = _df(spark, VALUES[:100])
+        assert ks_statistic(a, a).collect()[0]["ks_stat"] == 0.0
+        lo = _df(spark, [float(v) for v in range(50)])
+        hi = _df(spark, [float(v) + 1000.0 for v in range(50)])
+        assert ks_statistic(lo, hi).collect()[0]["ks_stat"] == 1.0
