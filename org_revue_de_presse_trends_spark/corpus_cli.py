@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "(0 disables chunk+pack)")
     p.add_argument("--chunk-size", type=int, default=50)
     p.add_argument("--chunk-overlap", type=int, default=10)
+    p.add_argument("--quality-gate", action="store_true",
+                   help="run the declarative constraint suite "
+                   "(operators/checks.py) on the INPUT before any "
+                   "curation; a failed constraint aborts with exit "
+                   "code 2 and prints the report — nothing is written")
     p.add_argument("--master", default=None)
     return p
 
@@ -173,6 +178,34 @@ def main(argv: list[str] | None = None,
         from .operators.packing import pack_sequences
 
         docs = load_table(spark, args.source_dir, "documents")
+        quality = None
+        if args.quality_gate:
+            from .operators.checks import (
+                completeness,
+                non_empty,
+                quality_report,
+                uniqueness,
+            )
+
+            quality = [
+                r.asDict()
+                for r in quality_report(
+                    docs,
+                    [
+                        completeness("doc_id"),
+                        completeness("text"),
+                        uniqueness(["doc_id"]),
+                        non_empty(),
+                    ],
+                ).collect()
+            ]
+            if not all(r["passed"] for r in quality):
+                print(
+                    json.dumps(
+                        {"gate": "FAILED", "quality_report": quality}
+                    )
+                )
+                return 2
         benchmark = None
         if args.benchmark_parquet:
             raw = spark.read.parquet(args.benchmark_parquet)
@@ -241,6 +274,8 @@ def main(argv: list[str] | None = None,
                 os.path.join(args.out_dir, "packed_chunks")
             )
             funnel["packed_chunks"] = out.count()
+        if quality is not None:
+            funnel["quality_report"] = quality
         report = json.dumps(funnel)
         with open(os.path.join(args.out_dir, "funnel.json"), "w") as f:
             f.write(report + "\n")

@@ -88,3 +88,53 @@ def test_prepare_corpus_span_decontamination_rewrites_text(spark, tmp_path):
     bench_texts = {r["text"] for r in bench.collect()}
     for r in spans.select("text").collect():
         assert all(bt not in r["text"] for bt in bench_texts)
+
+
+def test_quality_gate_passes_and_reports(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    rc = main(
+        [
+            "--source-dir", SF,
+            "--out-dir", out,
+            "--lsh-threshold", "0",
+            "--no-gopher",
+            "--quality-gate",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    funnel = json.load(open(os.path.join(out, "funnel.json")))
+    rep = {
+        (r["constraint"], r["column"]): r["passed"]
+        for r in funnel["quality_report"]
+    }
+    assert all(rep.values())
+    assert ("uniqueness>=1.0", "doc_id") in rep
+
+
+def test_quality_gate_aborts_on_violation(spark, tmp_path, capsys):
+    # corrupt copy: duplicate every doc_id -> uniqueness fails
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "bad_src")
+    os.makedirs(src)
+    pdf = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    doubled = pa.Table.from_pandas(
+        __import__("pandas").concat([pdf, pdf], ignore_index=True)
+    )
+    # single parquet FILE, matching the fixture layout load_table reads
+    pq.write_table(doubled, f"{src}/documents.parquet")
+    out = str(tmp_path / "corpus_bad")
+    rc = main(
+        ["--source-dir", src, "--out-dir", out, "--quality-gate"],
+        spark=spark,
+    )
+    assert rc == 2
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["gate"] == "FAILED"
+    failed = [
+        r for r in payload["quality_report"] if not r["passed"]
+    ]
+    assert any(r["constraint"].startswith("uniqueness") for r in failed)
+    assert not os.path.exists(out)  # nothing written past the gate
