@@ -171,6 +171,7 @@ SECONDARY = [
     "value_drift_psi",
     "orders_quality_report",
     "value_ks_click_vs_purchase",
+    "orders_profile",
 ]
 
 

@@ -139,3 +139,65 @@ def quality_report(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
     return wide.select(F.explode(F.array(*structs)).alias("r")).select(
         "r.constraint", "r.column", "r.metric", "r.passed"
     )
+
+
+def profile_table(df: DataFrame) -> DataFrame:
+    """Generic per-column profile — the DISCOVERY companion to the
+    constraint checks: (column, dtype, n BIGINT, n_null BIGINT,
+    n_distinct BIGINT, min_value DOUBLE, max_value DOUBLE), one row
+    per column, ALL from one aggregate pass.
+
+    min/max are populated for numeric columns only (rounded to 6 dp
+    after a double cast — cross-engine string rendering of decimals
+    and dates is not pinned, doubles are); n_distinct counts non-null
+    values (count-distinct SQL semantics).  The profile a pipeline
+    writes next to every snapshot so schema or cardinality drift is a
+    diff, not an investigation."""
+    from pyspark.sql import types as T
+
+    numeric = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType,
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for f in df.schema.fields:
+        c = f.name
+        aggs.append(F.count(F.col(c)).cast("long").alias(f"_nn_{c}"))
+        aggs.append(
+            F.countDistinct(F.col(c)).cast("long").alias(f"_nd_{c}")
+        )
+        if isinstance(f.dataType, numeric):
+            aggs.append(
+                F.round(F.min(F.col(c)).cast("double"), 6).alias(
+                    f"_mn_{c}"
+                )
+            )
+            aggs.append(
+                F.round(F.max(F.col(c)).cast("double"), 6).alias(
+                    f"_mx_{c}"
+                )
+            )
+    wide = df.agg(*aggs)
+    structs = []
+    for f in df.schema.fields:
+        c = f.name
+        is_num = isinstance(f.dataType, numeric)
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(f.dataType.simpleString()).alias("dtype"),
+                F.col("_n").alias("n"),
+                (F.col("_n") - F.col(f"_nn_{c}")).alias("n_null"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                (
+                    F.col(f"_mn_{c}") if is_num else F.lit(None).cast("double")
+                ).alias("min_value"),
+                (
+                    F.col(f"_mx_{c}") if is_num else F.lit(None).cast("double")
+                ).alias("max_value"),
+            )
+        )
+    return wide.select(F.explode(F.array(*structs)).alias("r")).select(
+        "r.column", "r.dtype", "r.n", "r.n_null", "r.n_distinct",
+        "r.min_value", "r.max_value",
+    )

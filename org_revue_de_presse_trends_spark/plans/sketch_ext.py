@@ -944,3 +944,50 @@ def value_ks_click_vs_purchase(
         ev.filter(F.col("event_type") == "purchase"),
         "value",
     )
+
+
+def _profile_oracle() -> str:
+    cols = [
+        ("o_orderkey", "bigint", True),
+        ("o_custkey", "bigint", True),
+        ("o_orderstatus", "string", False),
+        ("o_totalprice", "double", True),
+        ("o_orderdate", "timestamp", False),
+        ("o_orderpriority", "string", False),
+    ]
+    aggs, rows = [], []
+    for c, dt, num in cols:
+        aggs.append(f"CAST(COUNT({c}) AS BIGINT) AS nn_{c}")
+        aggs.append(f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c}")
+        if num:
+            aggs.append(f"ROUND(CAST(MIN({c}) AS DOUBLE), 6) AS mn_{c}")
+            aggs.append(f"ROUND(CAST(MAX({c}) AS DOUBLE), 6) AS mx_{c}")
+        mn = f"mn_{c}" if num else "CAST(NULL AS DOUBLE)"
+        mx = f"mx_{c}" if num else "CAST(NULL AS DOUBLE)"
+        rows.append(
+            f"SELECT '{c}' AS \"column\", '{dt}' AS dtype, n,"
+            f" n - nn_{c} AS n_null, nd_{c} AS n_distinct,"
+            f" {mn} AS min_value, {mx} AS max_value FROM w"
+        )
+    agg_sql = ",\n               ".join(
+        ["CAST(COUNT(*) AS BIGINT) AS n"] + aggs
+    )
+    return (
+        f"WITH w AS (SELECT {agg_sql} FROM orders)\n    "
+        + "\n    UNION ALL ".join(rows)
+    )
+
+
+@query("orders_profile", _profile_oracle())
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic per-column profile of orders
+    (operators/checks.profile_table) — counts, null counts, distinct
+    cardinalities, and numeric min/max for every column in ONE
+    aggregate pass: the snapshot artifact that turns schema or
+    cardinality drift into a diff.  min/max emitted as rounded doubles
+    for numeric columns only (cross-engine string rendering of
+    timestamps is not pinned; doubles are) — the whole profile
+    value-exact in DuckDB."""
+    from ..operators.checks import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "orders"))

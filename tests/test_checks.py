@@ -97,3 +97,30 @@ class TestChecks:
         df = spark.createDataFrame([(1,)], "k long")
         with pytest.raises(ValueError):
             quality_report(df, [])
+
+
+class TestProfile:
+    def test_profile_metrics_and_single_pass(self, spark):
+        from org_revue_de_presse_trends_spark.operators.checks import (
+            profile_table,
+        )
+
+        rows = [
+            (1, "a", 5.0),
+            (2, None, -1.5),
+            (2, "c", None),
+        ]
+        df = spark.createDataFrame(rows, "k long, name string, v double")
+        prof = profile_table(df)
+        got = {
+            r["column"]: (
+                r["dtype"], r["n"], r["n_null"], r["n_distinct"],
+                r["min_value"], r["max_value"],
+            )
+            for r in prof.collect()
+        }
+        assert got["k"] == ("bigint", 3, 0, 2, 1.0, 2.0)
+        assert got["name"] == ("string", 3, 1, 2, None, None)
+        assert got["v"] == ("double", 3, 1, 2, -1.5, 5.0)
+        plan = prof._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("LogicalRDD") == 1  # one scan for all columns

@@ -258,6 +258,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "doc_bloom_contamination", "doc_lm_kneser_ney",
         "value_moments_by_type", "value_drift_psi",
         "orders_quality_report", "value_ks_click_vs_purchase",
+        "orders_profile",
         "doc_bm25_rarest_terms", "doc_token_chunks",
         "doc_nfc_normalization",
         "customer_directory_fuzzy_link",
