@@ -26,7 +26,14 @@ cum(b) = rows in bins below b, the covering bin is the unique one with
 
 — the mid-rank convention: ranks inside a bin are spread uniformly at
 half-offsets, so a bin holding one row estimates its value at the bin
-midpoint.  |error| ≤ width/2 always, exact as width → 0."""
+midpoint.  Guarantee: the estimate lands in the covering bin, which
+also contains the rank-⌊t⌋ order statistic — so it is within ONE bin
+width of that data value, and converges to the interpolated
+percentile as width → 0 for densely-sampled data.  (Against the
+INTERPOLATED percentile of sparse data no width bound exists:
+interpolation between two distant points can sit far from every data
+value — a hypothesis-found counterexample [0, −1.125], q=0.25 is
+pinned in tests.)"""
 
 from __future__ import annotations
 
@@ -86,7 +93,8 @@ def histogram_quantiles(
     (t = q·(n−1) compared via scaled arithmetic in doubles — one
     pinned tree), and the estimate interpolates at mid-rank offsets:
     ``(bin·width) + width·((t − cum_before + 0.5) / c)``, rounded to
-    9 dp.  |error| ≤ width/2.
+    9 dp.  Within one bin width of the rank-⌊t⌋ order statistic (see
+    the module docstring for the exact guarantee).
 
     Shuffle shape: the window and the aggregate are both keyed by the
     group — one exchange of |bins| rows per group, never the values.

@@ -561,8 +561,9 @@ def value_histogram_quantiles(
     """Histogram-sketch quantiles per event type
     (operators/histogram.py): fixed-width bins (exact long counts,
     merge-by-sum), p50/p90/p99 by mid-rank interpolation inside the
-    covering bin — every estimate within width/2 of the exact
-    percentile, and the whole pipeline (bins, cumsums, one pinned
+    covering bin — every estimate within one bin width of the
+    covering order statistic (the honest bound; see
+    operators/histogram.py), and the whole pipeline (bins, cumsums, one pinned
     interpolation tree) reproduces value-exactly in DuckDB.
 
     Scale: q:value_percentiles_exact is the VALIDATOR — exact

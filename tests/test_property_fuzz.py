@@ -627,11 +627,13 @@ def test_histogram_quantile_matches_python_fuzz(spark, values, width, q):
             break
         cum += c
     assert row[label] == want
+    # honest accuracy bound: the estimate shares a bin with the
+    # rank-floor(t) order statistic (NOT the interpolated percentile —
+    # interpolation between sparse points can sit far from any data
+    # value; hypothesis found [0.0, -1.125], q=0.25)
     s = sorted(values)
-    lo = int(math.floor(t))
-    hi = min(lo + 1, n - 1)
-    exact = s[lo] + (t - lo) * (s[hi] - s[lo])
-    assert abs(row[label] - exact) <= width / 2 + 1e-6
+    v_k = s[int(math.floor(t))]
+    assert abs(row[label] - v_k) <= width + 1e-6
 
 
 @settings(max_examples=4, deadline=None)
