@@ -194,12 +194,20 @@ def doc_centrality_pagerank(
     from ..operators import dedup as D
     from ..operators.graph import weighted_pagerank
 
-    pairs = D.shingle_pairs_overlap(
-        load_table(spark, sf_dir, "documents"),
-        block_cols=["source"],
-        k=3,
-        threshold=0.1,
-    ).select("id_a", "id_b")
+    # the symmetrizing union reads `pairs` from TWO branches; the
+    # containment join's exchange is only partially reused across
+    # them, so materialize the small pair list once (A/B best-of-3 at
+    # sf0.1: 2.88 → 2.48 s)
+    pairs = (
+        D.shingle_pairs_overlap(
+            load_table(spark, sf_dir, "documents"),
+            block_cols=["source"],
+            k=3,
+            threshold=0.1,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
     edges = (
         pairs.select(
             F.col("id_a").alias("src"), F.col("id_b").alias("dst")
