@@ -25,34 +25,37 @@ def entry(spark: SparkSession) -> DataFrame:
     return plans.QUERIES["daily_top_events"](spark, "/root/testdata/sf0.001")
 
 
-#: r7 driver-window rotation (r6 verdict item 6): the driver
-#: re-generates fixtures between rounds, so oracled queries that sit
-#: permanently past its 50-slot window would only catch cross-engine
-#: drift via the in-repo sf0.01 gate.  These eight overflow-oracled
-#: queries move INTO the window this round (emitted first), displacing
-#: eight golden-stable veterans (green in every driver artifact since
-#: r4) into the overflow set.  tests/test_driver_contract.py pins both
-#: resulting sets.
+#: Driver-window rotation (r6 verdict item 6, continued per round):
+#: the driver re-generates fixtures between rounds, so oracled queries
+#: that sit permanently past its 50-slot window would only catch
+#: cross-engine drift via the in-repo sf0.01 gate.  Each round the
+#: next batch of overflow-oracled queries moves INTO the window
+#: (emitted first); the previous rotation returns to registration
+#: order.  tests/test_driver_contract.py pins both resulting sets.
+#:
+#: r8 batch (r7 verdict item 5): the remaining r7-era families —
+#: sketches (CMS/KS/PSI/moments), record linkage, ExactSubstr dedup,
+#: both LM scorers, the funnel/retention quartet, triangle clustering,
+#: and the Deequ-style quality report.  The r7 batch (edit-distance,
+#: scd2/merge, hll/bootstrap/histogram/pca/pagerank...) proved
+#: rotation-stable against regenerated fixtures and returns to
+#: overflow; the r7b six (hll..centrality) registered past the window
+#: natively, so they stay overflow-gated too.
 WINDOW_ROTATION = [
-    "split_leakage_counts",
-    "source_overlap_kmv",
-    "events_zorder_keys",
-    "doc_boilerplate_removal",
-    "dedup_edit_distance",
-    "dedup_edit_distance_bounded",
-    "user_event_type_scd2",
-    "customer_state_merge",
-    # r7b: the six operator families added late in round 7 rotate
-    # straight into the window so the driver's own artifact exercises
-    # them against regenerated fixtures; six r1-era golden-stable
-    # veterans (doc token/quality/lang/chunks/vocab stats + rolling
-    # revenue) move to the in-repo-gated overflow in exchange.
-    "orders_hll_distinct_custkeys",
-    "value_bootstrap_ci",
-    "value_histogram_quantiles",
-    "embedding_pca_covariance",
-    "event_type_pagerank",
-    "doc_centrality_pagerank",
+    "user_heavy_hitters_cms",
+    "value_ks_click_vs_purchase",
+    "value_drift_psi",
+    "value_moments_by_type",
+    "customer_directory_fuzzy_link",
+    "doc_exact_substring_dedup",
+    "doc_lm_kneser_ney",
+    "doc_lm_stupid_backoff",
+    "funnel_view_click_purchase",
+    "user_retention_cohorts",
+    "event_type_transitions",
+    "funnel_sliding_window",
+    "doc_neardup_clustering",
+    "orders_quality_report",
 ]
 
 

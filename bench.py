@@ -104,11 +104,15 @@ HEADLINE = [
 ]
 
 #: the long tail — every registered query not in HEADLINE (cheap
-#: relational/text shapes), timed FIRST so the headline warm map stays
-#: in the driver-archived tail window.  Their timings live under
-#: "queries_secondary" (sacrificial head zone + bench_full.json), so a
-#: regression here is visible between rounds without disturbing the
-#: round-over-round comparability of "value"/"queries".
+#: relational/text shapes), timed AFTER the headline section (r7
+#: revert: r6's secondary-first ordering heat-soaked the JVM and
+#: inflated three headline queries 1.2-1.5×).  Their timings live
+#: under "queries_secondary" (sacrificial head zone of the PAYLOAD +
+#: bench_full.json — field order, not execution order, drives the
+#: driver's tail archiving), so a regression here is visible between
+#: rounds without disturbing the round-over-round comparability of
+#: "value"/"queries".  Completeness is ASSERTED at the top of main():
+#: HEADLINE ∪ SECONDARY must equal the registry, disjointly.
 SECONDARY = [
     "events_json_extract",
     "orders_of_building_semi",
@@ -263,14 +267,24 @@ def timed_collect(
 
 def _cpu_calibration() -> float:
     """Fixed pure-Python workload, timed immediately before AND after
-    the suite (both reported): the host is a shared VM with visible
-    steal time (identical runs vary ±50%), so absolute query timings
-    are only comparable across rounds after normalizing by these."""
+    the suite (both reported) and INTERLEAVED every CALIB_EVERY
+    queries (r7 lesson: one end-pair cannot attribute which queries a
+    mid-run noise burst hit — the driver's r7 host degraded 0.616 →
+    0.993 within one run and 29 queries read >15% "regressed" on what
+    was host noise): the host is a shared VM with visible steal time
+    (identical runs vary ±50%), so absolute query timings are only
+    comparable across rounds after normalizing by the calibration
+    sample nearest to them in ``cpu_calib_series``."""
     t0 = time.perf_counter()
     s = 0
     for i in range(10_000_000):
         s += i * i
     return round(time.perf_counter() - t0, 3)
+
+
+#: interleave one calibration sample every N suite queries;
+#: ``cpu_calib_series`` entries are [last_completed_query, sec]
+CALIB_EVERY = 20
 
 
 def build_payload(
@@ -283,6 +297,7 @@ def build_payload(
     calib_after: float,
     warm_secondary: dict | None = None,
     warm_retries: dict | None = None,
+    calib_series: list | None = None,
 ) -> dict:
     """Assemble the emitted dict.  FIELD ORDER MATTERS: the driver
     archives only the TAIL (last ~2000 chars) of the printed line, so
@@ -309,6 +324,10 @@ def build_payload(
         # after the suite brackets the measured window
         "cpu_calib_sec": calib_before,
         "cpu_calib_sec_after": calib_after,
+        # interleaved samples [[last_completed_query, sec], ...] — the
+        # per-window normalizer for round-over-round comparisons
+        # (sacrificial zone: full copy always in bench_full.json)
+        "cpu_calib_series": calib_series or [],
         "queries_secondary": warm_secondary,
         "secondary_total": round(sum(warm_secondary.values()), 3),
         "errors": errors,
@@ -320,6 +339,18 @@ def build_payload(
 
 
 def main() -> None:
+    # completeness gate: every registered query is benchmarked exactly
+    # once — a new registration missing from both lists must fail HERE,
+    # not silently go un-benchmarked (r7 ADVICE)
+    registered = set(plans.QUERIES)
+    overlap = set(HEADLINE) & set(SECONDARY)
+    missing = registered - set(HEADLINE) - set(SECONDARY)
+    unknown = (set(HEADLINE) | set(SECONDARY)) - registered
+    if overlap or missing or unknown:
+        raise SystemExit(
+            f"bench list drift: overlap={sorted(overlap)} "
+            f"missing={sorted(missing)} unknown={sorted(unknown)}"
+        )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     calib_before = _cpu_calibration()
@@ -373,7 +404,11 @@ def main() -> None:
         + [(n, fn, True) for n, fn in EXTRA_BENCH_ONLY.items()]
     )
     suite_fns = [(n, fn) for n, fn, _ in suite]
-    for name, fn, is_secondary in suite:
+    calib_series: list[list] = []
+    for qi, (name, fn, is_secondary) in enumerate(suite):
+        if qi and qi % CALIB_EVERY == 0:
+            calib_series.append([prev_name, _cpu_calibration()])
+        prev_name = name
         try:
             sink = warm_secondary if is_secondary else warm
             t0 = time.perf_counter()
@@ -467,7 +502,7 @@ def main() -> None:
     calib_after = _cpu_calibration()
     payload = build_payload(
         sf, query_io, cold, warm, errors, calib_before, calib_after,
-        warm_secondary, warm_retries,
+        warm_secondary, warm_retries, calib_series,
     )
     try:
         here = os.path.dirname(os.path.abspath(__file__))

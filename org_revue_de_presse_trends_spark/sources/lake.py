@@ -152,6 +152,7 @@ def compact_small_files(
     "bytes_compacted"}``.
     """
     import math
+    from urllib.parse import unquote
 
     from pyspark.sql import functions as F
 
@@ -180,9 +181,15 @@ def compact_small_files(
         n_out = max(1, math.ceil(total / float(target_bytes)))
         if len(files) > n_out:
             # str(leaf) may carry a filesystem scheme (file:/...) the
-            # root string lacks — key off the trailing hive segments
+            # root string lacks — key off the trailing hive segments.
+            # Hive URL-escapes special chars in partition VALUES
+            # (space, '%', '='...); unescape before the equality
+            # filter below or those partitions read-prune to empty
+            # and the rewrite silently no-ops.
             segs = str(leaf).split("/")[-len(partition_by):]
-            key = tuple(seg.split("=", 1)[1] for seg in segs)
+            key = tuple(
+                unquote(seg.split("=", 1)[1]) for seg in segs
+            )
             plan.append((key, len(files), total, n_out))
     if not plan:
         return {
@@ -212,7 +219,7 @@ def compact_small_files(
     compacted_keys = {k for k, _, _, _ in plan}
     for leaf in _leaf_dirs(root, len(partition_by)):
         segs = str(leaf).split("/")[-len(partition_by):]
-        key = tuple(seg.split("=", 1)[1] for seg in segs)
+        key = tuple(unquote(seg.split("=", 1)[1]) for seg in segs)
         if key in compacted_keys:
             files_after += sum(
                 1

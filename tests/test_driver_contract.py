@@ -170,23 +170,23 @@ def test_entry_smoke(spark):
 #: how many queries() entries the driver evaluates per round
 DRIVER_WINDOW = 50
 
-#: the frozen contents of that window.  r7 ROTATION (r6 verdict item
-#: 6): eight long-overflow oracled queries (__spark_entry__.
-#: WINDOW_ROTATION) lead the window this round so the driver's
-#: regenerated-fixture oracle exercises them; the eight displaced
-#: veterans (doc_top_tfidf_terms .. ann_cosine_topk — green in every
-#: driver artifact since r4) moved to the overflow set below, still
-#: gated by this file's per-query oracle test.  Changing the window
-#: is an explicit edit here, never a side effect of registering a new
-#: query.
+#: the frozen contents of that window.  r8 ROTATION (r7 verdict item
+#: 5): the fourteen r7-era overflow families (__spark_entry__.
+#: WINDOW_ROTATION — CMS/KS/PSI/moments sketches, fuzzy link,
+#: ExactSubstr, both LMs, the funnel quartet, triangle clustering,
+#: quality report) lead the window this round; the r7 rotation batch
+#: proved rotation-stable against regenerated fixtures and returned
+#: to the overflow set below, still gated by this file's per-query
+#: oracle test.  Changing the window is an explicit edit here, never
+#: a side effect of registering a new query.
 WINDOW_QUERIES = [
-    "split_leakage_counts", "source_overlap_kmv", "events_zorder_keys",
-    "doc_boilerplate_removal", "dedup_edit_distance",
-    "dedup_edit_distance_bounded", "user_event_type_scd2",
-    "customer_state_merge",
-    "orders_hll_distinct_custkeys", "value_bootstrap_ci",
-    "value_histogram_quantiles", "embedding_pca_covariance",
-    "event_type_pagerank", "doc_centrality_pagerank",
+    "user_heavy_hitters_cms", "value_ks_click_vs_purchase",
+    "value_drift_psi", "value_moments_by_type",
+    "customer_directory_fuzzy_link", "doc_exact_substring_dedup",
+    "doc_lm_kneser_ney", "doc_lm_stupid_backoff",
+    "funnel_view_click_purchase", "user_retention_cohorts",
+    "event_type_transitions", "funnel_sliding_window",
+    "doc_neardup_clustering", "orders_quality_report",
     "q1_pricing_summary", "q3_top_revenue_orders",
     "q5_supplier_nation_revenue", "daily_top_events",
     "events_daily_counts", "events_json_extract",
@@ -233,10 +233,12 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "doc_top_tfidf_terms", "dedup_exact_docs", "dedup_ngram_jaccard",
         "dedup_clusters", "embedding_near_dup", "corpus_selection",
         "doc_embedding_join", "ann_cosine_topk",
+        "split_leakage_counts",
         "orders_nearby_count",
         "doc_duplicate_spans", "token_bigram_pmi", "events_daily_dense",
         "doc_weighted_sample", "doc_pii_redaction",
         "source_ngram_overlap",
+        "source_overlap_kmv",
         "doc_unigram_surprisal",
         "doc_split_counts", "doc_dsir_importance", "doc_gopher_rules",
         "q9_profit_by_nation_year", "q14_promo_revenue_ratio",
@@ -246,23 +248,23 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "source_zipf_slope", "vocab_coverage_curve",
         "source_js_divergence", "doc_perplexity_buckets",
         "source_data_card", "doc_contrastive_negatives",
-        "event_type_daily_bursts", "funnel_view_click_purchase",
-        "user_retention_cohorts", "event_type_transitions",
-        "funnel_sliding_window",
+        "event_type_daily_bursts",
         "q4_priority_with_late_lines", "q6_forecast_revenue_change",
         "q8_market_share", "q17_small_quantity_revenue",
         "q21_waiting_suppliers", "q12_priority_by_lateness",
         "q20_excess_shippers", "q10_returned_item_customers",
-        "doc_exact_substring_dedup", "doc_span_dedup_keep_first",
-        "user_heavy_hitters_cms", "doc_lm_stupid_backoff",
-        "doc_bloom_contamination", "doc_lm_kneser_ney",
-        "value_moments_by_type", "value_drift_psi",
-        "orders_quality_report", "value_ks_click_vs_purchase",
+        "events_zorder_keys", "doc_boilerplate_removal",
+        "dedup_edit_distance", "dedup_edit_distance_bounded",
+        "doc_span_dedup_keep_first",
+        "user_event_type_scd2", "customer_state_merge",
+        "doc_bloom_contamination",
+        "orders_hll_distinct_custkeys", "value_bootstrap_ci",
+        "value_histogram_quantiles",
         "orders_profile",
         "doc_bm25_rarest_terms", "doc_token_chunks",
         "doc_nfc_normalization",
-        "customer_directory_fuzzy_link",
-        "doc_neardup_clustering",
+        "embedding_pca_covariance", "event_type_pagerank",
+        "doc_centrality_pagerank",
     ], f"unexpected overflow oracled set: {overflow}"
 
 

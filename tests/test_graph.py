@@ -128,6 +128,24 @@ class TestPageRank:
         with pytest.raises(ValueError):
             weighted_pagerank(df, damping=1.0)
 
+    def test_zero_weight_edges_dropped_not_divide_by_zero(self, spark):
+        # a source whose weights sum to 0 after the long cast (e.g.
+        # fractional weights < 0.5 truncating to 0) used to raise
+        # DIVIDE_BY_ZERO (ANSI) / ZeroDivisionError (fast path); such
+        # edges now drop, so 'z' is dangling and 'gone' (only in
+        # dropped edges) leaves the graph entirely
+        edges = [("a", "b", 2), ("z", "a", 0), ("z", "gone", 0)]
+        df = _edges_df(spark, edges)
+        for kw in ({}, {"small_graph_max": 0}):
+            got = {
+                r["node"]: r["rank_scaled"]
+                for r in weighted_pagerank(df, iterations=2, **kw).collect()
+            }
+            # 'z' and 'gone' appear only in dropped edges: the result
+            # is exactly the graph without them
+            want = _py_pagerank([("a", "b", 2)], iterations=2)
+            assert got == want
+
 
 class TestFastPath:
     def test_fastpath_equals_distributed_on_rounding_tie(self, spark):

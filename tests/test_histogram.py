@@ -316,6 +316,21 @@ class TestKS:
         assert (row["n_a"], row["n_b"]) == (na, nb)
         assert row["ks_stat"] == pytest.approx(want, abs=2e-9)
 
+    def test_empty_side_yields_null_not_divide_by_zero(self, spark):
+        # ANSI mode raises DIVIDE_BY_ZERO even for doubles; an empty
+        # side now yields NULL ks_stat (r7 ADVICE)
+        from org_revue_de_presse_trends_spark.operators.histogram import (
+            ks_statistic,
+        )
+
+        a = _df(spark, [1.0, 2.0, 3.0])
+        empty = _df(spark, [1.0]).filter("value > 99")
+        row = ks_statistic(a, empty).collect()[0]
+        assert (row["n_a"], row["n_b"]) == (3, 0)
+        assert row["ks_stat"] is None
+        # both sides empty: no distinct values at all -> zero rows
+        assert ks_statistic(empty, empty).collect() == []
+
     def test_identical_samples_zero_and_disjoint_one(self, spark):
         from org_revue_de_presse_trends_spark.operators.histogram import (
             ks_statistic,

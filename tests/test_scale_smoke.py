@@ -1041,3 +1041,120 @@ def test_fuzzy_join_scales_linearly_10x(spark):
     s_ratio = results[20_000][1] / max(results[2_000][1], 1)
     assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× rows"
     assert s_ratio < 30, f"shuffle grew {s_ratio:.1f}× for 10× rows"
+
+
+def test_triangle_planted_clique_capped_10x(spark):
+    """Degree-oriented triangle counting with the hub cap: a ring
+    graph (each node in exactly 3 triangles, closed form) plus a
+    planted CLIQUE — the worst case the cap exists for (a real
+    duplicate family has C(m,3) triangles; no enumeration beats its
+    own output size).  10× the graph grows the clique's edge count
+    ~70× and its UNCAPPED triangle count ~1000×; with the cap the
+    clique's edges are dropped pre-join, so runtime and shuffle must
+    track total EDGES (~linear), pinning sub-cubic growth."""
+    from org_revue_de_presse_trends_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    mc = MetricsCollector(spark)
+    results = {}
+    for n, m in ((50_000, 100), (500_000, 1_000)):
+        ring = spark.range(n).select(
+            F.col("id").alias("id_a"),
+            ((F.col("id") + 1) % n).alias("id_b"),
+        ).unionAll(
+            spark.range(n).select(
+                F.col("id").alias("id_a"),
+                ((F.col("id") + 2) % n).alias("id_b"),
+            )
+        )
+        # clique on m nodes disjoint from the ring (ids >= 10^9)
+        clique = (
+            spark.range(m * m)
+            .select(
+                (F.col("id") / m).cast("long").alias("i"),
+                (F.col("id") % m).alias("j"),
+            )
+            .where(F.col("i") < F.col("j"))
+            .select(
+                (F.col("i") + 1_000_000_000).alias("id_a"),
+                (F.col("j") + 1_000_000_000).alias("id_b"),
+            )
+        )
+        out = triangle_stats(
+            ring.unionAll(clique), max_degree=50
+        ).localCheckpoint()
+        t0 = _time.perf_counter()
+        rows, qm = mc.measure(
+            f"tri_{n}", out, action=lambda d: d.count()
+        )
+        results[n] = (_time.perf_counter() - t0, qm.shuffle_bytes_written)
+        assert rows == n + m  # every node reported
+        # closed form: ring node degree 4 (<= cap 50), 3 triangles,
+        # clustering 2*3/(4*3) = 0.5; clique nodes keep their TRUE
+        # degree m-1 but over-cap edges are dropped -> 0 triangles
+        agg = out.groupBy(
+            (F.col("node") >= 1_000_000_000).alias("is_clique")
+        ).agg(
+            F.sum("n_triangles").alias("t"),
+            F.min("degree").alias("dmin"),
+            F.max("degree").alias("dmax"),
+            F.min("clustering").alias("cmin"),
+            F.max("clustering").alias("cmax"),
+        ).collect()
+        got = {r["is_clique"]: r for r in agg}
+        assert got[False]["t"] == 3 * n
+        assert got[False]["dmin"] == got[False]["dmax"] == 4
+        assert got[False]["cmin"] == got[False]["cmax"] == 0.5
+        assert got[True]["t"] == 0
+        assert got[True]["dmin"] == got[True]["dmax"] == m - 1
+        assert got[True]["cmax"] == 0.0
+    t_ratio = results[500_000][0] / results[50_000][0]
+    s_ratio = results[500_000][1] / max(results[50_000][1], 1)
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}x for 10x graph"
+    assert s_ratio < 30, f"shuffle grew {s_ratio:.1f}x for 10x graph"
+
+
+def test_scd2_hot_key_skew(spark):
+    """SCD2 with one GIANT key: a single user holding 30% of all
+    observations must not blow up vs the balanced layout (the island
+    window is inherently sequential per key, so the hot key serializes
+    into ONE task's sort+scan — acceptable while that task stays
+    in-memory; this smoke pins the factor so a regression to
+    pathological behavior (spill loop, repeated exchange) is caught."""
+    from org_revue_de_presse_trends_spark.operators.scd import (
+        scd2_from_observations,
+    )
+
+    n = 1_000_000
+    hot = n * 3 // 10
+
+    def run(df, keys_expr):
+        obs = df.select(
+            keys_expr.alias("k"),
+            (F.col("id") % 7 == 0).cast("int").alias("attr"),
+            F.col("id").alias("ts"),
+            F.col("id").alias("tb"),
+        )
+        out = scd2_from_observations(
+            obs, key_cols=["k"], attr_cols=["attr"],
+            ts_col="ts", tiebreak_col="tb",
+        )
+        t0 = _time.perf_counter()
+        cnt = out.count()
+        return _time.perf_counter() - t0, cnt
+
+    base = spark.range(n)
+    # balanced: 100k keys, 10 obs each
+    t_bal, _ = run(base, F.col("id") % 100_000)
+    # hot: first 30% of rows all belong to key 0, rest spread
+    t_hot, _ = run(
+        base,
+        F.when(F.col("id") < hot, F.lit(0)).otherwise(
+            F.col("id") % 100_000
+        ),
+    )
+    # the hot key's 300k-row window runs in one task; pin the factor
+    assert t_hot < max(6.0 * t_bal, t_bal + 20.0), (
+        f"hot-key SCD2 {t_hot:.1f}s vs balanced {t_bal:.1f}s"
+    )

@@ -592,6 +592,59 @@ class TestCompaction:
         }
         assert after == before  # content untouched, layout only
 
+    def test_compacts_url_escaped_partition_values(
+        self, spark, tmp_path
+    ):
+        # hive URL-escapes special chars in partition directory names
+        # (space -> %20 etc.); the equality filter must compare the
+        # UNESCAPED value or the rewrite silently no-ops (r7 ADVICE)
+        import os
+
+        from pyspark.sql import functions as F
+
+        from org_revue_de_presse_trends_spark.sources.lake import (
+            compact_small_files,
+            write_partitioned,
+        )
+
+        path = str(tmp_path / "lake")
+        df = (
+            spark.range(300)
+            .select(
+                F.col("id"),
+                (F.col("id") * 7 % 100).alias("v"),
+                F.lit("2024 03=01%x").alias("day"),  # space, '=', '%'
+                F.lit("t").alias("statusType"),
+            )
+            .repartition(6)
+        )
+        write_partitioned(df, path, mode="append")
+        lake_dir = os.path.join(str(tmp_path), "lake")
+        (day_dir,) = [
+            d for d in os.listdir(lake_dir) if d.startswith("day=")
+        ]
+        assert "%" in day_dir  # hive really did escape it
+        sub = os.path.join(day_dir, "statusType=t")
+        assert len(self._files(tmp_path, sub)) == 6
+        before = {
+            tuple(r)
+            for r in spark.read.parquet(path)
+            .select("id", "v", "day", "statusType")
+            .collect()
+        }
+        stats = compact_small_files(spark, path, target_bytes=1 << 30)
+        assert stats["partitions_compacted"] == 1
+        assert stats["files_before"] == 6
+        assert stats["files_after"] == 1
+        assert len(self._files(tmp_path, sub)) == 1
+        after = {
+            tuple(r)
+            for r in spark.read.parquet(path)
+            .select("id", "v", "day", "statusType")
+            .collect()
+        }
+        assert after == before
+
     def test_idempotent_and_over_target_splits(self, spark, tmp_path):
         from org_revue_de_presse_trends_spark.sources.lake import (
             compact_small_files,
