@@ -176,6 +176,9 @@ SECONDARY = [
     "orders_quality_report",
     "value_ks_click_vs_purchase",
     "orders_profile",
+    "url_canonical_dedup",
+    "domain_doc_caps",
+    "domain_blocklist_audit",
 ]
 
 
@@ -462,6 +465,44 @@ def main() -> None:
                     second = first
                 sink[name] = min(first, second)
                 warm_retries[name] = [first, second]
+            # slow-warmup guard (r8): queries whose COLD run is
+            # inflated by one-time costs (python-worker pool spawn +
+            # per-worker pandas/pyarrow imports — measured 15-30 s on
+            # the media trio vs a 1.4 s steady state) blind the spike
+            # guard above (warm 5.8 ≪ cold 30 never trips 1.4×cold),
+            # yet their SECOND run still sits mid-JIT-decay: the r8
+            # probe measured image_near_dup 3.9 → 3.2 → 1.9 → 1.4 s
+            # over back-to-back runs, work-triggered (a 20 s sleep
+            # does not advance it; running other queries does), and
+            # localized to the hamming-join stages.  When cold ≫ warm
+            # we cannot tell whether warm is steady state, so keep
+            # re-running while the timing still improves ≥20%, up to 3
+            # extra runs, keep the min, and record every run in
+            # warm_retries.  In r7 data this triggers on 4 of 139
+            # queries (~10 s extra); applied uniformly every round so
+            # round-over-round comparability holds.
+            if cold[name] > 3 * sink[name] and sink[name] > 0.5:
+                runs = warm_retries.get(name, [sink[name]])
+                for _ in range(3):
+                    try:
+                        if mc is not None:
+                            _, qmw = timed_collect(
+                                spark, fn, sf_dir, name, collector=mc
+                            )
+                            again = round(qmw.wall_sec, 3)
+                        else:
+                            t0 = time.perf_counter()
+                            timed_collect(spark, fn, sf_dir, name)
+                            again = round(time.perf_counter() - t0, 3)
+                    except Exception:  # noqa: BLE001 — keep best so far
+                        break
+                    runs.append(again)
+                    improved = again < 0.8 * sink[name]
+                    sink[name] = min(sink[name], again)
+                    if not improved:
+                        break
+                if len(runs) > 1:
+                    warm_retries[name] = runs
         except Exception as e:  # noqa: BLE001 — harness boundary
             first_line = str(e).strip().splitlines()[0][:300] if str(e) else ""
             errors[name] = f"{type(e).__name__}: {first_line}"
