@@ -13,5 +13,6 @@ from . import (  # noqa: F401  (register on import)
     cdc_ext,  # also past the window
     sketch_ext,  # also past the window
     retrieval_ext,  # also past the window
-    graph_ext,  # registers LAST: also past the window
+    graph_ext,  # also past the window
+    url_curation,  # registers LAST: also past the window
 )

@@ -1,0 +1,165 @@
+"""URL/domain curation queries (C4 / RefinedWeb-style web-corpus
+hygiene; operators/urls.py) — late-registering, past the driver's
+50-slot window on purpose (in-repo contract gate still oracle-checks
+them; tests/test_driver_contract.py overflow pin).
+
+The fixtures carry no URL column, so each query synthesizes a raw URL
+per document as a PURE function of (doc_id, source) — the same move
+the media queries use for payloads — with md5-derived noise (case,
+``www.``, default ports, slash runs, trailing slashes, tracking
+params, param order, fragments) that canonicalization must remove.
+Spark expressions and DuckDB oracles render from ONE template
+(operators/urls.py), so the pair cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import urls as U
+from .registry import query
+
+#: per-registrable-domain document cap for domain_doc_caps
+_CAP = 5
+
+
+def _canon_docs(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", *cols)
+    return U.with_canonical_url(
+        docs.withColumn("raw_url", U.synth_url("spark")), "raw_url"
+    )
+
+
+def _canon_cte(*cols: str) -> str:
+    sel = ", ".join(("doc_id",) + cols)
+    return U.canonical_cte_sql(
+        f"(SELECT {sel} FROM documents)", U.synth_url_sql("duckdb")
+    )
+
+
+_DEDUP_ORACLE = f"""
+    WITH {_canon_cte('source')}
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS keep_id
+    FROM canon
+    GROUP BY canonical_url
+    HAVING COUNT(*) > 1
+"""
+
+
+@query("url_canonical_dedup", _DEDUP_ORACLE)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact URL-level dedup AFTER canonicalization: raw URLs that
+    differ only in crawler noise (tracking params, case, ``www.``,
+    default ports, slash runs, param order, fragments) collapse to one
+    canonical form; groups with >1 document are re-crawls of the same
+    page, kept once (min doc_id).
+
+    Scale shape (100 TB): one per-row projection chain (all string
+    ops, codegen'd) and one map-side-combinable groupBy on the
+    canonical string — the same shape as dedup_exact_docs, whose key
+    is a text fingerprint instead.  No joins, no windows."""
+    c = _canon_docs(spark, sf_dir, "source")
+    return (
+        c.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+_CAPS_ORACLE = f"""
+    WITH {_canon_cte('source', 'n_chars')},
+    r AS (
+        SELECT registrable_domain, n_chars,
+               row_number() OVER (
+                   PARTITION BY registrable_domain
+                   ORDER BY n_chars DESC, doc_id
+               ) AS rn
+        FROM canon
+    )
+    SELECT registrable_domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= {_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn <= {_CAP} THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM r
+    GROUP BY registrable_domain
+"""
+
+
+@query("domain_doc_caps", _CAPS_ORACLE)
+def domain_doc_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-site document caps (RefinedWeb §3.1 / C4 keep-N-per-domain):
+    rank each registrable domain's documents by length (n_chars DESC,
+    doc_id tiebreak — the unique-id rule for cross-engine total
+    order), keep the top {_CAP}, report per-domain kept/dropped mass.
+
+    Scale shape: the window partitions by registrable domain, so one
+    mega-site (a single domain can hold billions of pages at 100 TB)
+    serializes its partition — the production form is a salted
+    two-phase top-K (local top-{_CAP} per partition, then the window
+    over ≤ {_CAP}·n_partitions survivors, the operators/topk.py
+    discipline); at fixture scale domains hold ~10 docs and the
+    direct window is the clearer, oracle-exact form."""
+    c = _canon_docs(spark, sf_dir, "source", "n_chars")
+    w = Window.partitionBy("registrable_domain").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    kept = F.col("rn") <= _CAP
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .groupBy("registrable_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(kept, F.col("n_chars")).otherwise(F.lit(0))
+            ).alias("kept_chars"),
+        )
+    )
+
+
+_BLOCK_ORACLE = f"""
+    WITH {_canon_cte('source')}
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN {U.blocked_domain_sql('duckdb',
+                                                    'registrable_domain')}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+           CAST(SUM(CASE WHEN {U.blocked_domain_sql('duckdb',
+                                                    'registrable_domain')}
+                    THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+    FROM canon
+    GROUP BY source
+"""
+
+
+@query("domain_blocklist_audit", _BLOCK_ORACLE)
+def domain_blocklist_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filtering audit: per source, how many documents
+    a registrable-domain blocklist removes.  The blocklist is the
+    deterministic md5-bucket stand-in (operators/urls.blocked_domain_
+    sql) for a real list; keying on the REGISTRABLE domain makes
+    subdomains inherit the block for free — the rule C4's badwords
+    filtering and every ads/malware domain list apply.
+
+    Scale shape: at 100 TB the real list (~1M domains) broadcasts and
+    the membership test is a broadcast-hash semi-join on the same
+    registrable-domain key; the audit aggregation is unchanged.  Here:
+    per-row projection + one bounded groupBy(source)."""
+    c = _canon_docs(spark, sf_dir, "source")
+    blocked = F.expr(
+        U.blocked_domain_sql("spark", "registrable_domain")
+    ).cast("long")
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(blocked).alias("n_blocked"),
+        F.sum(F.lit(1) - blocked).alias("n_kept"),
+    )

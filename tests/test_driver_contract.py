@@ -265,6 +265,8 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "doc_nfc_normalization",
         "embedding_pca_covariance", "event_type_pagerank",
         "doc_centrality_pagerank",
+        "url_canonical_dedup", "domain_doc_caps",
+        "domain_blocklist_audit",
     ], f"unexpected overflow oracled set: {overflow}"
 
 
