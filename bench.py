@@ -178,6 +178,7 @@ SECONDARY = [
     "orders_profile",
     "url_canonical_dedup",
     "domain_doc_caps",
+    "url_robots_audit",
     "domain_blocklist_audit",
 ]
 

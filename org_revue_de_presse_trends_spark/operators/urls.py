@@ -215,9 +215,12 @@ def canonical_url_stages(engine: str, url_col: str) -> list[tuple[str, str]]:
             f"{e['arr_at']('_lbl', n)} "
             "ELSE _host END",
         ),
+        # canonical path survives as an output column (robots-style
+        # path rules match on it)
+        ("canonical_path", "_path"),
         (
             "canonical_url",
-            "_scheme || '://' || _host || _path ||"
+            "_scheme || '://' || _host || canonical_path ||"
             " CASE WHEN _qc = '' THEN '' ELSE '?' || _qc END",
         ),
     ]
@@ -248,7 +251,13 @@ def canonical_cte_sql(from_sql: str, url_sql: str) -> str:
         cur = f"u{i + 1}"
         ctes.append(f"{cur} AS (SELECT *, {sql} AS {name} FROM {prev})")
         prev = cur
-    ctes.append(f"canon AS (SELECT * FROM {prev})")
+    # canon is MATERIALIZED: DuckDB otherwise inlines the whole
+    # 14-stage chain into every reference, and an oracle that consumes
+    # canon more than once (the robots rule derivation references the
+    # domain list four times) multiplies the expression tree until the
+    # planner hangs — the DuckDB mirror of the Catalyst
+    # pushdown-inlining blowup documented in plans/url_curation.py.
+    ctes.append(f"canon AS MATERIALIZED (SELECT * FROM {prev})")
     return ",\n".join(ctes)
 
 
@@ -259,6 +268,49 @@ def blocked_domain_sql(engine: str, domain_expr: str, modulus: int = 7) -> str:
     Subdomains inherit automatically because the predicate keys on
     the REGISTRABLE domain."""
     return f"{md5_bucket_sql(engine, domain_expr)} % {modulus} = 0"
+
+
+def robots_verdicts(
+    urls_df,
+    rules_df,
+    id_cols: list[str],
+    domain_col: str = "registrable_domain",
+    path_col: str = "canonical_path",
+):
+    """Longest-prefix robots.txt-style verdict per URL row (the
+    crawl-politeness filter C4's Common Crawl input already had
+    applied; REP semantics per RFC 9309 §2.2.2: the most specific —
+    longest — matching rule wins, allow winning ties).
+
+    ``rules_df`` must have (dom, prefix, allow, rid) with ``rid`` a
+    unique tiebreak id.  Rows with no matching rule are allowed (the
+    RFC default).  Returns ``urls_df``'s id_cols + ``allowed``.
+
+    Scale shape: a real robots rule set is ~10-100 rules × ~1M
+    domains — comfortably a broadcast; candidates are then a
+    broadcast-hash join on the domain key, the prefix filter runs
+    map-side, and the longest-match argmax is one map-side-combinable
+    struct-MAX per URL.  No shuffle carries more than one surviving
+    row per URL × matching rule."""
+    j = urls_df.join(
+        F.broadcast(rules_df),
+        (urls_df[domain_col] == rules_df["dom"])
+        & F.expr(f"startswith({path_col}, prefix)"),
+        "left",
+    )
+    best = j.groupBy(*id_cols).agg(
+        F.max(
+            F.struct(
+                F.length("prefix").alias("l"),
+                F.col("allow"),
+                F.col("rid"),
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        *id_cols,
+        F.coalesce(F.col("_b.allow"), F.lit(True)).alias("allowed"),
+    )
 
 
 def synth_url(engine: str = "spark") -> Column | str:

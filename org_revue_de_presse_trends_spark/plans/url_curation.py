@@ -141,6 +141,106 @@ _BLOCK_ORACLE = f"""
 """
 
 
+_DOM_B6 = U.md5_bucket_sql("duckdb", "dom")
+
+_ROBOTS_ORACLE = f"""
+    WITH {_canon_cte('source')},
+    doms AS MATERIALIZED (
+        SELECT DISTINCT registrable_domain AS dom FROM canon
+    ),
+    rules AS (
+        SELECT dom, '/' AS prefix, true AS allow, 0 AS rid FROM doms
+        UNION ALL
+        SELECT dom, '/articles', false, 1 FROM doms
+        WHERE {_DOM_B6} % 3 = 1
+        UNION ALL
+        SELECT dom, '/articles/2', true, 2 FROM doms
+        WHERE {_DOM_B6} % 3 = 1
+        UNION ALL
+        SELECT dom, '/articles/7', false, 3 FROM doms
+        WHERE {_DOM_B6} % 3 = 0
+    ),
+    m AS (
+        SELECT c.doc_id, c.source, r.allow,
+               row_number() OVER (
+                   PARTITION BY c.doc_id
+                   ORDER BY length(r.prefix) DESC, r.allow DESC,
+                            r.rid DESC
+               ) AS rn
+        FROM canon c
+        JOIN rules r
+          ON r.dom = c.registrable_domain
+         AND starts_with(c.canonical_path, r.prefix)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(SUM(CASE WHEN allow THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_allowed,
+           CAST(SUM(CASE WHEN allow THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_denied
+    FROM m WHERE rn = 1
+    GROUP BY source
+"""
+
+
+@query("url_robots_audit", _ROBOTS_ORACLE)
+def url_robots_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt-style longest-prefix path filtering audit (RFC 9309
+    §2.2.2 precedence: most specific rule wins, allow winning ties):
+    per source, how many documents a synthetic per-domain rule set
+    (deny ``/articles`` with a carve-out allow ``/articles/2`` on one
+    third of domains; deny ``/articles/7`` on another third; plus the
+    universal default-allow ``/``) admits to the crawl.
+
+    Scale shape (operators/urls.robots_verdicts): rules broadcast,
+    candidates a broadcast-hash join on the registrable domain,
+    longest-match argmax one map-side-combinable struct-MAX per URL."""
+    c = _canon_docs(spark, sf_dir, "source")
+    # The narrow canonical-URL table is MATERIALIZED before the join —
+    # an optimizer barrier, not an optimization: joining or filtering
+    # directly on canon-derived columns makes Catalyst push inferred
+    # predicates (isnotnull on the equi-join key, the md5-bucket rule
+    # filters) through all 14 canonicalization Projects, and the
+    # substitution multiplies the expression tree by the product of
+    # per-stage reference counts (_hp ×7 in the port strip, _lbl ×8 in
+    # the domain CASE, the md5 bucket ×15 in the synth ≈ 2500 copies)
+    # — plan OPTIMIZATION then hangs for minutes and OOMs a 1 GB
+    # driver.  At 100 TB this materialization is the canonical-URL
+    # silver table every curation stage shares (canonicalize once,
+    # write to the lake, reuse for dedup/caps/blocklist/robots); at
+    # fixture scale a localCheckpoint stands in for it.
+    urls = c.select(
+        "doc_id", "source", "registrable_domain", "canonical_path"
+    ).localCheckpoint()
+    doms = urls.select(
+        F.col("registrable_domain").alias("dom")
+    ).distinct()
+    b = U.md5_bucket_sql("spark", "dom")
+
+    def rule(filt, prefix, allow, rid):
+        d = doms.filter(F.expr(filt)) if filt else doms
+        return d.select(
+            "dom",
+            F.lit(prefix).alias("prefix"),
+            F.lit(allow).alias("allow"),
+            F.lit(rid).alias("rid"),
+        )
+
+    rules = (
+        rule(None, "/", True, 0)
+        .unionByName(rule(f"{b} % 3 = 1", "/articles", False, 1))
+        .unionByName(rule(f"{b} % 3 = 1", "/articles/2", True, 2))
+        .unionByName(rule(f"{b} % 3 = 0", "/articles/7", False, 3))
+    )
+    v = U.robots_verdicts(urls, rules, id_cols=["doc_id", "source"])
+    allowed = F.col("allowed").cast("long")
+    return v.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(allowed).alias("n_allowed"),
+        F.sum(F.lit(1) - allowed).alias("n_denied"),
+    )
+
+
 @query("domain_blocklist_audit", _BLOCK_ORACLE)
 def domain_blocklist_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-blocklist filtering audit: per source, how many documents

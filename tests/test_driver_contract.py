@@ -266,7 +266,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "embedding_pca_covariance", "event_type_pagerank",
         "doc_centrality_pagerank",
         "url_canonical_dedup", "domain_doc_caps",
-        "domain_blocklist_audit",
+        "url_robots_audit", "domain_blocklist_audit",
     ], f"unexpected overflow oracled set: {overflow}"
 
 

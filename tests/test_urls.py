@@ -177,3 +177,40 @@ def test_blocklist_inherits_to_subdomains(spark):
         .collect()
     )
     assert {r["registrable_domain"] for r in doms} == {"evil.com"}
+
+
+def test_robots_longest_prefix_semantics(spark):
+    """RFC 9309 §2.2.2: most specific (longest) rule wins; allow wins
+    length ties; URLs with no matching rule default to allowed."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    urls = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "registrable_domain": ["a.com", "a.com", "a.com", "b.com"],
+                "canonical_path": ["/x/y", "/x/z", "/q", "/x/y"],
+            }
+        )
+    )
+    rules = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "dom": ["a.com", "a.com", "a.com", "a.com"],
+                "prefix": ["/x", "/x/y", "/q", "/q"],
+                "allow": [False, True, False, True],
+                "rid": [0, 1, 2, 3],
+            }
+        )
+    )
+    got = {
+        r["doc_id"]: r["allowed"]
+        for r in U.robots_verdicts(urls, rules, ["doc_id"]).collect()
+    }
+    assert got == {
+        1: True,   # /x/y: longest match '/x/y' allow beats '/x' deny
+        2: False,  # /x/z: only '/x' deny matches
+        3: True,   # /q: equal-length deny+allow -> allow wins the tie
+        4: True,   # b.com has no rules -> RFC default allow
+    }
