@@ -1158,3 +1158,105 @@ def test_scd2_hot_key_skew(spark):
     assert t_hot < max(6.0 * t_bal, t_bal + 20.0), (
         f"hot-key SCD2 {t_hot:.1f}s vs balanced {t_bal:.1f}s"
     )
+
+
+def test_url_canonicalization_600k_closed_form(spark):
+    """The 14-stage canonicalization chain + canonical-dedup groupBy on
+    600k synthetic documents (id, source = 'src'||id%20): the canonical
+    identity is a pure function of id mod 60 (source id%20, tld id%3,
+    news-subdomain id%5, path id%10, query-id id%2 — lcm 60), so the
+    dedup output is EXACTLY 60 canonical URLs with 10 000 members each.
+    Verifies the chain completes with bounded memory at 120x the sf0.1
+    fixture and stays projection-shaped (one groupBy, no joins)."""
+    from org_revue_de_presse_trends_spark.operators import urls as U
+
+    n = 600_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 20).cast("string")).alias(
+            "source"
+        ),
+    )
+    c = U.with_canonical_url(
+        docs.withColumn("raw_url", U.synth_url("spark")), "raw_url"
+    )
+    groups = (
+        c.groupBy("canonical_url")
+        .count()
+        .groupBy("count")
+        .count()
+        .collect()
+    )
+    sizes = {r[0]: r[1] for r in groups}
+    assert sizes == {n // 60: 60}, sizes
+
+
+def test_url_robots_600k_closed_form(spark):
+    """robots_verdicts on the same 600k synthetic corpus: each of the
+    60 registrable domains covers exactly one residue class mod 60, so
+    every document of a domain shares one canonical path and the
+    allowed/denied totals are computable exactly in Python from the
+    same md5 buckets the rules derive from."""
+    import hashlib
+
+    from org_revue_de_presse_trends_spark.operators import urls as U
+
+    n = 600_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 20).cast("string")).alias(
+            "source"
+        ),
+    )
+    c = U.with_canonical_url(
+        docs.withColumn("raw_url", U.synth_url("spark")), "raw_url"
+    )
+    urls = c.select(
+        "doc_id", "registrable_domain", "canonical_path"
+    ).localCheckpoint()
+    doms = urls.select(
+        F.col("registrable_domain").alias("dom")
+    ).distinct()
+    b = U.md5_bucket_sql("spark", "dom")
+
+    def rule(filt, prefix, allow, rid):
+        d = doms.filter(F.expr(filt)) if filt else doms
+        return d.select(
+            "dom",
+            F.lit(prefix).alias("prefix"),
+            F.lit(allow).alias("allow"),
+            F.lit(rid).alias("rid"),
+        )
+
+    rules = (
+        rule(None, "/", True, 0)
+        .unionByName(rule(f"{b} % 3 = 1", "/articles", False, 1))
+        .unionByName(rule(f"{b} % 3 = 1", "/articles/2", True, 2))
+        .unionByName(rule(f"{b} % 3 = 0", "/articles/7", False, 3))
+    )
+    got = (
+        U.robots_verdicts(urls, rules, id_cols=["doc_id"])
+        .groupBy("allowed")
+        .count()
+        .collect()
+    )
+    got = {r["allowed"]: r["count"] for r in got}
+
+    # closed-form expectation: domain of residue r (mod 60) is
+    # src{r%20}.{tld(r%3)} with path /articles/{r%10}
+    tlds = {0: "com", 1: "org", 2: "co.uk"}
+    per_class = n // 60
+    want_allowed = 0
+    for r in range(60):
+        dom = f"src{r % 20}.{tlds[r % 3]}"
+        bucket = int(hashlib.md5(dom.encode()).hexdigest()[:6], 16) % 3
+        path_n = r % 10
+        if bucket == 1:
+            allowed = path_n == 2  # deny /articles, carve-out /articles/2
+        elif bucket == 0:
+            allowed = path_n != 7  # deny /articles/7
+        else:
+            allowed = True
+        want_allowed += per_class if allowed else 0
+    assert got.get(True, 0) == want_allowed, (got, want_allowed)
+    assert got.get(True, 0) + got.get(False, 0) == n
