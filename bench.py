@@ -240,12 +240,22 @@ def timed_collect(
                 # side stats) is genuine query cost: time it and fold
                 # it into wall_sec, so that wall_sec differs from the
                 # plain path only by excluding the collector's post-
-                # action status-store reads (measurement overhead)
+                # action status-store reads (measurement overhead).
+                # The execution-id watermark is taken BEFORE the build:
+                # queries that run eager work at plan build
+                # (localCheckpoint gates, k-means/driver loops) must
+                # have that work's shuffle/IO attributed in query_io,
+                # not silently dropped (r8: the clustering query's
+                # containment-pair join executes at build).
+                try:
+                    wm = collector._max_execution_id()
+                except Exception:  # noqa: BLE001 — store unavailable
+                    wm = None
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 build_sec = time.perf_counter() - t0
                 box["rows"], box["qm"] = collector.measure(
-                    name, df, job_group=group
+                    name, df, job_group=group, since_execution_id=wm
                 )
                 box["qm"].wall_sec += build_sec
             else:

@@ -144,17 +144,37 @@ class MetricsCollector:
         n = execs.size()
         return execs.apply(n - 1).executionId() if n else -1
 
-    def measure(self, name: str, df: DataFrame, action=None, job_group=None):
+    def measure(
+        self,
+        name: str,
+        df: DataFrame,
+        action=None,
+        job_group=None,
+        since_execution_id: int | None = None,
+    ):
         """Run ``action(df)`` (default ``collect``) and return
         ``(result, QueryMetrics)``.
 
         ``job_group``: join an existing thread-local job group instead
         of setting our own — lets a caller that owns the group (e.g. a
         watchdog that needs to ``cancelJobGroup`` it) compose with
-        metrics collection; the caller is responsible for set/unset."""
+        metrics collection; the caller is responsible for set/unset.
+
+        ``since_execution_id``: aggregate SQL-execution metrics from
+        executions AFTER this id instead of from the call time —
+        callers that run eager work during plan BUILD (localCheckpoint
+        gates, k-means/driver loops) pass ``_max_execution_id()`` taken
+        before the build so that work's shuffle/IO is attributed to the
+        query rather than silently dropped (bench.py r8: the clustering
+        query's containment-pair join executes at build and its shuffle
+        vanished from query_io)."""
         own_group = job_group is None
         group = job_group or f"metrics:{name}:{time.monotonic_ns()}"
-        watermark = self._max_execution_id()
+        watermark = (
+            since_execution_id
+            if since_execution_id is not None
+            else self._max_execution_id()
+        )
         qm = QueryMetrics(name=name)
         if own_group:
             self.sc.setJobGroup(group, f"metrics for {name}", False)
