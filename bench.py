@@ -296,8 +296,28 @@ def _cpu_calibration() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _parallel_calibration(spark) -> float:
+    """Fixed JVM-PARALLEL workload (one 32-task xxhash64 fold over
+    spark.range) timed on the same cadence as the single-thread loop.
+    r8 lesson: the pure-Python calibration measures one core, but the
+    queries run 32-way — a co-tenant load burst can slow the suite
+    ~1.5× while the single-thread sample gets FASTER, inverting the
+    normalization.  This sample moves with the same resource the
+    queries consume.  The work is constant (no data dependence), and
+    the first call per session is discarded by the caller so codegen
+    is never in a kept sample."""
+    from pyspark.sql import functions as F  # local: bench is a CLI
+
+    t0 = time.perf_counter()
+    spark.range(400_000_000).select(
+        F.xxhash64("id").alias("h")
+    ).agg(F.expr("bit_xor(h)")).collect()  # xor: ANSI-overflow-free
+    return round(time.perf_counter() - t0, 3)
+
+
 #: interleave one calibration sample every N suite queries;
-#: ``cpu_calib_series`` entries are [last_completed_query, sec]
+#: ``cpu_calib_series`` entries are
+#: [last_completed_query, single_thread_sec, parallel_sec]
 CALIB_EVERY = 20
 
 
@@ -312,6 +332,8 @@ def build_payload(
     warm_secondary: dict | None = None,
     warm_retries: dict | None = None,
     calib_series: list | None = None,
+    par_calib_before: float | None = None,
+    par_calib_after: float | None = None,
 ) -> dict:
     """Assemble the emitted dict.  FIELD ORDER MATTERS: the driver
     archives only the TAIL (last ~2000 chars) of the printed line, so
@@ -338,6 +360,12 @@ def build_payload(
         # after the suite brackets the measured window
         "cpu_calib_sec": calib_before,
         "cpu_calib_sec_after": calib_after,
+        # JVM-parallel (32-task) siblings: the normalizer that moves
+        # with the resource the queries actually consume (r8 — a
+        # co-tenant burst slows the suite while the single-thread
+        # sample speeds up)
+        "par_calib_sec": par_calib_before,
+        "par_calib_sec_after": par_calib_after,
         # interleaved samples [[last_completed_query, sec], ...] — the
         # per-window normalizer for round-over-round comparisons
         # (sacrificial zone: full copy always in bench_full.json)
@@ -370,6 +398,10 @@ def main() -> None:
     calib_before = _cpu_calibration()
     spark = get_spark(app_name="trends-spark-bench")
     spark.sparkContext.setLogLevel("WARN")
+    # parallel calibration: first run pays codegen/JIT once per
+    # session and is discarded; the kept sample is steady-state work
+    _parallel_calibration(spark)
+    par_calib_before = _parallel_calibration(spark)
 
     # warm-up: touch every input once so the first timed query doesn't
     # pay JVM classloading
@@ -421,7 +453,9 @@ def main() -> None:
     calib_series: list[list] = []
     for qi, (name, fn, is_secondary) in enumerate(suite):
         if qi and qi % CALIB_EVERY == 0:
-            calib_series.append([prev_name, _cpu_calibration()])
+            calib_series.append(
+                [prev_name, _cpu_calibration(), _parallel_calibration(spark)]
+            )
         prev_name = name
         try:
             sink = warm_secondary if is_secondary else warm
@@ -552,9 +586,11 @@ def main() -> None:
                 sink[name] = again
 
     calib_after = _cpu_calibration()
+    par_calib_after = _parallel_calibration(spark)
     payload = build_payload(
         sf, query_io, cold, warm, errors, calib_before, calib_after,
         warm_secondary, warm_retries, calib_series,
+        par_calib_before, par_calib_after,
     )
     try:
         here = os.path.dirname(os.path.abspath(__file__))

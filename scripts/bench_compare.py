@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Round-over-round bench comparison with per-window host-noise
+normalization.
+
+Usage: python scripts/bench_compare.py OLD.json NEW.json [--threshold 1.3]
+
+Each query's warm timing is divided by the CPU-calibration sample
+nearest to it in suite order (``cpu_calib_series``, emitted every 20
+queries since r8; falls back to the before/after pair) before ratios
+are computed — so a mid-run host-noise burst moves the normalizer
+WITH the queries it hit instead of poisoning 29 round-over-round
+comparisons (the r7 failure mode).  Only queries present in both
+artifacts are compared; the common-subset normalized total is the
+honest headline number.
+"""
+from __future__ import annotations
+
+import json
+import sys
+
+
+def _suite_order(d: dict) -> list[str]:
+    return list(d.get("queries", {})) + list(d.get("queries_secondary", {}))
+
+
+def _calib_at(d: dict, prefer_parallel: bool = True) -> dict[str, float]:
+    """Map each query -> the calibration sample nearest to it in suite
+    order.  Series entries are [last_completed_query, single_thread_sec]
+    (r7) or [..., parallel_sec] (r8+).  The JVM-parallel sample is
+    preferred when both artifacts carry it: the single-thread loop
+    measures one core while the queries run 32-way, and a co-tenant
+    burst can slow the suite while the single-thread sample speeds up
+    (observed r8), inverting the normalization."""
+    order = _suite_order(d)
+    pos = {n: i for i, n in enumerate(order)}
+
+    def pick(single, par):
+        return par if (prefer_parallel and par) else single
+
+    anchors: list[tuple[int, float]] = [
+        (-1, pick(d.get("cpu_calib_sec", 1.0), d.get("par_calib_sec")))
+    ]
+    for entry in d.get("cpu_calib_series", []):
+        qname, single = entry[0], entry[1]
+        par = entry[2] if len(entry) > 2 else None
+        if qname in pos:
+            anchors.append((pos[qname], pick(single, par)))
+    anchors.append(
+        (
+            len(order),
+            pick(d.get("cpu_calib_sec_after", 1.0),
+                 d.get("par_calib_sec_after")),
+        )
+    )
+    out = {}
+    for n, i in pos.items():
+        nearest = min(anchors, key=lambda a: abs(a[0] - i))
+        out[n] = nearest[1] or 1.0
+    return out
+
+
+def _has_parallel(d: dict) -> bool:
+    return bool(d.get("par_calib_sec")) or any(
+        len(e) > 2 and e[2] for e in d.get("cpu_calib_series", [])
+    )
+
+
+def compare(old: dict, new: dict, threshold: float = 1.3):
+    w_old = dict(old.get("queries", {}), **old.get("queries_secondary", {}))
+    w_new = dict(new.get("queries", {}), **new.get("queries_secondary", {}))
+    # mixed normalizers skew ratios: use parallel only when BOTH
+    # artifacts carry it
+    par = _has_parallel(old) and _has_parallel(new)
+    c_old = _calib_at(old, prefer_parallel=par)
+    c_new = _calib_at(new, prefer_parallel=par)
+    common = [n for n in w_new if n in w_old and w_old[n] > 0]
+    rows = []
+    tot_old = tot_new = 0.0
+    for n in common:
+        no = w_old[n] / c_old[n]
+        nn = w_new[n] / c_new[n]
+        tot_old += no
+        tot_new += nn
+        rows.append((nn / no if no else float("inf"), n, w_old[n], w_new[n]))
+    rows.sort(reverse=True)
+    return {
+        "n_common": len(common),
+        "normalized_total_ratio": round(tot_new / tot_old, 3) if tot_old else None,
+        "regressions": [
+            {"query": n, "ratio": round(r, 2), "old_s": o, "new_s": w}
+            for r, n, o, w in rows
+            if r >= threshold and w >= 0.2
+        ],
+        "improvements": [
+            {"query": n, "ratio": round(r, 2), "old_s": o, "new_s": w}
+            for r, n, o, w in reversed(rows)
+            if r <= 1 / threshold and o >= 0.2
+        ],
+    }
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    thr = 1.3
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            thr = float(a.split("=", 1)[1]) if "=" in a else thr
+    old = json.load(open(args[0]))
+    new = json.load(open(args[1]))
+    print(json.dumps(compare(old, new, thr), indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -117,3 +117,85 @@ def test_timed_collect_cancels_hanging_query_and_recovers(spark):
     # the session must be healthy for the NEXT query (the whole point)
     rows = timed_collect(spark, _fast, "", "after-hang", timeout_s=60)
     assert len(rows) == 10
+
+
+def test_bench_compare_prefers_parallel_calibration():
+    """scripts/bench_compare normalizes per-query timings by the
+    NEAREST calibration sample, preferring the JVM-parallel sample
+    when both artifacts carry it (r8: a co-tenant burst slows the
+    32-way suite while the single-thread sample speeds up, inverting
+    single-thread normalization)."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from bench_compare import compare
+
+    # old run: quiet host — calib 1.0 everywhere, query takes 1 s
+    old = {
+        "queries": {"q": 1.0},
+        "queries_secondary": {},
+        "cpu_calib_sec": 1.0,
+        "cpu_calib_sec_after": 1.0,
+        "par_calib_sec": 1.0,
+        "par_calib_sec_after": 1.0,
+        "cpu_calib_series": [],
+    }
+    # new run: parallel throughput halved (steal), single-thread
+    # calib unchanged; the query doubles with the parallel resource
+    new = {
+        "queries": {"q": 2.0},
+        "queries_secondary": {},
+        "cpu_calib_sec": 1.0,
+        "cpu_calib_sec_after": 1.0,
+        "par_calib_sec": 2.0,
+        "par_calib_sec_after": 2.0,
+        "cpu_calib_series": [],
+    }
+    out = compare(old, new, threshold=1.3)
+    # parallel-normalized: 2.0/2.0 vs 1.0/1.0 -> ratio 1.0, no
+    # regression flagged (single-thread normalization would say 2x)
+    assert out["normalized_total_ratio"] == 1.0
+    assert out["regressions"] == []
+
+    # r7-style artifacts (no parallel samples) fall back to the
+    # single-thread normalizer: the same timings DO flag a regression
+    for d in (old, new):
+        d.pop("par_calib_sec"), d.pop("par_calib_sec_after")
+    out = compare(old, new, threshold=1.3)
+    assert out["normalized_total_ratio"] == 2.0
+    assert [r["query"] for r in out["regressions"]] == ["q"]
+
+
+def test_bench_compare_nearest_window_localizes_burst():
+    """A mid-run noise burst captured by one interleaved sample must
+    normalize only the queries in its window."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from bench_compare import compare
+
+    base = {
+        "cpu_calib_sec": 1.0, "cpu_calib_sec_after": 1.0,
+        "par_calib_sec": 1.0, "par_calib_sec_after": 1.0,
+    }
+    names = [f"q{i}" for i in range(40)]
+    old = dict(
+        base,
+        queries={n: 1.0 for n in names},
+        queries_secondary={},
+        cpu_calib_series=[[names[19], 1.0, 1.0]],
+    )
+    # burst hits the SECOND half of the new run and lasts to the end:
+    # queries 20.. take 3x, and both the mid-suite parallel sample
+    # (taken after q19) and the after-suite sample read 3x
+    new = dict(
+        base,
+        queries={n: (3.0 if i >= 20 else 1.0) for i, n in enumerate(names)},
+        queries_secondary={},
+        cpu_calib_series=[[names[19], 1.0, 3.0]],
+        par_calib_sec_after=3.0,
+    )
+    out = compare(old, new, threshold=1.3)
+    flagged = {r["query"] for r in out["regressions"]}
+    # first-half queries (normalized by the quiet before-sample on the
+    # old run and ~quiet window on the new) stay unflagged; the burst
+    # half normalizes by the 3x sample and stays unflagged too — the
+    # comparison correctly attributes the burst to the host
+    assert flagged.isdisjoint(set(names[:10])), flagged
+    assert not {f"q{i}" for i in range(25, 35)} & flagged, flagged
