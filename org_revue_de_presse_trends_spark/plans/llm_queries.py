@@ -645,13 +645,52 @@ def corpus_selection_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("doc_decontamination")  # xxhash64 n-grams: rows-only (golden)
+_DECON_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p FROM toks
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[p-12:p], ' ') AS g
+      FROM pos WHERE p >= 13
+      UNION ALL
+      SELECT doc_id, array_to_string(t, ' ') AS g
+      FROM toks WHERE len(t) < 13
+    ),
+    bg AS (
+      SELECT doc_id AS bid, g FROM grams WHERE doc_id % 50 = 0
+    ),
+    hits AS (
+      SELECT grams.doc_id AS id,
+             COUNT(DISTINCT grams.g) AS n_hits,
+             COUNT(DISTINCT bg.bid) AS n_benchmarks
+      FROM grams JOIN bg USING (g)
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_benchmarks, 0) AS n_benchmarks,
+           COALESCE(h.n_hits, 0) >= 1 AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
+"""
+
+
+@query("doc_decontamination", _DECON_ORACLE)
 def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination verdict (GPT-3 appendix-C procedure:
     13-gram collision): every 50th document plays the role of an eval
     benchmark; those docs must flag themselves, and their near-dups
     surface as collateral hits.  Broadcast benchmark side — the corpus
-    scan never shuffles (operators/decontaminate.py)."""
+    scan never shuffles (operators/decontaminate.py).
+
+    Oracled since r8: Spark counts DISTINCT rolled 13-gram
+    fingerprints (xor-rotate, operators/decontaminate._ngram_hashes),
+    the oracle counts DISTINCT literal 13-grams — identical n_hits /
+    n_benchmarks unless the 64-bit fingerprint collides (≪ 2^-40 at
+    fixture gram counts; the doc_exact_substring_dedup precedent).
+    Short docs contribute their whole-text gram in both engines."""
     from ..operators.decontaminate import contamination_hits
 
     docs = load_table(spark, sf_dir, "documents")
@@ -661,7 +700,53 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_hits(docs, bench, n=13)
 
 
-@query("doc_span_decontaminated")  # xxhash64 n-grams: rows-only (golden)
+_SPAN_DECON_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t, unnest(range(1, len(t)+1)) AS p FROM toks
+    ),
+    grams AS (
+      SELECT doc_id, p AS e, array_to_string(t[p-12:p], ' ') AS g
+      FROM pos WHERE p >= 13
+      UNION ALL
+      SELECT doc_id, len(t) AS e, array_to_string(t, ' ') AS g
+      FROM toks WHERE len(t) < 13
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+    marked AS (SELECT DISTINCT doc_id, e FROM grams JOIN bench USING (g)),
+    flags AS (
+      SELECT pos.doc_id, pos.p, t[CAST(pos.p AS INT)] AS tok,
+             CASE WHEN m.e IS NULL THEN 0 ELSE 1 END AS f
+      FROM pos LEFT JOIN marked m
+        ON pos.doc_id = m.doc_id AND pos.p = m.e
+    ),
+    cov AS (
+      SELECT doc_id, p, tok,
+             max(f) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW
+                          AND 12 FOLLOWING) AS kill
+      FROM flags
+    ),
+    agg AS (
+      SELECT doc_id,
+             coalesce(string_agg(tok, ' ' ORDER BY p)
+                      FILTER (WHERE kill = 0), '') AS text_clean,
+             count(*) AS n_tokens,
+             CAST(sum(kill) AS BIGINT) AS n_removed
+      FROM cov GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           coalesce(a.n_removed, 0) AS n_removed,
+           md5(CASE WHEN coalesce(a.n_removed, 0) = 0 THEN d.text
+                    ELSE a.text_clean END) AS clean_md5
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("doc_span_decontaminated", _SPAN_DECON_ORACLE)
 def doc_span_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surgical decontamination (the removal step after the
     q:doc_decontamination verdict): matched benchmark 13-gram windows
@@ -670,7 +755,14 @@ def doc_span_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     every-50th-doc benchmark as the verdict query, so those docs wipe
     themselves to empty text and clean docs pass through byte-equal.
     Emits md5(text_clean), not the text — rows stay scalar and small
-    for the driver's canonicalizer."""
+    for the driver's canonicalizer.
+
+    Oracled since r8 (literal grams vs rolled fingerprints — the
+    doc_decontamination argument; both sides mark gram END positions,
+    the kill flag is the same forward-looking window max, and clean
+    docs hash the ORIGINAL text so whitespace normalization can never
+    fake a pass).  The Spark side's token positions are 0-based, the
+    oracle's 1-based — both shifted consistently, same kill set."""
     from ..operators.decontaminate import remove_contaminated_spans
 
     docs = load_table(spark, sf_dir, "documents")
@@ -723,12 +815,53 @@ def doc_compression_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_signals(load_table(spark, sf_dir, "documents"))
 
 
-@query("doc_repetition_signals")  # HOF/groupBy fractions: rows-only (golden)
+_REPETITION_ORACLE = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk,
+             list_filter(string_split(text, chr(10)),
+                         x -> trim(x) <> '') AS rl
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+         CASE WHEN len(rl) > 0
+              THEN CAST(len(rl) - len(list_distinct(rl)) AS DOUBLE)
+                   / len(rl)
+              ELSE 0.0 END AS dup_line_frac,
+         CASE WHEN len(tk) >= 2
+              THEN list_transform(range(1, len(tk)),
+                                  i -> tk[i] || ' ' || tk[i+1])
+              ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM t
+    ),
+    occ AS (SELECT doc_id, unnest(grams) AS g FROM base),
+    pg AS (SELECT doc_id, g, COUNT(*) AS c FROM occ GROUP BY 1, 2),
+    st AS (SELECT doc_id, SUM(c) AS tot, COUNT(*) AS dis, MAX(c) AS mx
+           FROM pg GROUP BY 1)
+    SELECT b.doc_id, b.dup_line_frac,
+      CASE WHEN st.tot > 0
+           THEN CAST(st.tot - st.dis AS DOUBLE) / st.tot ELSE 0.0 END
+          AS dup_ngram_frac,
+      CASE WHEN st.tot > 0
+           THEN CAST(st.mx AS DOUBLE) / st.tot ELSE 0.0 END
+          AS top_ngram_frac
+    FROM base b LEFT JOIN st USING (doc_id)
+"""
+
+
+@query("doc_repetition_signals", _REPETITION_ORACLE)
 def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document (Rae et al.
     2021 §A1.1): duplicate-line fraction, duplicate-2-gram occurrence
     fraction, top-2-gram share.  One explode + two-level aggregation
-    for the n-gram multiset (functions/text.with_repetition_signals)."""
+    for the n-gram multiset (functions/text.with_repetition_signals).
+
+    Oracled since r8: the Spark side counts xxhash64 2-gram
+    FINGERPRINTS while the oracle counts literal 2-grams — identical
+    distinct/max/total statistics unless xxhash64 collides within one
+    document (≪ 2^-40 at fixture gram counts; the
+    doc_exact_substring_dedup literal-vs-rolled precedent).  All three
+    fractions are single IEEE divisions of exact integer counts."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     out = T.with_repetition_signals(docs, n=2)
     return out.select(

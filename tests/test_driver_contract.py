@@ -233,6 +233,8 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "doc_top_tfidf_terms", "dedup_exact_docs", "dedup_ngram_jaccard",
         "dedup_clusters", "embedding_near_dup", "corpus_selection",
         "doc_embedding_join", "ann_cosine_topk",
+        "doc_decontamination", "doc_span_decontaminated",
+        "doc_repetition_signals",
         "split_leakage_counts",
         "orders_nearby_count",
         "doc_duplicate_spans", "token_bigram_pmi", "events_daily_dense",
