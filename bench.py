@@ -180,6 +180,7 @@ SECONDARY = [
     "domain_doc_caps",
     "url_robots_audit",
     "domain_blocklist_audit",
+    "url_content_staleness",
 ]
 
 

@@ -263,3 +263,45 @@ def domain_blocklist_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(blocked).alias("n_blocked"),
         F.sum(F.lit(1) - blocked).alias("n_kept"),
     )
+
+
+_STALENESS_ORACLE = f"""
+    WITH {_canon_cte('source', 'text')}
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(lower(trim(text)))) AS BIGINT)
+               AS n_variants,
+           MIN(doc_id) AS first_id
+    FROM canon
+    GROUP BY canonical_url
+    HAVING COUNT(DISTINCT md5(lower(trim(text)))) > 1
+"""
+
+
+@query("url_content_staleness", _STALENESS_ORACLE)
+def url_content_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl divergence audit: canonical URLs whose documents carry
+    MORE THAN ONE distinct normalized-text fingerprint — the pages a
+    crawler fetched twice and got different content for (cache-busting
+    params the canonicalizer correctly ignored, genuine edits, or
+    A/B-served content).  The complement of url_canonical_dedup's
+    assumption that one canonical URL is one document: a dedup
+    pipeline must pick a canonical SNAPSHOT (min doc_id here) for
+    these instead of treating members as interchangeable.
+
+    Fingerprint = md5(lower(trim(text))) — the exact-dedup
+    normalization (functions/text.fingerprint), identical in DuckDB.
+    Scale shape: one projection + one map-side-combinable groupBy on
+    the canonical string; COUNT(DISTINCT fp) shuffles one row per
+    (url, fp), bounded by the corpus."""
+    c = _canon_docs(spark, sf_dir, "source", "text")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return (
+        c.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(fp).alias("n_variants"),
+            F.min("doc_id").alias("first_id"),
+        )
+        .filter(F.col("n_variants") > 1)
+    )

@@ -269,6 +269,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "doc_centrality_pagerank",
         "url_canonical_dedup", "domain_doc_caps",
         "url_robots_audit", "domain_blocklist_audit",
+        "url_content_staleness",
     ], f"unexpected overflow oracled set: {overflow}"
 
 
