@@ -181,6 +181,8 @@ SECONDARY = [
     "url_robots_audit",
     "domain_blocklist_audit",
     "url_content_staleness",
+    "q2_min_cost_supplier",
+    "q11_important_part_values",
 ]
 
 

@@ -14,5 +14,6 @@ from . import (  # noqa: F401  (register on import)
     sketch_ext,  # also past the window
     retrieval_ext,  # also past the window
     graph_ext,  # also past the window
-    url_curation,  # registers LAST: also past the window
+    url_curation,  # also past the window
+    analytics_tpch3,  # registers LAST: also past the window
 )

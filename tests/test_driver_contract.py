@@ -270,6 +270,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "url_canonical_dedup", "domain_doc_caps",
         "url_robots_audit", "domain_blocklist_audit",
         "url_content_staleness",
+        "q2_min_cost_supplier", "q11_important_part_values",
     ], f"unexpected overflow oracled set: {overflow}"
 
 
