@@ -183,6 +183,7 @@ SECONDARY = [
     "url_content_staleness",
     "q2_min_cost_supplier",
     "q11_important_part_values",
+    "bpe_merge_table",
 ]
 
 

@@ -15,6 +15,27 @@ occurrence of a word in the batch.
 Determinism: merge selection ties break lexicographically on the pair,
 so training is a pure function of the word counts; encoding is a pure
 function of (text, merges).
+
+Distributed training (round 8): when the vocabulary exceeds
+``max_words``, ``train_bpe`` no longer has to truncate to the biased
+frequency head — ``distributed="auto"`` (the default) switches to a
+full-vocabulary DISTRIBUTED merge loop over the (word, count)
+DataFrame itself.  Per round: adjacent-pair counts via ``zip_with``
+over shifted slices of the symbol array (the house shingle pattern),
+one map-side-combined groupBy(pair), a one-row TakeOrdered argmax
+(count DESC then pair DESC — Spark's UTF8-binary string order equals
+Python's code-point tuple order because UTF-8 is order-preserving, so
+the tiebreak matches the driver loop exactly), then one ``aggregate``
+fold per word rebuilding its symbol array (left-to-right,
+non-overlapping — the same scan ``_merge_vocab`` does), and a
+``localCheckpoint`` (the repo-wide iterative-loop invariant).  Output
+is merge-for-merge identical to the driver loop on any corpus — the
+paths differ only in where the loop state lives.
+
+Unicode boundary (documented, not hidden): the driver path splits
+words into Python code points, the distributed path into Java UTF-16
+code units (``split(word, '')``) — identical for every BMP string
+(all fixtures), divergent on astral-plane characters.
 """
 
 from __future__ import annotations
@@ -83,36 +104,62 @@ def train_bpe(
     text_col: str = "text",
     max_words: int = 1_000_000,
     stats_out: dict | None = None,
+    distributed: str = "auto",
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merge rules from the corpus.
 
-    One Spark aggregation produces the word-frequency table; the top
-    ``max_words`` words by (count desc, word asc) — a deterministic,
-    driver-bounded collect — seed the classic in-memory merge loop.
-    Ties on pair frequency break lexicographically, so the merge list
-    is a pure function of the corpus.
+    One Spark aggregation produces the word-frequency table.  When the
+    vocabulary fits ``max_words`` it is collected (deterministic,
+    driver-bounded) and the classic in-memory merge loop runs; ties on
+    pair frequency break lexicographically, so the merge list is a
+    pure function of the corpus.
 
-    Truncation is NOT silent: when the corpus vocabulary exceeds
-    ``max_words`` the merges train on a biased (head-heavy) sample, so
-    the dropped-word count and dropped token-mass fraction are
-    computed in the same pass (the word table is localCheckpointed —
-    one corpus scan), surfaced via ``warnings.warn``, and written into
-    ``stats_out`` when given: keys ``n_words_total``,
-    ``n_words_kept``, ``mass_total``, ``mass_kept``,
-    ``truncated_mass_fraction``."""
+    ``distributed`` picks the over-budget behavior:
+
+    * ``"auto"`` (default) — a vocabulary larger than ``max_words``
+      trains with the full-vocabulary DISTRIBUTED merge loop
+      (``_train_bpe_distributed``): no truncation, no bias, identical
+      merge semantics — the 100 TB path.
+    * ``"never"`` — the legacy head-truncation mode: train on the top
+      ``max_words`` by (count desc, word asc).  Truncation is NOT
+      silent: the dropped-word count and dropped token-mass fraction
+      are computed in the same pass, surfaced via ``warnings.warn``,
+      and written into ``stats_out`` when given (keys
+      ``n_words_total``, ``n_words_kept``, ``mass_total``,
+      ``mass_kept``, ``truncated_mass_fraction``).
+    * ``"always"`` — force the distributed loop regardless of size
+      (tests exercise it this way; same output by construction).
+    """
     import warnings
 
+    if distributed not in ("auto", "never", "always"):
+        raise ValueError(
+            f"distributed must be auto|never|always, got {distributed!r}"
+        )
     wc = word_counts(docs, text_col).localCheckpoint(eager=True)
     totals = wc.agg(
         F.count(F.lit(1)).alias("n"), F.sum("c").alias("mass")
     ).collect()[0]
+    n_total = int(totals["n"] or 0)
+    mass_total = int(totals["mass"] or 0)
+    if distributed == "always" or (
+        distributed == "auto" and n_total > max_words
+    ):
+        if stats_out is not None:
+            stats_out.update(
+                n_words_total=n_total,
+                n_words_kept=n_total,
+                mass_total=mass_total,
+                mass_kept=mass_total,
+                truncated_mass_fraction=0.0,
+                mode="distributed",
+            )
+        return _train_bpe_distributed(wc, n_merges)
     rows = (
         wc.orderBy(F.col("c").desc(), F.col("word").asc())
         .limit(max_words)
         .collect()
     )
-    n_total = int(totals["n"] or 0)
-    mass_total = int(totals["mass"] or 0)
     mass_kept = sum(int(r["c"]) for r in rows)
     trunc_frac = (
         (mass_total - mass_kept) / mass_total if mass_total else 0.0
@@ -146,6 +193,80 @@ def train_bpe(
         # deterministic; the specific tie order is part of the contract
         merges.append(best)
         vocab = _merge_vocab(vocab, best)
+    return merges
+
+
+def _pair_counts_df(d: DataFrame) -> DataFrame:
+    """Adjacent-pair counts over the symbol column: zip_with over
+    shifted slices (never references the source array inside the
+    per-element lambda), explode, one map-side-combined groupBy."""
+    pairs = F.expr(
+        "zip_with(slice(symbols, 1, size(symbols) - 1),"
+        " slice(symbols, 2, size(symbols) - 1),"
+        " (a, b) -> struct(a AS l, b AS r))"
+    )
+    return (
+        d.select(F.explode(pairs).alias("p"), "c")
+        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.sum("c").alias("pc"))
+    )
+
+
+def _merge_fold(col, left: str, right: str):
+    """Greedy left-to-right non-overlapping (left, right)→left||right
+    merge over a symbol array as one JVM-side fold — the scan
+    `_merge_vocab` performs, expressed as `aggregate`.  Equivalence:
+    the fold's accumulator tail can only equal `left` via the ORIGINAL
+    sequence (a just-merged tail is left||right ≠ left since right is
+    non-empty), so both consume matches identically.  try_element_at
+    keeps the empty-accumulator probe ANSI-safe."""
+    merged = left + right
+    return F.aggregate(
+        col,
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, s: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - F.lit(1)),
+                F.array(F.lit(merged)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def _train_bpe_distributed(
+    wc: DataFrame, n_merges: int
+) -> list[tuple[str, str]]:
+    """Full-vocabulary merge loop over the (word, c) DataFrame: per
+    round one pair-count shuffle (bounded by |vocabulary|, never the
+    corpus), a one-row TakeOrdered argmax — count DESC then pair DESC,
+    matching the driver loop's max((count, pair)) because UTF-8 byte
+    order preserves code-point order — one merge fold per word, and a
+    localCheckpoint (iterative-loop invariant: flat plans)."""
+    d = wc.withColumn(
+        "symbols",
+        F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW))),
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = (
+            _pair_counts_df(d)
+            .orderBy(
+                F.col("pc").desc(),
+                F.col("left").desc(),
+                F.col("right").desc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right = best[0]["left"], best[0]["right"]
+        merges.append((left, right))
+        d = d.withColumn(
+            "symbols", _merge_fold(F.col("symbols"), left, right)
+        ).localCheckpoint(eager=True)
     return merges
 
 

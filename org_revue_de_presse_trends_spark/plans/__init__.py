@@ -15,5 +15,6 @@ from . import (  # noqa: F401  (register on import)
     retrieval_ext,  # also past the window
     graph_ext,  # also past the window
     url_curation,  # also past the window
-    analytics_tpch3,  # registers LAST: also past the window
+    analytics_tpch3,  # also past the window
+    tokenizer_ext,  # registers LAST: rows-only, past the window
 )

@@ -89,7 +89,10 @@ def test_train_bpe_truncation_is_signaled(spark):
     stats: dict = {}
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        merges = train_bpe(docs, n_merges=5, max_words=5, stats_out=stats)
+        merges = train_bpe(
+            docs, n_merges=5, max_words=5, stats_out=stats,
+            distributed="never",
+        )
     assert any("truncated" in str(w.message) for w in caught)
     assert merges, "merges must still train on the kept head"
     assert stats["n_words_total"] == 21  # 'common' + 20 unique words
@@ -103,3 +106,59 @@ def test_train_bpe_truncation_is_signaled(spark):
         warnings.simplefilter("always")
         train_bpe(docs, n_merges=2, max_words=1000)
     assert not any("truncated" in str(w.message) for w in caught2)
+
+
+# ---------------------------------------------------------------------------
+# distributed full-vocabulary training (round 8)
+# ---------------------------------------------------------------------------
+
+def test_distributed_equals_driver_loop_on_fixture(spark):
+    """Forced distributed training must reproduce the driver loop's
+    merge list exactly on the real corpus — same argmax tiebreak, same
+    greedy merge scan, only the loop state's location differs."""
+    from org_revue_de_presse_trends_spark.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    driver = train_bpe(docs, n_merges=30)
+    dist = train_bpe(docs, n_merges=30, distributed="always")
+    assert dist == driver
+    assert len(driver) == 30
+
+
+def test_auto_goes_distributed_past_max_words_without_truncation(spark):
+    """distributed='auto' + a vocab over max_words must produce the
+    UNtruncated result (= driver loop with a big budget), not the
+    biased head — and must say so in stats_out."""
+    rows = [(i, f"common common w{i:03d}") for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    untruncated = train_bpe(docs, n_merges=6, max_words=1000)
+    stats: dict = {}
+    got = train_bpe(docs, n_merges=6, max_words=5, stats_out=stats)
+    assert got == untruncated
+    assert stats["mode"] == "distributed"
+    assert stats["truncated_mass_fraction"] == 0.0
+    # the legacy mode differs once merges reach the truncated tail
+    # ('common' fully merges in 6 rounds; round 7+ trains on 4 kept
+    # rare words vs all 20)
+    legacy = train_bpe(
+        docs, n_merges=12, max_words=5, distributed="never"
+    )
+    full = train_bpe(docs, n_merges=12, max_words=1000)
+    assert legacy != full
+
+
+def test_distributed_handles_bmp_unicode_and_tie_order(spark):
+    docs = spark.createDataFrame(
+        [(0, "café café crème zz zz zz")], ["doc_id", "text"]
+    )
+    driver = train_bpe(docs, n_merges=5)
+    dist = train_bpe(docs, n_merges=5, distributed="always")
+    assert dist == driver and len(dist) == 5
+
+
+def test_train_bpe_rejects_unknown_mode(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="auto|never|always"):
+        train_bpe(docs, n_merges=1, distributed="sometimes")

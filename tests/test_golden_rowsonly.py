@@ -89,6 +89,9 @@ GOLDEN_SHA256 = {
     "video_near_dup_from_docs": (
         25, "0816d871a0a1678b37d09fd3ffd494db020f90f5b92203d219d7b7cb3c1a01c0"
     ),
+    "bpe_merge_table": (
+        40, "8d20459fe12b44a2343a2a7c8984409eece6ccb07da385d17ea9556477970960"
+    ),
 }
 
 

@@ -1260,3 +1260,23 @@ def test_url_robots_600k_closed_form(spark):
         want_allowed += per_class if allowed else 0
     assert got.get(True, 0) == want_allowed, (got, want_allowed)
     assert got.get(True, 0) + got.get(False, 0) == n
+
+
+def test_bpe_distributed_learn_scales_linearly_10x(spark):
+    """Distributed BPE training: per-round cost is one pair-count
+    groupBy + one TakeOrdered over the WORD DICTIONARY, so 10× the
+    unique-word count must grow runtime ~linearly (the corpus itself
+    never re-enters the loop)."""
+    from org_revue_de_presse_trends_spark.operators.bpe import train_bpe
+
+    results = {}
+    for n in (2_000, 20_000):
+        # vocab scales with n → the dictionary (the loop's input) is
+        # ~n unique words; 4 rounds, distributed path forced
+        docs = _synthetic_docs(spark, n, n_tokens=10, vocab=n)
+        t0 = _time.perf_counter()
+        merges = train_bpe(docs, n_merges=4, distributed="always")
+        results[n] = _time.perf_counter() - t0
+        assert len(merges) == 4
+    t_ratio = results[20_000] / results[2_000]
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× vocab"
