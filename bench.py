@@ -370,9 +370,10 @@ def build_payload(
         # sample speeds up)
         "par_calib_sec": par_calib_before,
         "par_calib_sec_after": par_calib_after,
-        # interleaved samples [[last_completed_query, sec], ...] — the
-        # per-window normalizer for round-over-round comparisons
-        # (sacrificial zone: full copy always in bench_full.json)
+        # interleaved samples
+        # [[last_completed_query, single_thread_sec, parallel_sec],
+        # ...] — the per-window normalizer for round-over-round
+        # comparisons (sacrificial zone: full copy in bench_full.json)
         "cpu_calib_series": calib_series or [],
         "queries_secondary": warm_secondary,
         "secondary_total": round(sum(warm_secondary.values()), 3),

@@ -171,6 +171,7 @@ def train_bpe(
             mass_total=mass_total,
             mass_kept=mass_kept,
             truncated_mass_fraction=trunc_frac,
+            mode="driver",
         )
     if n_total > len(rows):
         warnings.warn(

@@ -270,6 +270,36 @@ def blocked_domain_sql(engine: str, domain_expr: str, modulus: int = 7) -> str:
     return f"{md5_bucket_sql(engine, domain_expr)} % {modulus} = 0"
 
 
+def synthetic_robots_rules(doms):
+    """The deterministic synthetic per-domain rule set shared by
+    `url_robots_audit`, its DuckDB oracle (the SQL twin in
+    plans/url_curation._ROBOTS_ORACLE — keep both in sync), and the
+    600k-row scale smoke: universal default-allow ``/``; md5-bucket
+    %3==1 domains deny ``/articles`` with an ``/articles/2`` allow
+    carve-out; bucket %3==0 domains deny ``/articles/7``.
+
+    ``doms`` must have one ``dom`` column (distinct registrable
+    domains); returns (dom, prefix, allow, rid) ready for
+    `robots_verdicts`."""
+    b = md5_bucket_sql("spark", "dom")
+
+    def rule(filt, prefix, allow, rid):
+        d = doms.filter(F.expr(filt)) if filt else doms
+        return d.select(
+            "dom",
+            F.lit(prefix).alias("prefix"),
+            F.lit(allow).alias("allow"),
+            F.lit(rid).alias("rid"),
+        )
+
+    return (
+        rule(None, "/", True, 0)
+        .unionByName(rule(f"{b} % 3 = 1", "/articles", False, 1))
+        .unionByName(rule(f"{b} % 3 = 1", "/articles/2", True, 2))
+        .unionByName(rule(f"{b} % 3 = 0", "/articles/7", False, 3))
+    )
+
+
 def robots_verdicts(
     urls_df,
     rules_df,

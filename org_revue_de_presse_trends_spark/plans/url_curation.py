@@ -161,6 +161,12 @@ _ROBOTS_ORACLE = f"""
         WHERE {_DOM_B6} % 3 = 0
     ),
     m AS (
+        -- LEFT join + default-allow mirrors operators/urls.
+        -- robots_verdicts exactly (RFC 9309: a URL matched by NO rule
+        -- is allowed): an inner join would silently DROP rows whose
+        -- canonical_path matches nothing (e.g. a pathless URL whose
+        -- canonical_path is '' — not even the universal '/' rule
+        -- matches) while Spark counts them allowed.
         SELECT c.doc_id, c.source, r.allow,
                row_number() OVER (
                    PARTITION BY c.doc_id
@@ -168,16 +174,16 @@ _ROBOTS_ORACLE = f"""
                             r.rid DESC
                ) AS rn
         FROM canon c
-        JOIN rules r
+        LEFT JOIN rules r
           ON r.dom = c.registrable_domain
          AND starts_with(c.canonical_path, r.prefix)
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_urls,
-           CAST(SUM(CASE WHEN allow THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_allowed,
-           CAST(SUM(CASE WHEN allow THEN 0 ELSE 1 END) AS BIGINT)
-               AS n_denied
+           CAST(SUM(CASE WHEN COALESCE(allow, true) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_allowed,
+           CAST(SUM(CASE WHEN COALESCE(allow, true) THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_denied
     FROM m WHERE rn = 1
     GROUP BY source
 """
@@ -215,23 +221,7 @@ def url_robots_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     doms = urls.select(
         F.col("registrable_domain").alias("dom")
     ).distinct()
-    b = U.md5_bucket_sql("spark", "dom")
-
-    def rule(filt, prefix, allow, rid):
-        d = doms.filter(F.expr(filt)) if filt else doms
-        return d.select(
-            "dom",
-            F.lit(prefix).alias("prefix"),
-            F.lit(allow).alias("allow"),
-            F.lit(rid).alias("rid"),
-        )
-
-    rules = (
-        rule(None, "/", True, 0)
-        .unionByName(rule(f"{b} % 3 = 1", "/articles", False, 1))
-        .unionByName(rule(f"{b} % 3 = 1", "/articles/2", True, 2))
-        .unionByName(rule(f"{b} % 3 = 0", "/articles/7", False, 3))
-    )
+    rules = U.synthetic_robots_rules(doms)
     v = U.robots_verdicts(urls, rules, id_cols=["doc_id", "source"])
     allowed = F.col("allowed").cast("long")
     return v.groupBy("source").agg(

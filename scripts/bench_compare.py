@@ -100,11 +100,21 @@ def compare(old: dict, new: dict, threshold: float = 1.3):
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     thr = 1.3
-    for a in sys.argv[1:]:
+    args: list[str] = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1]) if "=" in a else thr
+            if "=" in a:
+                thr = float(a.split("=", 1)[1])
+            else:  # space-separated form: --threshold 1.5
+                i += 1
+                thr = float(argv[i])
+        else:
+            args.append(a)
+        i += 1
     old = json.load(open(args[0]))
     new = json.load(open(args[1]))
     print(json.dumps(compare(old, new, thr), indent=2))

@@ -1217,23 +1217,10 @@ def test_url_robots_600k_closed_form(spark):
     doms = urls.select(
         F.col("registrable_domain").alias("dom")
     ).distinct()
-    b = U.md5_bucket_sql("spark", "dom")
-
-    def rule(filt, prefix, allow, rid):
-        d = doms.filter(F.expr(filt)) if filt else doms
-        return d.select(
-            "dom",
-            F.lit(prefix).alias("prefix"),
-            F.lit(allow).alias("allow"),
-            F.lit(rid).alias("rid"),
-        )
-
-    rules = (
-        rule(None, "/", True, 0)
-        .unionByName(rule(f"{b} % 3 = 1", "/articles", False, 1))
-        .unionByName(rule(f"{b} % 3 = 1", "/articles/2", True, 2))
-        .unionByName(rule(f"{b} % 3 = 0", "/articles/7", False, 3))
-    )
+    # the SHARED rule builder (operators/urls) — the smoke's
+    # closed-form expectation below recomputes the same buckets
+    # independently in Python, so a rule-set change breaks loudly here
+    rules = U.synthetic_robots_rules(doms)
     got = (
         U.robots_verdicts(urls, rules, id_cols=["doc_id"])
         .groupBy("allowed")

@@ -188,9 +188,11 @@ def test_robots_longest_prefix_semantics(spark):
     urls = spark.createDataFrame(
         pd.DataFrame(
             {
-                "doc_id": [1, 2, 3, 4],
-                "registrable_domain": ["a.com", "a.com", "a.com", "b.com"],
-                "canonical_path": ["/x/y", "/x/z", "/q", "/x/y"],
+                "doc_id": [1, 2, 3, 4, 5],
+                "registrable_domain": [
+                    "a.com", "a.com", "a.com", "b.com", "a.com",
+                ],
+                "canonical_path": ["/x/y", "/x/z", "/q", "/x/y", ""],
             }
         )
     )
@@ -213,4 +215,7 @@ def test_robots_longest_prefix_semantics(spark):
         2: False,  # /x/z: only '/x' deny matches
         3: True,   # /q: equal-length deny+allow -> allow wins the tie
         4: True,   # b.com has no rules -> RFC default allow
+        5: True,   # pathless URL ('' matches NO prefix, not even '/')
+                   # -> RFC default allow; the audit ORACLE must mirror
+                   # this with LEFT JOIN + COALESCE, never INNER
     }
