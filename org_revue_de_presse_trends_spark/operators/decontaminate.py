@@ -93,26 +93,31 @@ def _ngram_hash_ends(
             f"block_tokens must be a power of two >= n, got {block_tokens}"
         )
     shift = block_tokens.bit_length() - 1
-    staged = df.select(
-        F.col(id_col).cast("long").alias(out_id),
-        T.tokens(F.col(text_col)).alias("__t"),
+    # every stage below is a selectExpr/where STRING: the Column API
+    # costs ~10 py4j round-trips per operator of driver plan-build and
+    # this builder runs twice per decontamination query (the
+    # plan-build tax, CLAUDE.md — measured 0.2 s/call here before the
+    # string form); the parsed trees are identical, goldens unchanged
+    staged = df.selectExpr(
+        f"CAST({id_col} AS BIGINT) AS {out_id}",
+        f"split({text_col}, ' ') AS __t",
     )
     tok = (
-        staged.filter(F.size("__t") >= n)
-        .select(out_id, F.posexplode("__t").alias("p", "t"))
-        .select(
-            out_id,
-            F.col("p").cast("long").alias("p"),
-            F.xxhash64("t").alias("h0"),
+        staged.where(f"size(__t) >= {n}")
+        .selectExpr(out_id, "posexplode(__t) AS (p, t)")
+        .selectExpr(
+            out_id, "CAST(p AS BIGINT) AS p", "xxhash64(t) AS h0"
         )
     )
-    b0 = F.shiftright("p", shift)
-    blks = F.when(
-        F.col("p").bitwiseAND(F.lit(block_tokens - 1))
-        >= block_tokens - (n - 1),
-        F.array(b0, b0 + F.lit(1)),
-    ).otherwise(F.array(b0))
-    tok = tok.select(out_id, "p", "h0", F.explode(blks).alias("__blk"))
+    b0 = f"shiftright(p, {shift})"
+    tok = tok.selectExpr(
+        out_id,
+        "p",
+        "h0",
+        f"explode(CASE WHEN (p & {block_tokens - 1})"
+        f" >= {block_tokens - (n - 1)}"
+        f" THEN array({b0}, {b0} + 1) ELSE array({b0}) END) AS __blk",
+    )
     # the n-term lag-rotate-xor fan as ONE parsed SQL expression —
     # Column-by-Column it costs ~10 py4j round-trips per lag term of
     # driver plan-build (the plan-build tax, CLAUDE.md).  Catalyst
@@ -134,14 +139,15 @@ def _ngram_hash_ends(
             _rot_sql(f"lag(h0, {d}) {over}", 7 * d) for d in range(n)
         )
     )
-    grams = tok.select(out_id, "p", "__blk", gram.alias("h")).filter(
-        (F.col("p") >= n - 1)
-        & (F.col("p") >= F.shiftleft(F.col("__blk"), shift))
-    ).select(out_id, "p", "h")
-    short = staged.filter(F.size("__t") < n).select(
+    grams = (
+        tok.select(out_id, "p", "__blk", gram.alias("h"))
+        .where(f"p >= {n - 1} AND p >= shiftleft(__blk, {shift})")
+        .select(out_id, "p", "h")
+    )
+    short = staged.where(f"size(__t) < {n}").selectExpr(
         out_id,
-        (F.size("__t") - 1).cast("long").alias("p"),
-        F.xxhash64(F.concat_ws(" ", "__t")).alias("h"),
+        "CAST(size(__t) - 1 AS BIGINT) AS p",
+        "xxhash64(concat_ws(' ', __t)) AS h",
     )
     return grams.unionByName(short)
 
@@ -297,62 +303,54 @@ def _cut_marked_spans(
     # and the clean text is rebuilt by INDEX from the staged per-doc
     # token array, in the scan stage.  Previously both the window and
     # the reassembly groupBy carried every dirty token string.
-    tok = dirty.select(
-        "id",
-        F.posexplode(T.tokens(F.col("__text"))).alias("p", "__t0"),
-    ).select("id", F.col("p").cast("long").alias("p"))
-    marks = ends.withColumn("__end", F.lit(1))
-    flagged = tok.join(marks, ["id", "p"], "left").select(
-        "id", "p", F.coalesce("__end", F.lit(0)).alias("__end")
-    )
-    w = (
-        Window.partitionBy("id")
-        .orderBy("p")
-        .rangeBetween(-margin, n - 1 + margin)
+    # (String-form expressions throughout: the Column-by-Column build
+    # cost ~0.3 s of driver py4j round-trips per query — plan-build
+    # tax, CLAUDE.md; parsed trees identical, goldens unchanged.)
+    tok = dirty.selectExpr(
+        "id", "posexplode(split(__text, ' ')) AS (p, __t0)"
+    ).selectExpr("id", "CAST(p AS BIGINT) AS p")
+    marks = ends.selectExpr("id", "p", "1 AS __end")
+    flagged = tok.join(marks, ["id", "p"], "left").selectExpr(
+        "id", "p", "coalesce(__end, 0) AS __end"
     )
     # a gram ending at e covers tokens [e-n+1, e]; the frame looks
     # FORWARD from each token for an end within reach (± margin)
-    killed = flagged.withColumn("__kill", F.max("__end").over(w))
+    killed = flagged.selectExpr(
+        "id",
+        "p",
+        f"max(__end) OVER (PARTITION BY id ORDER BY p RANGE BETWEEN"
+        f" {margin} PRECEDING AND {n - 1 + margin} FOLLOWING)"
+        " AS __kill",
+    )
     flag_agg = killed.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum("__kill").alias("n_removed"),
-        F.sort_array(
-            F.collect_list(F.when(F.col("__kill") == 0, F.col("p")))
-        ).alias("__keep"),
+        F.expr("count(1) AS n_tokens"),
+        F.expr("sum(__kill) AS n_removed"),
+        F.expr(
+            "sort_array(collect_list("
+            "CASE WHEN __kill = 0 THEN p END)) AS __keep"
+        ),
     )
     rebuilt = (
-        dirty.select("id", T.tokens(F.col("__text")).alias("__toks"))
+        dirty.selectExpr("id", "split(__text, ' ') AS __toks")
         .join(flag_agg, "id")
-        .select(
+        .selectExpr(
             "id",
             "n_tokens",
             "n_removed",
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.col("__keep"),
-                    lambda p: F.element_at(
-                        F.col("__toks"), (p + F.lit(1)).cast("int")
-                    ),
-                ),
-            ).alias("text_clean"),
+            "concat_ws(' ', transform(__keep,"
+            " p -> element_at(__toks, CAST(p + 1 AS INT))))"
+            " AS text_clean",
         )
     )
-    return staged.join(rebuilt, "id", "left").select(
-        F.col("id").alias(doc_id_col),
-        F.coalesce(F.col("text_clean"), F.col("__text")).alias(
-            "text_clean"
-        ),
+    return staged.join(rebuilt, "id", "left").selectExpr(
+        f"id AS {doc_id_col}",
+        "coalesce(text_clean, __text) AS text_clean",
         # the extra 0 arm: size(tokens(NULL)) is NULL, and the oracles
         # count a NULL-text doc as 0 tokens (r7 review finding)
-        F.coalesce(
-            F.col("n_tokens"),
-            F.size(T.tokens(F.col("__text"))).cast("long"),
-            F.lit(0).cast("long"),
-        ).alias("n_tokens"),
-        F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias(
-            "n_removed"
-        ),
+        "coalesce(n_tokens,"
+        " CAST(size(split(__text, ' ')) AS BIGINT),"
+        " CAST(0 AS BIGINT)) AS n_tokens",
+        "CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed",
     )
 
 
