@@ -531,7 +531,18 @@ def main() -> None:
             # warm_retries.  In r7 data this triggers on 4 of 139
             # queries (~10 s extra); applied uniformly every round so
             # round-over-round comparability holds.
-            if cold[name] > 3 * sink[name] and sink[name] > 0.5:
+            #
+            # Second arm (r8b): the cold>3×warm gate itself can miss —
+            # an r8b run caught image_near_dup at cold 10.1 / warm 5.08
+            # (ratio 2.0, still mid-decay at 3× its steady state) and
+            # published the decayed sample.  An absolute arm covers
+            # it: ANY warm pass over 3 s gets the improving-reruns
+            # probe — a genuinely-slow steady-state query (edit
+            # distance, ~3.5 s) costs one extra non-improving run,
+            # bounded and visible in warm_retries.
+            if (cold[name] > 3 * sink[name] and sink[name] > 0.5) or (
+                sink[name] > 3.0
+            ):
                 runs = warm_retries.get(name, [sink[name]])
                 for _ in range(3):
                     try:
