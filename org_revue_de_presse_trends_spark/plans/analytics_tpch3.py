@@ -75,9 +75,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of a re-evaluated subquery per outer row).
 
     Plan shape: lineitem aggregates once into the (part, supplier)
-    cost relation (the only fact shuffle, keyed by the window's own
-    partition key so the window reuses the exchange); supplier⋈nation⋈
-    region and the size-filtered part dim broadcast onto it.  The
+    cost relation; supplier⋈nation⋈region and the size-filtered part
+    dim broadcast onto it; the per-part window then re-hashes the
+    AGGREGATED frame by part.  Two exchanges, both of |part×supplier|
+    aggregated rows — deliberately NOT collapsed into one by
+    pre-repartitioning lineitem on partkey (which satisfies both the
+    groupBy's clustered distribution and the window): that single
+    exchange would move RAW fact rows with no map-side combine, which
+    loses at 100 TB where fact rows ≫ aggregated pairs (A/B'd at
+    sf0.1: outputs identical, 4→2 exchanges, no win even there).  The
     window sees every regional supplier of a surviving part, exactly
     the correlated subquery's scope.  Final top-k is a total order
     (acctbal DESC, then the unique (part, supplier) pair), executed as
