@@ -19,10 +19,14 @@ decodable with the standard library alone, so those paths are REAL
 - BMP: uncompressed 8/24/32-bit decode (paletted/BGR/BGRA, either row
   order).
 - WAV: stdlib ``wave`` for PCM 8/16/32-bit.
+- WebP lossless (VP8L): full decoder (all four transforms, meta-
+  Huffman, LZ77, color cache) + a minimal spec-valid encoder in
+  ``codec_webp.py`` — interop-verified bit-exact both ways against
+  the system libwebp.
 
-Everything else (webm, mp4, webp, arithmetic/12-bit JPEG, ...)
-dispatches to PIL / the ffmpeg binary when present (``HAVE_PIL`` /
-``FFMPEG_BIN``) and raises ``NotImplementedError`` otherwise — the
+Everything else (webm, mp4, lossy-VP8 webp, arithmetic/12-bit JPEG,
+...) dispatches to PIL / the ffmpeg binary when present (``HAVE_PIL``
+/ ``FFMPEG_BIN``) and raises ``NotImplementedError`` otherwise — the
 documented codec boundary.
 
 Scale note: these run inside ``mapInPandas`` workers on the executors;
@@ -64,6 +68,8 @@ def sniff_format(payload: bytes) -> str:
         return "jpeg"
     if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         return "wav"
+    if payload.startswith(b"RIFF") and payload[8:12] == b"WEBP":
+        return "webp"
     if payload.startswith(b"GIF8"):
         return "gif"
     if payload.startswith(b"BM") and len(payload) > 14:
@@ -202,8 +208,9 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Image bytes → uint8 (H, W, C): stdlib for PNG, JPEG (baseline
-    + progressive), GIF (first frame), and uncompressed BMP; PIL for
-    the rest when installed, NotImplementedError at the boundary."""
+    + progressive), GIF (first frame), uncompressed BMP, and lossless
+    WebP (VP8L); PIL for the rest when installed, NotImplementedError
+    at the boundary."""
     fmt = sniff_format(payload)
     if fmt == "png":
         try:
@@ -230,6 +237,15 @@ def decode_image(payload: bytes) -> np.ndarray:
         try:
             return decode_bmp(payload)
         except (NotImplementedError, ValueError):
+            if not HAVE_PIL:
+                raise
+    if fmt == "webp":
+        try:
+            from .codec_webp import decode_webp
+
+            return decode_webp(payload)
+        except (NotImplementedError, ValueError):
+            # lossy VP8 / ANIM stay the PIL boundary; VP8L is native
             if not HAVE_PIL:
                 raise
     if HAVE_PIL:  # pragma: no cover - exercised only with PIL
