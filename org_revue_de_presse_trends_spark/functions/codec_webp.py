@@ -139,6 +139,8 @@ def _read_huffman_code(br: _LsbReader, alphabet_size: int):
         else:
             s0 = br.bit()
         if num_symbols == 1:
+            if s0 >= alphabet_size:
+                raise ValueError("VP8L: bad simple code symbols")
             return ("const", s0)
         s1 = br.read(8)
         lengths = [0] * alphabet_size
@@ -336,7 +338,6 @@ def _predict(mode: int, left: int, top: int, tl: int, tr: int) -> int:
 
 
 def _inverse_predictor(px, w, h, size_bits, sub_px, sub_w):
-    block = 1 << size_bits
     for pos in range(w * h):
         x, y = pos % w, pos // w
         if x == 0 and y == 0:
@@ -361,7 +362,6 @@ def _inverse_predictor(px, w, h, size_bits, sub_px, sub_w):
             ((a + pa) & 0xFF, (r + pr) & 0xFF,
              (g + pg) & 0xFF, (b + pb) & 0xFF)
         )
-    _ = block
 
 
 def _ct_delta(t: int, v: int) -> int:
@@ -439,13 +439,13 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     for tr in reversed(transforms):
         if tr[0] == 3:
             _, wbits, pal, orig_w = tr
+            # out-of-range indices decode as transparent black per
+            # RFC 9649 (libwebp does the same) — never an error
             if wbits == 0:
                 unpacked = []
                 for p in px:
                     idx = (p >> 8) & 0xFF
-                    if idx >= len(pal):
-                        raise ValueError("VP8L: palette index out of range")
-                    unpacked.append(pal[idx])
+                    unpacked.append(pal[idx] if idx < len(pal) else 0)
             else:
                 bpp = 8 >> wbits
                 per = 1 << wbits
@@ -457,11 +457,9 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
                     for x in range(orig_w):
                         g = (row[x >> wbits] >> 8) & 0xFF
                         idx = (g >> ((x & (per - 1)) * bpp)) & mask
-                        if idx >= len(pal):
-                            raise ValueError(
-                                "VP8L: palette index out of range"
-                            )
-                        unpacked.append(pal[idx])
+                        unpacked.append(
+                            pal[idx] if idx < len(pal) else 0
+                        )
                 px = unpacked
                 cur_w = orig_w
                 continue
@@ -542,6 +540,10 @@ def _huffman_lengths(hist: dict[int, int], max_len: int) -> dict[int, int]:
 
 def _canonical_encode_table(lengths: dict[int, int]):
     syms = sorted((ln, s) for s, ln in lengths.items() if ln > 0)
+    if len(syms) == 1:
+        # single-symbol codes consume ZERO bits per occurrence (the
+        # decoder's "const" case), whatever length was declared
+        return {syms[0][1]: (0, 0)}
     table = {}
     code = 0
     prev = syms[0][0] if syms else 0
@@ -557,8 +559,13 @@ def _write_huffman_code(bw: _LsbWriter, lengths: dict[int, int],
                         alphabet_size: int) -> None:
     used = sorted(s for s, ln in lengths.items())
     # simple codes carry symbols in 1/8-bit fields — >255 must take
-    # the normal path (can't happen for this encoder's literal-only
-    # green alphabet, but keep the writer spec-safe)
+    # the normal path; a SINGLE >255 symbol then needs a declared
+    # nonzero length there (an all-zero lengths array is an invalid
+    # prefix code), while its occurrences still cost zero bits (the
+    # canonical table maps lone symbols to 0-bit codes, matching the
+    # decoder's const case)
+    if len(used) == 1 and used[0] > 255 and lengths[used[0]] == 0:
+        lengths = {used[0]: 1}
     if max(used) <= 255 and (
         len(used) == 1
         or (len(used) == 2 and all(lengths[s] == 1 for s in used))
@@ -627,9 +634,8 @@ def encode_webp_lossless(img: np.ndarray) -> bytes:
     a = rgba[..., 3].ravel()
     planes = []
     for vals, alphabet in ((g, 280), (r, 256), (b, 256), (a, 256)):
-        hist: dict[int, int] = {}
-        for v in vals.tolist():
-            hist[v] = hist.get(v, 0) + 1
+        uniq, counts = np.unique(vals, return_counts=True)
+        hist = {int(s): int(c) for s, c in zip(uniq, counts)}
         lengths = _huffman_lengths(hist, 15)
         _write_huffman_code(bw, lengths, alphabet)
         planes.append(_canonical_encode_table(lengths))

@@ -46,6 +46,8 @@ def _load_libwebp():
             ctypes.c_char_p, ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ]
+        lib.WebPFree.restype = None
+        lib.WebPFree.argtypes = [ctypes.c_void_p]
         return lib
     return None
 
@@ -64,10 +66,12 @@ def _lw_encode(img: np.ndarray) -> bytes:
         ctypes.byref(out),
     )
     assert n > 0
-    return bytes(
+    data = bytes(
         bytearray(ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8 * n))
                   .contents)
     )
+    _LIB.WebPFree(out)
+    return data
 
 
 def _lw_decode(data: bytes) -> np.ndarray | None:
@@ -77,11 +81,13 @@ def _lw_decode(data: bytes) -> np.ndarray | None:
     if not p:
         return None
     n = w.value * h.value * 4
-    return np.frombuffer(
+    arr = np.frombuffer(
         bytes(bytearray(ctypes.cast(p, ctypes.POINTER(ctypes.c_uint8 * n))
                         .contents)),
         dtype=np.uint8,
     ).reshape(h.value, w.value, 4)
+    _LIB.WebPFree(p)
+    return arr
 
 
 def _vectors() -> dict[str, np.ndarray]:
@@ -189,6 +195,64 @@ def test_lossy_vp8_stays_at_the_boundary():
     assert codecs.sniff_format(payload) == "webp"
     with pytest.raises(NotImplementedError, match="lossy VP8"):
         decode_webp(payload)
+
+
+def _simple_const_code(bw, value: int) -> None:
+    bw.write(1, 1)  # simple
+    bw.write(0, 1)  # one symbol
+    if value > 1:
+        bw.write(1, 1)
+        bw.write(value, 8)
+    else:
+        bw.write(0, 1)
+        bw.write(value, 1)
+
+
+def _build_out_of_range_palette_stream() -> bytes:
+    """Hand-built 1x1 VP8L stream: a 17-color all-zero palette whose
+    single pixel carries index 200 — RFC 9649 decodes out-of-range
+    indices as transparent black, never an error."""
+    import struct
+
+    from org_revue_de_presse_trends_spark.functions.codec_webp import (
+        _LsbWriter,
+    )
+
+    bw = _LsbWriter()
+    bw.write(0, 14)  # w-1
+    bw.write(0, 14)  # h-1
+    bw.write(0, 1)   # alpha hint
+    bw.write(0, 3)   # version
+    bw.write(1, 1)   # transform present
+    bw.write(3, 2)   # color indexing
+    bw.write(16, 8)  # 17 colors -> wbits 0 (no bundling)
+    # palette sub-image (17x1): no cache; five const codes; 17 pixels
+    # of zero bits each (all deltas zero -> all palette entries 0)
+    bw.write(0, 1)
+    for _ in range(5):  # green/red/blue/alpha/distance const codes
+        _simple_const_code(bw, 0)
+    bw.write(0, 1)  # transform loop terminator
+    # main image (1x1): no cache, no meta; green const 200, rest 0
+    bw.write(0, 1)
+    bw.write(0, 1)
+    _simple_const_code(bw, 200)
+    for _ in range(4):  # red/blue/alpha/distance const codes
+        _simple_const_code(bw, 0)
+    body = b"\x2f" + bytes(bw.out)
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def test_out_of_range_palette_index_decodes_transparent_black():
+    data = _build_out_of_range_palette_stream()
+    mine = decode_webp(data)
+    assert mine.shape == (1, 1, 4)
+    assert mine.tolist() == [[[0, 0, 0, 0]]]
+    if _LIB is not None:
+        ref = _lw_decode(data)
+        assert ref is not None and (mine == ref).all()
 
 
 def test_malformed_inputs_raise_value_error():
