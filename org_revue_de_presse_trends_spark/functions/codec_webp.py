@@ -396,6 +396,13 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     br.bit()  # alpha-is-used hint
     if br.read(3) != 0:
         raise ValueError("VP8L: unknown version")
+    return _decode_vp8l_stream(br, w, h)
+
+
+def _decode_vp8l_stream(br: _LsbReader, w: int, h: int) -> np.ndarray:
+    """Headerless VP8L image stream (transform loop + entropy-coded
+    image) at known dimensions — shared by the VP8L chunk decoder and
+    the ALPH chunk's method-1 (lossless-compressed) alpha plane."""
     # transforms (level 0 only, each type at most once)
     transforms = []
     seen = set()
@@ -484,23 +491,85 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     return rgba
 
 
+def _unfilter_alpha(a: np.ndarray, method: int) -> np.ndarray:
+    """Inverse of the ALPH chunk's prediction filters (WebP container
+    spec): 0 none, 1 horizontal, 2 vertical, 3 gradient.  All sums are
+    mod 256; the gradient predictor clips left+top-topleft to 0..255."""
+    if method == 0:
+        return a
+    h, w = a.shape
+    x = a.astype(np.int32)
+    if method == 1:      # horizontal: col 0 predicts from above
+        col0 = np.cumsum(x[:, 0])
+        out = np.cumsum(x, axis=1) + (col0 - x[:, 0])[:, None]
+        return (out & 0xFF).astype(np.uint8)
+    if method == 2:      # vertical: row 0 predicts from the left
+        row0 = np.cumsum(x[0])
+        out = np.cumsum(x, axis=0) + (row0 - x[0])[None, :]
+        return (out & 0xFF).astype(np.uint8)
+    # gradient
+    out = np.zeros((h, w), dtype=np.int32)
+    for y in range(h):
+        for xx in range(w):
+            if y == 0:
+                pred = 0 if xx == 0 else out[0, xx - 1]
+            elif xx == 0:
+                pred = out[y - 1, 0]
+            else:
+                g = out[y, xx - 1] + out[y - 1, xx] - out[y - 1, xx - 1]
+                pred = 0 if g < 0 else (255 if g > 255 else g)
+            out[y, xx] = (int(x[y, xx]) + pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+def _decode_alpha(body: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk → uint8 (h, w) alpha plane."""
+    if not body:
+        raise ValueError("WebP: empty ALPH chunk")
+    compression = body[0] & 0x03
+    filter_m = (body[0] >> 2) & 0x03
+    pre_processing = (body[0] >> 4) & 0x03
+    reserved = (body[0] >> 6) & 0x03
+    if reserved != 0 or compression > 1 or pre_processing > 1:
+        raise ValueError("WebP: malformed ALPH header byte")
+    data = body[1:]
+    if compression == 0:
+        if len(data) < w * h:
+            raise ValueError("WebP: raw ALPH data truncated")
+        plane = np.frombuffer(data[:w * h], dtype=np.uint8).reshape(h, w)
+    else:
+        # headerless VP8L stream; alpha values ride in the green channel
+        rgba = _decode_vp8l_stream(_LsbReader(data), w, h)
+        plane = rgba[:, :, 1]
+    # pre_processing == 1 (level reduction) needs no decoder action
+    return _unfilter_alpha(plane, filter_m)
+
+
 def decode_webp(payload: bytes) -> np.ndarray:
-    """WebP container → uint8 (H, W, 4) RGBA.  Lossless (VP8L) decodes
-    natively; lossy VP8 / ALPH / ANIM are the documented boundary."""
+    """WebP container → uint8 (H, W, 4) RGBA.  Lossless (VP8L), lossy
+    (VP8 key frame, via codec_vp8) and still alpha (ALPH) all decode
+    natively; ANIM/animation is the remaining documented boundary."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF/WEBP) container")
     i = 12
+    alph: bytes | None = None
     while i + 8 <= len(payload):
         tag = payload[i:i + 4]
         size = struct.unpack("<I", payload[i + 4:i + 8])[0]
         body = payload[i + 8:i + 8 + size]
+        if tag == b"ANIM" or tag == b"ANMF":
+            raise NotImplementedError("animated WebP is not supported")
+        if tag == b"ALPH":
+            alph = body
         if tag == b"VP8L":
             return decode_vp8l(body)
         if tag == b"VP8 ":
-            raise NotImplementedError(
-                "lossy VP8 webp needs PIL/ffmpeg (boolean arithmetic "
-                "coder boundary); VP8L lossless decodes natively"
-            )
+            from .codec_vp8 import decode_vp8_rgba
+            rgba = decode_vp8_rgba(body)
+            if alph is not None:
+                h, w = rgba.shape[:2]
+                rgba[:, :, 3] = _decode_alpha(alph, w, h)
+            return rgba
         i += 8 + size + (size & 1)
     raise ValueError("WebP: no VP8L/VP8 image chunk found")
 

@@ -23,8 +23,12 @@ decodable with the standard library alone, so those paths are REAL
   Huffman, LZ77, color cache) + a minimal spec-valid encoder in
   ``codec_webp.py`` — interop-verified bit-exact both ways against
   the system libwebp.
+- WebP lossy (VP8 key frame) + still alpha (ALPH): full decoder in
+  ``codec_vp8.py`` (boolean arithmetic decoder, segmentation, all
+  intra modes, multi-partition, both loop filters) — YUV planes and
+  RGBA output interop-verified bit-exact against the system libwebp.
 
-Everything else (webm, mp4, lossy-VP8 webp, arithmetic/12-bit JPEG,
+Everything else (webm, mp4, animated webp, arithmetic/12-bit JPEG,
 ...) dispatches to PIL / the ffmpeg binary when present (``HAVE_PIL``
 / ``FFMPEG_BIN``) and raises ``NotImplementedError`` otherwise — the
 documented codec boundary.
@@ -245,7 +249,7 @@ def decode_image(payload: bytes) -> np.ndarray:
 
             return decode_webp(payload)
         except (NotImplementedError, ValueError):
-            # lossy VP8 / ANIM stay the PIL boundary; VP8L is native
+            # ANIM stays the PIL boundary; VP8L/VP8/ALPH are native
             if not HAVE_PIL:
                 raise
     if HAVE_PIL:  # pragma: no cover - exercised only with PIL

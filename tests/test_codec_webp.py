@@ -185,7 +185,9 @@ def test_decode_image_dispatches_vp8l_natively():
     assert (out[..., :3] == img).all()
 
 
-def test_lossy_vp8_stays_at_the_boundary():
+def test_lossy_vp8_decodes_natively():
+    # r8b flipped this boundary: lossy VP8 (+ ALPH alpha) now decodes
+    # through codec_vp8; full interop matrix in tests/test_codec_vp8.py
     import os
 
     path = f"{IMGHDR}/python.webp"
@@ -193,8 +195,8 @@ def test_lossy_vp8_stays_at_the_boundary():
         pytest.skip("imghdrdata vector not present")
     payload = open(path, "rb").read()
     assert codecs.sniff_format(payload) == "webp"
-    with pytest.raises(NotImplementedError, match="lossy VP8"):
-        decode_webp(payload)
+    out = decode_webp(payload)
+    assert out.shape == (16, 16, 4)
 
 
 def _simple_const_code(bw, value: int) -> None:
