@@ -146,6 +146,7 @@ SECONDARY = [
     "image_near_dup_from_docs",
     "audio_near_dup_from_docs",
     "video_near_dup_from_docs",
+    "video_real_webm_frames",
     "source_overlap_kmv",
     "events_zorder_keys",
     "doc_exact_substring_dedup",

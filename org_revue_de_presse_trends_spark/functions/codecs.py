@@ -292,14 +292,23 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 def extract_video_frames(
     payload: bytes, every_ms: int, duration_ms: int
 ) -> list[tuple[int, bytes]]:
-    """Video bytes → [(ts_ms, png_bytes)] sampled every ``every_ms``,
-    via the ffmpeg binary (one seek+decode per timestamp: simple and
-    exact; a single-pass fps filter is the optimization when frame
-    volume warrants it).  Raises NotImplementedError without ffmpeg."""
+    """Video bytes → [(ts_ms, png_bytes)] sampled every ``every_ms``.
+
+    WebM carrying VP8 decodes NATIVELY (container_webm demux +
+    codec_vp8; each sample takes the latest key frame at or before the
+    requested timestamp — the standard seek-to-keyframe behavior).
+    Everything else goes to the ffmpeg binary (one seek+decode per
+    timestamp) and raises NotImplementedError without it."""
+    if sniff_format(payload) == "webm":
+        try:
+            return _extract_webm_vp8_frames(payload, every_ms, duration_ms)
+        except NotImplementedError:
+            if FFMPEG_BIN is None:
+                raise
     if FFMPEG_BIN is None:
         raise NotImplementedError(
             "video frame sampling requires the ffmpeg binary, which is "
-            "not installed"
+            "not installed (only WebM/VP8 decodes natively)"
         )
     # pragma: no cover — exercised only where ffmpeg exists
     import subprocess
@@ -322,6 +331,39 @@ def extract_video_frames(
             if proc.returncode == 0 and proc.stdout:
                 frames.append((ts, proc.stdout))
     return frames
+
+
+def _extract_webm_vp8_frames(
+    payload: bytes, every_ms: int, duration_ms: int
+) -> list[tuple[int, bytes]]:
+    """Native WebM/VP8 sampling: demux, then decode the latest key
+    frame at or before each requested timestamp.  Raises
+    NotImplementedError for non-VP8 tracks or keyframe-less prefixes
+    (inter-frame decode stays behind the ffmpeg boundary)."""
+    from .codec_vp8 import decode_vp8_rgba
+    from .container_webm import demux_video_frames
+
+    track, frames = demux_video_frames(payload)
+    if track["codec_id"] != "V_VP8":
+        raise NotImplementedError(
+            f"only V_VP8 WebM decodes natively, not {track['codec_id']!r}"
+        )
+    keyframes = [(ts, data) for ts, kf, data in frames if kf]
+    if not keyframes:
+        raise NotImplementedError("WebM has no VP8 key frames to decode")
+    out: list[tuple[int, bytes]] = []
+    decoded: dict[int, bytes] = {}
+    for ts in range(0, max(duration_ms, 0), every_ms):
+        best = None
+        for fts, data in keyframes:
+            if fts <= ts and (best is None or fts > best[0]):
+                best = (fts, data)
+        if best is None:
+            continue
+        if best[0] not in decoded:
+            decoded[best[0]] = encode_png(decode_vp8_rgba(best[1]))
+        out.append((ts, decoded[best[0]]))
+    return out
 
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:

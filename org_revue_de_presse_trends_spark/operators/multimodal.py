@@ -105,14 +105,10 @@ def _decode_payload(payload: bytes, kind: str, decoder: str):
             q = np.clip((samples.reshape(-1) + 1.0) * 127.5, 0, 255)
             return _byte_stats(q.astype(np.uint8))
         if kind == "video":
-            if codecs.FFMPEG_BIN is None:
-                raise NotImplementedError(
-                    "decoding video requires the ffmpeg binary, which "
-                    "is not installed"
-                )
-            # pragma: no cover — exercised only where ffmpeg exists:
-            # stats over the first frame's pixels (duration unknown at
-            # this boundary; one probe frame at t=0 is the feature)
+            # WebM/VP8 decodes natively (container_webm + codec_vp8);
+            # other containers/codecs need ffmpeg and raise without it.
+            # Stats over the first frame's pixels (duration unknown at
+            # this boundary; one probe frame at t=0 is the feature).
             frames = codecs.extract_video_frames(
                 payload, every_ms=1000, duration_ms=1
             )

@@ -1171,3 +1171,99 @@ def video_near_dup_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_near_dup_pairs(
         media, every_ms=1000, threshold=0.5, decoder="fake"
     )
+
+
+@query("video_real_webm_frames")  # real VP8-in-WebM: rows-only (golden)
+def video_real_webm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec video pipeline end-to-end on the driver fixtures: a
+    1-in-97 document sample (the native VP8 encode costs ~3.6 ms per
+    16x16 frame, so sampling bounds the synthesis at every SF: 6 docs
+    at the 500-doc fixtures, 52 at sf0.1) each
+    becomes a genuine WebM video — three deterministic 16x16 frames
+    derived from the text fingerprint, encoded by the repo's own
+    minimal VP8 intra encoder (``codec_vp8_enc``, libwebp-verified)
+    and muxed by ``container_webm`` — then flows through the REAL
+    ``sample_video_frames`` path: EBML demux, seek-to-latest-keyframe,
+    native VP8 decode, PNG re-encode, md5 frame hash.  Every 4th
+    sampled doc additionally emits a CLIPPED copy (first two frames,
+    id offset 10^9), visible in the output as identical frame hashes
+    under two media ids — the signal video dedup keys on.
+
+    Rows-only (media_id, frame_ts_ms, frame_hash — scalar columns),
+    pinned by the sf0.01 golden hash.  Scale shape: one Arrow-batched
+    map per sampled doc (encode+mux), one more for demux+decode; only
+    ~KB payloads and 32-char hashes move, and the 1/97 sample keeps
+    the python-worker CPU bounded (~0.7 s of spread CPU at sf0.1)."""
+    from ..operators.multimodal import sample_video_frames
+    from ..operators.skew import spread_for_cpu
+
+    docs = (
+        spread_for_cpu(load_table(spark, sf_dir, "documents"))
+        .filter(F.col("doc_id") % 97 == 0)
+        .select("doc_id", "text")
+    )
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.codec_vp8_enc import encode_vp8
+        from ..functions.container_webm import mux_webm_vp8
+
+        def frames_for(fp: bytes) -> list:
+            out = []
+            for j in range(3):
+                raw = b"".join(
+                    hashlib.sha256(fp + bytes([j, k])).digest()
+                    for k in range(8)
+                )
+                y = np.frombuffer(raw, dtype=np.uint8).reshape(16, 16)
+                u = np.frombuffer(
+                    hashlib.sha256(fp + bytes([j, 64])).digest()
+                    + hashlib.sha256(fp + bytes([j, 65])).digest(),
+                    dtype=np.uint8,
+                ).reshape(8, 8)
+                v = np.frombuffer(
+                    hashlib.sha256(fp + bytes([j, 66])).digest()
+                    + hashlib.sha256(fp + bytes([j, 67])).digest(),
+                    dtype=np.uint8,
+                ).reshape(8, 8)
+                out.append(encode_vp8(y, u, v, qi=20))
+            return out
+
+        for pdf in batches:
+            ids, kinds, payloads, metas = [], [], [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                fp = hashlib.md5(
+                    (t or "").lower().strip().encode()
+                ).digest()
+                vf = frames_for(fp)
+                ids.append(int(i))
+                kinds.append("video")
+                payloads.append(
+                    mux_webm_vp8(vf, 16, 16, frame_duration_ms=100)
+                )
+                metas.append({"mime": "video/webm", "width": 16,
+                              "height": 16, "duration_ms": 300})
+                if (int(i) // 97) % 4 == 0:    # planted clipped copy
+                    ids.append(int(i) + 1_000_000_000)
+                    kinds.append("video")
+                    payloads.append(
+                        mux_webm_vp8(vf[:2], 16, 16,
+                                     frame_duration_ms=100)
+                    )
+                    metas.append({"mime": "video/webm", "width": 16,
+                                  "height": 16, "duration_ms": 200})
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads,
+                 "meta": metas}
+            )
+
+    media = docs.mapInPandas(
+        gen,
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    return sample_video_frames(media, every_ms=100, decoder="auto")

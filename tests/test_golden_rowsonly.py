@@ -92,6 +92,9 @@ GOLDEN_SHA256 = {
     "bpe_merge_table": (
         40, "8d20459fe12b44a2343a2a7c8984409eece6ccb07da385d17ea9556477970960"
     ),
+    "video_real_webm_frames": (
+        22, "4fda326f80c07a19fb687586514cbf5e4131d1a04ed44d7d5853e33358c0784a"
+    ),
 }
 
 

@@ -1267,3 +1267,63 @@ def test_bpe_distributed_learn_scales_linearly_10x(spark):
         assert len(merges) == 4
     t_ratio = results[20_000] / results[2_000]
     assert t_ratio < 30, f"runtime grew {t_ratio:.1f}× for 10× vocab"
+
+
+def test_real_webm_decode_scales_linearly_10x(spark):
+    """The real-codec video path (EBML demux + native VP8 decode per
+    sampled frame) is embarrassingly parallel per video — 10x videos
+    must cost ~10x, no shuffle of payloads.  Frames are genuine VP8
+    (our encoder; libwebp-verified elsewhere), videos differ by frame
+    rotation so the decode work is real, not cached."""
+    import numpy as np
+
+    from org_revue_de_presse_trends_spark.functions.codec_vp8_enc import (
+        encode_vp8,
+    )
+    from org_revue_de_presse_trends_spark.functions.container_webm import (
+        mux_webm_vp8,
+    )
+    from org_revue_de_presse_trends_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    rng = np.random.default_rng(11)
+    pool = [
+        encode_vp8(rng.integers(0, 256, (16, 16)).astype(np.uint8),
+                   rng.integers(0, 256, (8, 8)).astype(np.uint8),
+                   rng.integers(0, 256, (8, 8)).astype(np.uint8), qi=40)
+        for _ in range(8)
+    ]
+    webms = [
+        mux_webm_vp8([pool[i % 8], pool[(i + 3) % 8]], 16, 16,
+                     frame_duration_ms=100)
+        for i in range(8)
+    ]
+
+    def media(n):
+        rows = [(i, "video", webms[i % 8],
+                 ("video/webm", 16, 16, 200)) for i in range(n)]
+        return spark.createDataFrame(
+            rows,
+            "media_id long, kind string, payload binary, "
+            "meta struct<mime:string,width:int,height:int,"
+            "duration_ms:int>",
+        )
+
+    mc = MetricsCollector(spark)
+    results = {}
+    for n in (30, 300):
+        frames = sample_video_frames(media(n), every_ms=100,
+                                     decoder="auto")
+        t0 = _time.perf_counter()
+        cnt, qm = mc.measure(
+            f"webm_decode_{n}", frames, action=lambda d: d.count()
+        )
+        assert cnt == 2 * n
+        results[n] = (_time.perf_counter() - t0,
+                      qm.shuffle_bytes_written)
+    t_ratio = results[300][0] / results[30][0]
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}x for 10x videos"
+    # the decode map shuffles only count partials (a few bytes per
+    # task), never payload bytes: 300 webms are ~350 KB
+    assert results[300][1] < 50_000, "payload bytes leaked into a shuffle"
