@@ -837,17 +837,18 @@ def _common_adjust(use_outer, p1, p0, q0, q1):
     return _s8(p0 + E), _s8(q0 - F), F
 
 
-def _filter_edge(plane, rows, cols_p, cols_q, horizontal, ilim, elim,
+def _filter_edge(plane, span, pos, horizontal, ilim, elim,
                  hev_t, mb_edge):
     """Filter one edge: 8 pixel positions across, vectorized along the
-    edge.  ``rows``/``cols_*`` describe the pixel gather; values are
-    adjusted in the signed domain then written back."""
+    edge.  ``span`` = (lo, hi) along the edge; ``pos`` = the crossing
+    coordinate (first q row/column); values are adjusted in the signed
+    domain then written back."""
     # gather p3..p0, q0..q3
     if horizontal:
-        seg = plane[rows[0] - 4:rows[0] + 4, cols_p[0]:cols_p[1]]
+        seg = plane[pos - 4:pos + 4, span[0]:span[1]]
         px = [seg[k].astype(np.int32) - 128 for k in range(8)]
     else:
-        seg = plane[rows[0]:rows[1], cols_p[0] - 4:cols_p[0] + 4]
+        seg = plane[span[0]:span[1], pos - 4:pos + 4]
         px = [seg[:, k].astype(np.int32) - 128 for k in range(8)]
     p3, p2, p1, p0, q0, q1, q2, q3 = px
     mask = _filter_mask(p3, p2, p1, p0, q0, q1, q2, q3, ilim, elim)
@@ -883,10 +884,10 @@ def _filter_edge(plane, rows, cols_p, cols_q, horizontal, ilim, elim,
         idx = (2, 3, 4, 5)
     if horizontal:
         for k, arr in zip(idx, out):
-            plane[rows[0] - 4 + k, cols_p[0]:cols_p[1]] = arr + 128
+            plane[pos - 4 + k, span[0]:span[1]] = arr + 128
     else:
         for k, arr in zip(idx, out):
-            plane[rows[0]:rows[1], cols_p[0] - 4 + k] = arr + 128
+            plane[span[0]:span[1], pos - 4 + k] = arr + 128
 
 
 def _filter_edge_simple(plane, rows, col_or_row, horizontal, elim):
@@ -971,35 +972,35 @@ def _loop_filter(Y, U, V, hdr, segs, skips, ymodes, has_coeffs,
                                             True, sb_lim)
                 continue
             if mbx > 0:
-                _filter_edge(Y, (yr0, yr0 + 16), (yc0, None), None, False,
+                _filter_edge(Y, (yr0, yr0 + 16), yc0, False,
+ 
                              ilim, mb_lim, hev_t, True)
-                _filter_edge(U, (cr0, cr0 + 8), (cc0, None), None, False,
+                _filter_edge(U, (cr0, cr0 + 8), cc0, False,
+ 
                              ilim, mb_lim, hev_t, True)
-                _filter_edge(V, (cr0, cr0 + 8), (cc0, None), None, False,
+                _filter_edge(V, (cr0, cr0 + 8), cc0, False,
+ 
                              ilim, mb_lim, hev_t, True)
             if inner:
                 for k in (4, 8, 12):
-                    _filter_edge(Y, (yr0, yr0 + 16), (yc0 + k, None), None,
-                                 False, ilim, sb_lim, hev_t, False)
-                _filter_edge(U, (cr0, cr0 + 8), (cc0 + 4, None), None,
-                             False, ilim, sb_lim, hev_t, False)
-                _filter_edge(V, (cr0, cr0 + 8), (cc0 + 4, None), None,
-                             False, ilim, sb_lim, hev_t, False)
+                    _filter_edge(Y, (yr0, yr0 + 16), yc0 + k, False,
+                                  ilim, sb_lim, hev_t, False)
+                _filter_edge(U, (cr0, cr0 + 8), cc0 + 4, False,
+                              ilim, sb_lim, hev_t, False)
+                _filter_edge(V, (cr0, cr0 + 8), cc0 + 4, False,
+                              ilim, sb_lim, hev_t, False)
             if mby > 0:
-                _filter_edge(Y, (yr0, None), (yc0, yc0 + 16), None, True,
+                _filter_edge(Y, (yc0, yc0 + 16), yr0, True,
                              ilim, mb_lim, hev_t, True)
-                _filter_edge(U, (cr0, None), (cc0, cc0 + 8), None, True,
+                _filter_edge(U, (cc0, cc0 + 8), cr0, True,
                              ilim, mb_lim, hev_t, True)
-                _filter_edge(V, (cr0, None), (cc0, cc0 + 8), None, True,
+                _filter_edge(V, (cc0, cc0 + 8), cr0, True,
                              ilim, mb_lim, hev_t, True)
             if inner:
                 for k in (4, 8, 12):
-                    _filter_edge(Y, (yr0 + k, None), (yc0, yc0 + 16), None,
-                                 True, ilim, sb_lim, hev_t, False)
-                _filter_edge(U, (cr0 + 4, None), (cc0, cc0 + 8), None,
-                             True, ilim, sb_lim, hev_t, False)
-                _filter_edge(V, (cr0 + 4, None), (cc0, cc0 + 8), None,
-                             True, ilim, sb_lim, hev_t, False)
+                    _filter_edge(Y, (yc0, yc0 + 16), yr0 + k, True, ilim, sb_lim, hev_t, False)
+                _filter_edge(U, (cc0, cc0 + 8), cr0 + 4, True, ilim, sb_lim, hev_t, False)
+                _filter_edge(V, (cc0, cc0 + 8), cr0 + 4, True, ilim, sb_lim, hev_t, False)
 
 
 # ---------------------------------------------------------------------------

@@ -435,6 +435,12 @@ def encode_vp8(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                 left_c[0], left_c[1] = lc[0][1], lc[1][1]
     tokens = te.flush()
 
+    if len(part0) >= (1 << 19):
+        # the frame tag holds the first-partition size in 19 bits
+        raise ValueError(
+            f"VP8: first partition {len(part0)} bytes exceeds the "
+            "19-bit header field (image too large for this encoder)"
+        )
     tag = (len(part0) << 5) | (1 << 4) | (0 << 1) | 0   # keyframe, show
     return (tag.to_bytes(3, "little") + b"\x9d\x01\x2a"
             + struct.pack("<HH", W, H) + part0 + tokens)

@@ -302,7 +302,11 @@ def extract_video_frames(
     if sniff_format(payload) == "webm":
         try:
             return _extract_webm_vp8_frames(payload, every_ms, duration_ms)
-        except NotImplementedError:
+        except (NotImplementedError, ValueError):
+            # NotImplementedError: valid but outside the native scope
+            # (non-VP8 codec, laced video).  ValueError: a WebM the
+            # native demuxer can't parse.  Either way ffmpeg, when
+            # present, gets the file the way it always did.
             if FFMPEG_BIN is None:
                 raise
     if FFMPEG_BIN is None:
@@ -348,21 +352,23 @@ def _extract_webm_vp8_frames(
         raise NotImplementedError(
             f"only V_VP8 WebM decodes natively, not {track['codec_id']!r}"
         )
-    keyframes = [(ts, data) for ts, kf, data in frames if kf]
+    keyframes = sorted(
+        ((ts, data) for ts, kf, data in frames if kf), key=lambda f: f[0]
+    )
     if not keyframes:
         raise NotImplementedError("WebM has no VP8 key frames to decode")
     out: list[tuple[int, bytes]] = []
     decoded: dict[int, bytes] = {}
+    k = 0   # single merged walk: sample timestamps ascend with k
     for ts in range(0, max(duration_ms, 0), every_ms):
-        best = None
-        for fts, data in keyframes:
-            if fts <= ts and (best is None or fts > best[0]):
-                best = (fts, data)
-        if best is None:
+        while k + 1 < len(keyframes) and keyframes[k + 1][0] <= ts:
+            k += 1
+        fts, data = keyframes[k]
+        if fts > ts:
             continue
-        if best[0] not in decoded:
-            decoded[best[0]] = encode_png(decode_vp8_rgba(best[1]))
-        out.append((ts, decoded[best[0]]))
+        if fts not in decoded:
+            decoded[fts] = encode_png(decode_vp8_rgba(data))
+        out.append((ts, decoded[fts]))
     return out
 
 

@@ -3,11 +3,15 @@ pure stdlib, written from the public EBML (RFC 8794) and Matroska /
 WebM container specifications.
 
 Scope: the still-video slice a training-data pipeline needs —
-enumerate tracks, walk Clusters, and extract (track, timestamp_ms,
-keyframe, payload) for every SimpleBlock / BlockGroup Block.  Composed
-with ``codec_vp8`` this gives NATIVE decode of V_VP8 key frames, so
-``codecs.extract_video_frames`` no longer needs ffmpeg for WebM/VP8
-input (inter frames and other codecs remain the documented boundary).
+enumerate tracks, walk Clusters (including unknown-size streamed
+clusters, which end at their first non-child element), and extract
+(track, timestamp_ms, keyframe, payload) for every SimpleBlock /
+BlockGroup Block.  Laced blocks (legal Matroska, typical for audio)
+are counted per track, never fatal: ``demux_video_frames`` raises
+NotImplementedError only when the VIDEO track itself is laced.
+Composed with ``codec_vp8`` this gives NATIVE decode of V_VP8 key
+frames, so ``codecs.extract_video_frames`` no longer needs ffmpeg for
+WebM/VP8 input (inter frames and other codecs remain the boundary).
 
 The muxer writes a minimal valid WebM (EBML header → Segment → Info →
 Tracks → Clusters of SimpleBlocks, no lacing) and exists for two
@@ -101,15 +105,64 @@ def _read_size(buf: bytes, pos: int) -> tuple[int, int]:
     return (-1 if all_ones else v), pos + 1 + n
 
 
+def _read_vint(buf: bytes, pos: int) -> tuple[int, int]:
+    """Plain EBML varint (block track numbers): marker stripped, NO
+    unknown-size reservation — 0xFF is simply the value 127."""
+    if pos >= len(buf):
+        raise ValueError("EBML: truncated varint")
+    first = buf[pos]
+    if first == 0:
+        raise ValueError("EBML: invalid varint")
+    n = 8 - first.bit_length()
+    if pos + 1 + n > len(buf):
+        raise ValueError("EBML: truncated varint")
+    v = first & ((1 << (7 - n)) - 1)
+    for k in range(n):
+        v = (v << 8) | buf[pos + 1 + k]
+    return v, pos + 1 + n
+
+
+# elements that may legally appear inside a Cluster — anything else
+# terminates an unknown-size Cluster (Matroska: an unknown-size
+# element ends at the first element that is not one of its children)
+_CLUSTER_CHILD_IDS = frozenset({
+    _CLUSTER_TIMESTAMP, _SIMPLE_BLOCK, _BLOCK_GROUP, _VOID, _CRC32,
+    0xA7,   # Position
+    0xAB,   # PrevSize
+    0x5854,  # SilentTracks
+})
+
+
+def _unknown_cluster_end(buf: bytes, start: int, end: int) -> int:
+    """Find where an unknown-size Cluster ends: at the first child ID
+    that is not a Cluster child, or the parent end."""
+    pos = start
+    while pos < end:
+        eid, after_id = _read_id(buf, pos)
+        if eid not in _CLUSTER_CHILD_IDS:
+            return pos
+        size, body = _read_size(buf, after_id)
+        if size == -1 or body + size > end:
+            return end
+        pos = body + size
+    return end
+
+
 def _iter_children(buf: bytes, start: int, end: int) -> Iterator[
         tuple[int, int, int]]:
     """Yield (element_id, body_start, body_end) inside [start, end).
-    Unknown-size elements (streamed files) extend to the parent end."""
+    Unknown-size elements (streamed files): a Cluster ends at its
+    first non-child element; anything else extends to the parent end
+    (correct for the common case, a streamed Segment)."""
     pos = start
     while pos < end:
         eid, pos = _read_id(buf, pos)
         size, pos = _read_size(buf, pos)
-        body_end = end if size == -1 else pos + size
+        if size == -1:
+            body_end = (_unknown_cluster_end(buf, pos, end)
+                        if eid == _CLUSTER else end)
+        else:
+            body_end = pos + size
         if body_end > end:
             raise ValueError("EBML: element overruns its parent")
         yield eid, pos, body_end
@@ -157,6 +210,7 @@ def parse_webm(payload: bytes) -> dict:
     scale = 1_000_000  # ns per tick (default: 1 ms ticks)
     tracks: list[dict] = []
     frames: list[tuple[int, int, bool, bytes]] = []
+    laced: dict[int, int] = {}   # track number -> laced-block count
 
     for eid, s, e in _iter_children(payload, *segment):
         if eid == _INFO:
@@ -190,8 +244,12 @@ def parse_webm(payload: bytes) -> dict:
                 if cid == _CLUSTER_TIMESTAMP:
                     cluster_ts = _uint(payload, cs, ce)
                 elif cid == _SIMPLE_BLOCK:
-                    frames.append(_parse_block(
-                        payload, cs, ce, cluster_ts, scale, None))
+                    f = _parse_block(payload, cs, ce, cluster_ts, scale,
+                                     None)
+                    if f[0] == "laced":
+                        laced[f[1]] = laced.get(f[1], 0) + 1
+                    else:
+                        frames.append(f)
                 elif cid == _BLOCK_GROUP:
                     block = None
                     has_ref = False
@@ -202,23 +260,28 @@ def parse_webm(payload: bytes) -> dict:
                             has_ref = True
                     if block is not None:
                         # a Block with no ReferenceBlock is a keyframe
-                        frames.append(_parse_block(
-                            payload, block[0], block[1], cluster_ts,
-                            scale, not has_ref))
+                        f = _parse_block(payload, block[0], block[1],
+                                         cluster_ts, scale, not has_ref)
+                        if f[0] == "laced":
+                            laced[f[1]] = laced.get(f[1], 0) + 1
+                        else:
+                            frames.append(f)
     return {"doctype": doctype, "timestamp_scale": scale,
-            "tracks": tracks, "frames": frames}
+            "tracks": tracks, "frames": frames, "laced_blocks": laced}
 
 
 def _parse_block(buf: bytes, s: int, e: int, cluster_ts: int, scale: int,
                  keyframe_override: bool | None):
-    track, pos = _read_size(buf, s)   # track number is a plain varint
-    if track == -1 or pos + 3 > e:
+    """Returns (track, ts_ms, keyframe, payload) or, for a laced block
+    (legal Matroska, typical for audio), ('laced', track) — the caller
+    decides whether the affected track matters."""
+    track, pos = _read_vint(buf, s)
+    if pos + 3 > e:
         raise ValueError("WebM: malformed block header")
     rel = struct.unpack_from(">h", buf, pos)[0]
     flags = buf[pos + 2]
-    lacing = (flags >> 1) & 0x03
-    if lacing != 0:
-        raise ValueError("WebM: laced blocks are not supported")
+    if (flags >> 1) & 0x03:
+        return ("laced", track)
     keyframe = bool(flags & 0x80) if keyframe_override is None \
         else keyframe_override
     ts_ms = (cluster_ts + rel) * scale // 1_000_000
@@ -233,6 +296,12 @@ def demux_video_frames(payload: bytes) -> tuple[dict, list]:
     video = next((t for t in doc["tracks"] if t["type"] == 1), None)
     if video is None:
         raise ValueError("WebM: no video track")
+    if doc["laced_blocks"].get(video["number"]):
+        # laced blocks on OTHER tracks (typically audio) are ignored;
+        # lacing on the track we must decode is a real capability gap
+        raise NotImplementedError(
+            "WebM: laced video blocks are not supported"
+        )
     frames = [(ts, kf, data) for (tn, ts, kf, data) in doc["frames"]
               if tn == video["number"]]
     return video, frames

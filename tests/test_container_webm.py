@@ -163,7 +163,9 @@ def test_malformed_inputs_raise():
     bad = cw._elem(cw._EBML_HEADER, cw._elem(cw._DOCTYPE, b"notwebm"))
     with pytest.raises(ValueError, match="doctype"):
         cw.parse_webm(bad)
-    # laced SimpleBlock rejected explicitly
+    # laced SimpleBlock on the VIDEO track: tolerated by parse_webm
+    # (counted per track), refused by demux_video_frames as a
+    # capability gap (NotImplementedError -> ffmpeg fallback upstream)
     block = cw._enc_size(1) + struct.pack(">h", 0) + bytes([0x86]) + b"xx"
     webm = (cw._elem(cw._EBML_HEADER, cw._elem(cw._DOCTYPE, b"webm"))
             + cw._elem(cw._SEGMENT, b"".join([
@@ -176,8 +178,9 @@ def test_malformed_inputs_raise():
                          cw._elem_uint(cw._CLUSTER_TIMESTAMP, 0)
                          + cw._elem(cw._SIMPLE_BLOCK, block)),
             ])))
-    with pytest.raises(ValueError, match="laced"):
-        cw.parse_webm(webm)
+    assert cw.parse_webm(webm)["laced_blocks"] == {1: 1}
+    with pytest.raises(NotImplementedError, match="laced video"):
+        cw.demux_video_frames(webm)
     # no video track
     audio_only = (cw._elem(cw._EBML_HEADER, cw._elem(cw._DOCTYPE, b"webm"))
                   + cw._elem(cw._SEGMENT, cw._elem(
@@ -235,3 +238,101 @@ def test_sample_video_frames_operator_end_to_end(spark, vp8_frames):
     # the same timestamp in the two videos shows different content
     h = {(r.media_id, r.frame_ts_ms): r.frame_hash for r in out}
     assert h[(1, 0)] != h[(2, 0)]
+
+
+@needs_libwebp
+def test_laced_audio_track_does_not_block_video_demux(vp8_frames):
+    """Review-caught: lacing is legal Matroska and typical for audio —
+    a laced block on a track the caller never decodes must not abort
+    the video demux (previously a hard ValueError)."""
+    payloads = [p for p, _ in vp8_frames[:2]]
+    base = cw.mux_webm_vp8(payloads, W, H, frame_duration_ms=100)
+    # rebuild: two tracks (video 1, audio 2), video blocks + one laced
+    # audio SimpleBlock (EBML lacing, flags bit 0x06)
+    tracks = cw._elem(cw._TRACKS, b"".join([
+        cw._elem(cw._TRACK_ENTRY, b"".join([
+            cw._elem_uint(cw._TRACK_NUMBER, 1),
+            cw._elem_uint(cw._TRACK_TYPE, 1),
+            cw._elem(cw._CODEC_ID, b"V_VP8"),
+            cw._elem(cw._VIDEO, cw._elem_uint(cw._PIXEL_WIDTH, W)
+                     + cw._elem_uint(cw._PIXEL_HEIGHT, H)),
+        ])),
+        cw._elem(cw._TRACK_ENTRY, b"".join([
+            cw._elem_uint(cw._TRACK_NUMBER, 2),
+            cw._elem_uint(cw._TRACK_TYPE, 2),
+            cw._elem(cw._CODEC_ID, b"A_OPUS"),
+        ])),
+    ]))
+    vid_blocks = b"".join(
+        cw._elem(cw._SIMPLE_BLOCK,
+                 cw._enc_size(1) + struct.pack(">h", 100 * i)
+                 + bytes([0x80]) + p)
+        for i, p in enumerate(payloads))
+    laced_audio = cw._elem(cw._SIMPLE_BLOCK,
+                           cw._enc_size(2) + struct.pack(">h", 0)
+                           + bytes([0x06]) + b"\x02\x10\x10" + b"x" * 48)
+    cluster = cw._elem(cw._CLUSTER,
+                       cw._elem_uint(cw._CLUSTER_TIMESTAMP, 0)
+                       + laced_audio + vid_blocks)
+    ebml_end = base.index(cw._enc_id(cw._SEGMENT))
+    webm = base[:ebml_end] + cw._elem(cw._SEGMENT, tracks + cluster)
+    track, frames = cw.demux_video_frames(webm)
+    assert [f[2] for f in frames] == payloads
+    assert cw.parse_webm(webm)["laced_blocks"] == {2: 1}
+
+
+@needs_libwebp
+def test_unknown_size_cluster_does_not_swallow_later_clusters(vp8_frames):
+    """Review-caught: streamed recordings (e.g. MediaRecorder) write
+    clusters with the all-ones unknown size; the next Cluster ID ends
+    the element, so later frames must survive."""
+    payloads = [p for p, _ in vp8_frames[:2]]
+    base = cw.mux_webm_vp8(payloads[:1], W, H)
+
+    def cluster(ts, payload, unknown_size):
+        body = (cw._elem_uint(cw._CLUSTER_TIMESTAMP, ts)
+                + cw._elem(cw._SIMPLE_BLOCK,
+                           cw._enc_size(1) + struct.pack(">h", 0)
+                           + bytes([0x80]) + payload))
+        if unknown_size:
+            return (cw._enc_id(cw._CLUSTER)
+                    + bytes([0x01]) + b"\xff" * 7 + body)
+        return cw._elem(cw._CLUSTER, body)
+
+    tracks = cw._elem(cw._TRACKS, cw._elem(cw._TRACK_ENTRY, b"".join([
+        cw._elem_uint(cw._TRACK_NUMBER, 1),
+        cw._elem_uint(cw._TRACK_TYPE, 1),
+        cw._elem(cw._CODEC_ID, b"V_VP8"),
+    ])))
+    ebml_end = base.index(cw._enc_id(cw._SEGMENT))
+    webm = base[:ebml_end] + cw._elem(
+        cw._SEGMENT,
+        tracks + cluster(0, payloads[0], True)
+        + cluster(1000, payloads[1], False))
+    _, frames = cw.demux_video_frames(webm)
+    assert [(ts, d) for ts, _, d in frames] == [
+        (0, payloads[0]), (1000, payloads[1])]
+
+
+@needs_libwebp
+def test_track_number_127_single_byte_vint(vp8_frames):
+    """Review-caught: the all-ones reservation applies to element
+    SIZES only — a block track number of 127 is the single byte 0xFF
+    and must parse as the value 127."""
+    payloads = [p for p, _ in vp8_frames[:1]]
+    base = cw.mux_webm_vp8(payloads, W, H)
+    tracks = cw._elem(cw._TRACKS, cw._elem(cw._TRACK_ENTRY, b"".join([
+        cw._elem_uint(cw._TRACK_NUMBER, 127),
+        cw._elem_uint(cw._TRACK_TYPE, 1),
+        cw._elem(cw._CODEC_ID, b"V_VP8"),
+    ])))
+    cluster = cw._elem(cw._CLUSTER,
+                       cw._elem_uint(cw._CLUSTER_TIMESTAMP, 0)
+                       + cw._elem(cw._SIMPLE_BLOCK,
+                                  b"\xff" + struct.pack(">h", 0)
+                                  + bytes([0x80]) + payloads[0]))
+    ebml_end = base.index(cw._enc_id(cw._SEGMENT))
+    webm = base[:ebml_end] + cw._elem(cw._SEGMENT, tracks + cluster)
+    track, frames = cw.demux_video_frames(webm)
+    assert track["number"] == 127
+    assert frames[0][2] == payloads[0]
