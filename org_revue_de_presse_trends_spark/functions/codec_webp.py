@@ -545,33 +545,178 @@ def _decode_alpha(body: bytes, w: int, h: int) -> np.ndarray:
     return _unfilter_alpha(plane, filter_m)
 
 
-def decode_webp(payload: bytes) -> np.ndarray:
-    """WebP container → uint8 (H, W, 4) RGBA.  Lossless (VP8L), lossy
-    (VP8 key frame, via codec_vp8) and still alpha (ALPH) all decode
-    natively; ANIM/animation is the remaining documented boundary."""
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
-        raise ValueError("not a WebP (RIFF/WEBP) container")
-    i = 12
-    alph: bytes | None = None
-    while i + 8 <= len(payload):
+def _iter_riff_chunks(payload: bytes, start: int, end: int):
+    i = start
+    while i + 8 <= end:
         tag = payload[i:i + 4]
         size = struct.unpack("<I", payload[i + 4:i + 8])[0]
-        body = payload[i + 8:i + 8 + size]
-        if tag == b"ANIM" or tag == b"ANMF":
-            raise NotImplementedError("animated WebP is not supported")
+        if i + 8 + size > end:
+            raise ValueError("WebP: chunk overruns container")
+        yield tag, payload[i + 8:i + 8 + size]
+        i += 8 + size + (size & 1)
+
+
+def _decode_still(chunks: list) -> np.ndarray:
+    """Decode one still image from an (ALPH?, VP8|VP8L) chunk list."""
+    alph = None
+    for tag, body in chunks:
         if tag == b"ALPH":
             alph = body
-        if tag == b"VP8L":
+        elif tag == b"VP8L":
             return decode_vp8l(body)
-        if tag == b"VP8 ":
+        elif tag == b"VP8 ":
             from .codec_vp8 import decode_vp8_rgba
             rgba = decode_vp8_rgba(body)
             if alph is not None:
                 h, w = rgba.shape[:2]
                 rgba[:, :, 3] = _decode_alpha(alph, w, h)
             return rgba
-        i += 8 + size + (size & 1)
     raise ValueError("WebP: no VP8L/VP8 image chunk found")
+
+
+def _blend_over(canvas: np.ndarray, tile: np.ndarray, x: int, y: int,
+                blend: bool) -> None:
+    """Compose a frame tile onto the canvas at (x, y): either straight
+    replacement or non-premultiplied alpha 'over' (integer math)."""
+    h, w = tile.shape[:2]
+    if y + h > canvas.shape[0] or x + w > canvas.shape[1]:
+        raise ValueError("WebP: animation frame exceeds the canvas")
+    region = canvas[y:y + h, x:x + w]
+    if not blend:
+        region[...] = tile
+        return
+    src_a = tile[..., 3].astype(np.int32)
+    dst_factor = region[..., 3].astype(np.int32) * (255 - src_a) // 255
+    out_a = src_a + dst_factor
+    num = (tile[..., :3].astype(np.int32) * src_a[..., None]
+           + region[..., :3].astype(np.int32) * dst_factor[..., None])
+    region[..., :3] = (num // np.maximum(out_a, 1)[..., None]).astype(
+        np.uint8)
+    region[..., 3] = out_a.astype(np.uint8)
+
+
+def decode_webp_anim(payload: bytes):
+    """Animated WebP → ``(loop_count, [(duration_ms, canvas_rgba)])``:
+    every composed canvas state, in order.
+
+    Composition per the container spec: the canvas starts fully
+    transparent; each ANMF frame either alpha-blends or overwrites its
+    rectangle, and dispose-to-background clears the frame's rectangle
+    to transparent before the next frame.  Frame payloads are the
+    engine's own still decoders (VP8L / VP8 / ALPH — all
+    interop-verified against libwebp); no animation oracle exists in
+    this environment, so the composition arithmetic is pinned by
+    spec-mirroring tests over LOSSLESS frames (exact by construction).
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP) container")
+    canvas_w = canvas_h = None
+    loop_count = 0
+    frames = []
+    saw_anim = False
+    for tag, body in _iter_riff_chunks(payload, 12, len(payload)):
+        if tag == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("WebP: truncated VP8X chunk")
+            canvas_w = 1 + int.from_bytes(body[4:7], "little")
+            canvas_h = 1 + int.from_bytes(body[7:10], "little")
+        elif tag == b"ANIM":
+            if len(body) < 6:
+                raise ValueError("WebP: truncated ANIM chunk")
+            loop_count = struct.unpack("<H", body[4:6])[0]
+            saw_anim = True
+        elif tag == b"ANMF":
+            if len(body) < 16:
+                raise ValueError("WebP: truncated ANMF chunk")
+            fx = 2 * int.from_bytes(body[0:3], "little")
+            fy = 2 * int.from_bytes(body[3:6], "little")
+            fw = 1 + int.from_bytes(body[6:9], "little")
+            fh = 1 + int.from_bytes(body[9:12], "little")
+            dur = int.from_bytes(body[12:15], "little")
+            flags = body[15]
+            sub = list(_iter_riff_chunks(body, 16, len(body)))
+            frames.append((fx, fy, fw, fh, dur, flags, sub))
+    if not saw_anim or not frames:
+        raise ValueError("WebP: not an animation (no ANIM/ANMF chunks)")
+    if canvas_w is None:
+        raise ValueError("WebP: animation without a VP8X canvas")
+    canvas = np.zeros((canvas_h, canvas_w, 4), dtype=np.uint8)
+    out = []
+    for fx, fy, fw, fh, dur, flags, sub in frames:
+        tile = _decode_still(sub)
+        if tile.shape[:2] != (fh, fw):
+            raise ValueError("WebP: ANMF size disagrees with its payload")
+        _blend_over(canvas, tile, fx, fy, blend=not (flags & 0x02))
+        out.append((dur, canvas.copy()))
+        if flags & 0x01:       # dispose to background: clear the rect
+            canvas[fy:fy + fh, fx:fx + fw] = 0
+    return loop_count, out
+
+
+def decode_webp(payload: bytes) -> np.ndarray:
+    """WebP container → uint8 (H, W, 4) RGBA.  Lossless (VP8L), lossy
+    (VP8 key frame, via codec_vp8) and still alpha (ALPH) all decode
+    natively; animations return the first composed frame (the GIF
+    precedent — ``decode_webp_anim`` exposes every frame)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP) container")
+    chunks = []
+    for tag, body in _iter_riff_chunks(payload, 12, len(payload)):
+        if tag == b"ANIM" or tag == b"ANMF":
+            _, anim_frames = decode_webp_anim(payload)
+            return anim_frames[0][1]
+        chunks.append((tag, body))
+    return _decode_still(chunks)
+
+
+def mux_webp_anim(frames, canvas_w: int, canvas_h: int,
+                  loop_count: int = 0) -> bytes:
+    """Build an animated WebP from encoded still-WebP payloads.
+
+    ``frames`` is a list of ``(webp_bytes, x, y, duration_ms, blend,
+    dispose_bg)`` — each ``webp_bytes`` a complete still WebP (e.g.
+    from ``encode_webp_lossless``); its image chunks are lifted into
+    an ANMF.  Exists to synthesize animation fixtures in an
+    environment with no animation encoder (tests + demos)."""
+    anmfs = []
+    for data, x, y, dur, blend, dispose in frames:
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets must be even (stored /2)")
+        if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+            raise ValueError("frame payload must be a still WebP")
+        sub = b""
+        fw = fh = None
+        for tag, body in _iter_riff_chunks(data, 12, len(data)):
+            if tag in (b"ALPH", b"VP8L", b"VP8 "):
+                sub += tag + struct.pack("<I", len(body)) + body
+                sub += b"\x00" * (len(body) & 1)
+            if tag == b"VP8L":
+                bits = int.from_bytes(body[1:5], "little")
+                fw = (bits & 0x3FFF) + 1
+                fh = ((bits >> 14) & 0x3FFF) + 1
+            elif tag == b"VP8 ":
+                fw = struct.unpack_from("<H", body, 6)[0] & 0x3FFF
+                fh = struct.unpack_from("<H", body, 8)[0] & 0x3FFF
+        if fw is None:
+            raise ValueError("frame payload has no image chunk")
+        flags = (0x02 if not blend else 0x00) | (0x01 if dispose else 0x00)
+        head = ((x // 2).to_bytes(3, "little")
+                + (y // 2).to_bytes(3, "little")
+                + (fw - 1).to_bytes(3, "little")
+                + (fh - 1).to_bytes(3, "little")
+                + int(dur).to_bytes(3, "little") + bytes([flags]))
+        body = head + sub
+        anmfs.append(b"ANMF" + struct.pack("<I", len(body)) + body
+                     + b"\x00" * (len(body) & 1))
+    vp8x = (bytes([0x02]) + b"\x00\x00\x00"
+            + (canvas_w - 1).to_bytes(3, "little")
+            + (canvas_h - 1).to_bytes(3, "little"))
+    anim = b"\x00\x00\x00\x00" + struct.pack("<H", loop_count)
+    riff = (b"WEBP"
+            + b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+            + b"ANIM" + struct.pack("<I", len(anim)) + anim
+            + b"".join(anmfs))
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
 # ---------------------------------------------------------------------------

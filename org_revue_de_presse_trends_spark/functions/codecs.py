@@ -27,8 +27,13 @@ decodable with the standard library alone, so those paths are REAL
   ``codec_vp8.py`` (boolean arithmetic decoder, segmentation, all
   intra modes, multi-partition, both loop filters) — YUV planes and
   RGBA output interop-verified bit-exact against the system libwebp.
+  A minimal spec-valid VP8 ENCODER lives in ``codec_vp8_enc.py``.
+- Animated WebP (ANIM/ANMF): full frame composition (alpha-over /
+  replace, dispose-to-background) over the native still decoders in
+  ``codec_webp.decode_webp_anim``; ``decode_image`` returns the first
+  composed frame (the GIF precedent).
 
-Everything else (webm, mp4, animated webp, arithmetic/12-bit JPEG,
+Everything else (webm with non-VP8 codecs, mp4, arithmetic/12-bit JPEG,
 ...) dispatches to PIL / the ffmpeg binary when present (``HAVE_PIL``
 / ``FFMPEG_BIN``) and raises ``NotImplementedError`` otherwise — the
 documented codec boundary.
@@ -249,7 +254,8 @@ def decode_image(payload: bytes) -> np.ndarray:
 
             return decode_webp(payload)
         except (NotImplementedError, ValueError):
-            # ANIM stays the PIL boundary; VP8L/VP8/ALPH are native
+            # VP8L/VP8/ALPH/ANIM are all native; ValueError here
+            # means a malformed container
             if not HAVE_PIL:
                 raise
     if HAVE_PIL:  # pragma: no cover - exercised only with PIL

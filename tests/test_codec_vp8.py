@@ -534,3 +534,61 @@ def test_truncated_real_stream_still_terminates():
         assert out[0].shape == (48, 48)
     except ValueError:
         pass  # header-level truncation is also acceptable
+
+
+def test_mutated_lossy_webp_raises_value_error_or_decodes():
+    """Deterministic byte-mutation fuzz: a corrupted lossy-WebP either
+    decodes (VP8 tolerates bool-stream damage by design — reads past
+    the end yield zeros) or raises ValueError — never another
+    exception class, never a hang.  Seeded, so green means green on
+    any machine (the r7 hypothesis lesson)."""
+    if _LIB is None:
+        pytest.skip("system libwebp not available")
+    rng = np.random.default_rng(1234)
+    base = bytearray(_lw_encode_rgb(_VEC["waves_16x16"], 60.0))
+    for _ in range(80):
+        data = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            kind = rng.integers(0, 3)
+            if kind == 0:      # flip a byte anywhere
+                data[int(rng.integers(0, len(data)))] = int(
+                    rng.integers(0, 256))
+            elif kind == 1:    # truncate
+                data = data[:int(rng.integers(12, len(data)))]
+            else:              # splice garbage into the stream body
+                at = int(rng.integers(20, max(len(data), 21)))
+                data = (data[:at]
+                        + bytes(rng.integers(0, 256, 8, dtype=np.uint8))
+                        + data[at:])
+        try:
+            out = codecs.decode_image(bytes(data))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_mutated_webm_raises_value_error_or_decodes():
+    """Same invariant for the WebM demux + native VP8 sampling path."""
+    if _LIB is None:
+        pytest.skip("system libwebp not available")
+    from org_revue_de_presse_trends_spark.functions.container_webm import (
+        mux_webm_vp8,
+    )
+
+    rng = np.random.default_rng(99)
+    frames = [_vp8_chunk(_lw_encode_rgb(
+        np.roll(_VEC["grad_16x16"], k, axis=0), 60.0)) for k in range(3)]
+    base = bytearray(mux_webm_vp8(frames, 16, 16, frame_duration_ms=100))
+    for _ in range(80):
+        data = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            if rng.integers(0, 2) == 0:
+                data[int(rng.integers(0, len(data)))] = int(
+                    rng.integers(0, 256))
+            else:
+                data = data[:int(rng.integers(4, len(data)))]
+        try:
+            out = codecs.extract_video_frames(bytes(data), 100, 300)
+            assert all(isinstance(ts, int) for ts, _ in out)
+        except (ValueError, NotImplementedError):
+            pass

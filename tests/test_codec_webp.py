@@ -269,3 +269,116 @@ def test_malformed_inputs_raise_value_error():
     )
     with pytest.raises(ValueError):
         decode_webp(good[:-3])  # truncated bitstream
+
+
+# ---------------------------------------------------------------------------
+# animated WebP (ANIM/ANMF): composition over lossless frames is exact
+# ---------------------------------------------------------------------------
+
+def _ref_over(dst, src):
+    """Independent integer alpha-over (same spec math, reimplemented)."""
+    sa = src[..., 3].astype(np.int64)
+    da = dst[..., 3].astype(np.int64)
+    df = da * (255 - sa) // 255
+    oa = sa + df
+    oc = (src[..., :3].astype(np.int64) * sa[..., None]
+          + dst[..., :3].astype(np.int64) * df[..., None])
+    oc = oc // np.maximum(oa, 1)[..., None]
+    out = np.empty_like(dst)
+    out[..., :3] = oc.astype(np.uint8)
+    out[..., 3] = oa.astype(np.uint8)
+    return out
+
+
+def test_anim_composition_matches_independent_reference():
+    """Frames are LOSSLESS (our VP8L encoder, interop-pinned), so the
+    composed canvases are exactly computable: re-implement the spec
+    composition (transparent canvas, alpha-over or replace,
+    dispose-to-background) independently in numpy and require
+    equality, including a planted semi-transparent blend."""
+    from org_revue_de_presse_trends_spark.functions.codec_webp import (
+        decode_webp_anim,
+        mux_webp_anim,
+    )
+
+    rng = np.random.default_rng(7)
+    f0 = rng.integers(0, 256, (24, 32, 4), dtype=np.uint8)
+    f0[..., 3] = 255                                   # opaque base
+    f1 = rng.integers(0, 256, (10, 12, 4), dtype=np.uint8)
+    f1[..., 3] = 128                                   # translucent tile
+    f2 = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+    f2[..., 3] = 255
+    anim = mux_webp_anim([
+        (encode_webp_lossless(f0), 0, 0, 100, True, False),
+        (encode_webp_lossless(f1), 4, 6, 50, True, False),   # blended
+        (encode_webp_lossless(f2), 20, 2, 50, False, True),  # replace+dispose
+        (encode_webp_lossless(f2), 0, 0, 50, True, False),
+    ], canvas_w=32, canvas_h=24, loop_count=3)
+
+    loop, frames = decode_webp_anim(anim)
+    assert loop == 3
+    assert [d for d, _ in frames] == [100, 50, 50, 50]
+
+    # independent composition
+    canvas = np.zeros((24, 32, 4), dtype=np.uint8)
+    canvas = _ref_over(canvas, f0)
+    assert np.array_equal(frames[0][1], canvas)
+    canvas[6:16, 4:16] = _ref_over(canvas[6:16, 4:16], f1)
+    assert np.array_equal(frames[1][1], canvas)
+    c2 = canvas.copy()
+    c2[2:10, 20:28] = f2                               # no blend
+    assert np.array_equal(frames[2][1], c2)
+    c3 = c2.copy()
+    c3[2:10, 20:28] = 0                                # disposed
+    c3[0:8, 0:8] = _ref_over(c3[0:8, 0:8], f2)
+    assert np.array_equal(frames[3][1], c3)
+
+    # decode_webp / decode_image return the first composed frame
+    assert np.array_equal(decode_webp(anim), frames[0][1])
+    assert np.array_equal(codecs.decode_image(anim), frames[0][1])
+
+
+def test_anim_with_lossy_vp8_frame():
+    """An ANMF may carry a lossy VP8 still; the tile decode is the
+    interop-pinned codec_vp8 path."""
+    import test_codec_vp8 as tv
+
+    if tv._LIB is None:
+        pytest.skip("system libwebp not available")
+    from org_revue_de_presse_trends_spark.functions.codec_webp import (
+        decode_webp_anim,
+        mux_webp_anim,
+    )
+
+    img = tv._vectors()["grad_16x16"]
+    still = tv._lw_encode_rgb(img, 75.0)
+    expect = tv._lw_decode_rgba(still)
+    anim = mux_webp_anim([(still, 0, 0, 40, True, False)],
+                         canvas_w=16, canvas_h=16)
+    _, frames = decode_webp_anim(anim)
+    assert np.array_equal(frames[0][1], expect)
+
+
+def test_anim_malformed_raise():
+    from org_revue_de_presse_trends_spark.functions.codec_webp import (
+        decode_webp_anim,
+        mux_webp_anim,
+    )
+
+    with pytest.raises(ValueError):
+        decode_webp_anim(b"RIFF\x00\x00\x00\x00WEBP")  # no ANIM
+    img = np.zeros((8, 8, 4), dtype=np.uint8)
+    anim = mux_webp_anim(
+        [(encode_webp_lossless(img), 0, 0, 10, True, False)],
+        canvas_w=8, canvas_h=8)
+    # frame exceeding the canvas
+    big = mux_webp_anim(
+        [(encode_webp_lossless(np.zeros((16, 16, 4), np.uint8)),
+          4, 4, 10, True, False)], canvas_w=8, canvas_h=8)
+    with pytest.raises(ValueError, match="canvas"):
+        decode_webp_anim(big)
+    # truncated ANMF header
+    i = anim.index(b"ANMF")
+    broken = anim[:i] + b"ANMF" + (8).to_bytes(4, "little") + b"\x00" * 8
+    with pytest.raises(ValueError):
+        decode_webp_anim(broken)
