@@ -973,22 +973,19 @@ def _loop_filter(Y, U, V, hdr, segs, skips, ymodes, has_coeffs,
                 continue
             if mbx > 0:
                 _filter_edge(Y, (yr0, yr0 + 16), yc0, False,
- 
                              ilim, mb_lim, hev_t, True)
                 _filter_edge(U, (cr0, cr0 + 8), cc0, False,
- 
                              ilim, mb_lim, hev_t, True)
                 _filter_edge(V, (cr0, cr0 + 8), cc0, False,
- 
                              ilim, mb_lim, hev_t, True)
             if inner:
                 for k in (4, 8, 12):
                     _filter_edge(Y, (yr0, yr0 + 16), yc0 + k, False,
-                                  ilim, sb_lim, hev_t, False)
+                                 ilim, sb_lim, hev_t, False)
                 _filter_edge(U, (cr0, cr0 + 8), cc0 + 4, False,
-                              ilim, sb_lim, hev_t, False)
+                             ilim, sb_lim, hev_t, False)
                 _filter_edge(V, (cr0, cr0 + 8), cc0 + 4, False,
-                              ilim, sb_lim, hev_t, False)
+                             ilim, sb_lim, hev_t, False)
             if mby > 0:
                 _filter_edge(Y, (yc0, yc0 + 16), yr0, True,
                              ilim, mb_lim, hev_t, True)
@@ -998,9 +995,12 @@ def _loop_filter(Y, U, V, hdr, segs, skips, ymodes, has_coeffs,
                              ilim, mb_lim, hev_t, True)
             if inner:
                 for k in (4, 8, 12):
-                    _filter_edge(Y, (yc0, yc0 + 16), yr0 + k, True, ilim, sb_lim, hev_t, False)
-                _filter_edge(U, (cc0, cc0 + 8), cr0 + 4, True, ilim, sb_lim, hev_t, False)
-                _filter_edge(V, (cc0, cc0 + 8), cr0 + 4, True, ilim, sb_lim, hev_t, False)
+                    _filter_edge(Y, (yc0, yc0 + 16), yr0 + k, True,
+                                 ilim, sb_lim, hev_t, False)
+                _filter_edge(U, (cc0, cc0 + 8), cr0 + 4, True,
+                             ilim, sb_lim, hev_t, False)
+                _filter_edge(V, (cc0, cc0 + 8), cr0 + 4, True,
+                             ilim, sb_lim, hev_t, False)
 
 
 # ---------------------------------------------------------------------------

@@ -595,9 +595,10 @@ def _blend_over(canvas: np.ndarray, tile: np.ndarray, x: int, y: int,
     region[..., 3] = out_a.astype(np.uint8)
 
 
-def decode_webp_anim(payload: bytes):
+def decode_webp_anim(payload: bytes, max_frames: int | None = None):
     """Animated WebP → ``(loop_count, [(duration_ms, canvas_rgba)])``:
-    every composed canvas state, in order.
+    every composed canvas state, in order (or just the first
+    ``max_frames`` — the first-frame path must not pay for the tail).
 
     Composition per the container spec: the canvas starts fully
     transparent; each ANMF frame either alpha-blends or overwrites its
@@ -636,6 +637,10 @@ def decode_webp_anim(payload: bytes):
             flags = body[15]
             sub = list(_iter_riff_chunks(body, 16, len(body)))
             frames.append((fx, fy, fw, fh, dur, flags, sub))
+            if (max_frames is not None and saw_anim
+                    and canvas_w is not None
+                    and len(frames) >= max_frames):
+                break   # first-frame path: don't scan the tail
     if not saw_anim or not frames:
         raise ValueError("WebP: not an animation (no ANIM/ANMF chunks)")
     if canvas_w is None:
@@ -648,6 +653,8 @@ def decode_webp_anim(payload: bytes):
             raise ValueError("WebP: ANMF size disagrees with its payload")
         _blend_over(canvas, tile, fx, fy, blend=not (flags & 0x02))
         out.append((dur, canvas.copy()))
+        if max_frames is not None and len(out) >= max_frames:
+            break
         if flags & 0x01:       # dispose to background: clear the rect
             canvas[fy:fy + fh, fx:fx + fw] = 0
     return loop_count, out
@@ -661,11 +668,16 @@ def decode_webp(payload: bytes) -> np.ndarray:
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF/WEBP) container")
     chunks = []
+    # lazy walk: decode at the image chunk WITHOUT scanning the tail —
+    # libwebp decodes files whose trailing metadata chunk is truncated,
+    # and strictness libwebp doesn't share is an interop bug
     for tag, body in _iter_riff_chunks(payload, 12, len(payload)):
         if tag == b"ANIM" or tag == b"ANMF":
-            _, anim_frames = decode_webp_anim(payload)
+            _, anim_frames = decode_webp_anim(payload, max_frames=1)
             return anim_frames[0][1]
         chunks.append((tag, body))
+        if tag in (b"VP8L", b"VP8 "):
+            return _decode_still(chunks)
     return _decode_still(chunks)
 
 

@@ -382,3 +382,45 @@ def test_anim_malformed_raise():
     broken = anim[:i] + b"ANMF" + (8).to_bytes(4, "little") + b"\x00" * 8
     with pytest.raises(ValueError):
         decode_webp_anim(broken)
+
+
+def test_truncated_trailing_metadata_still_decodes():
+    """Review-caught interop rule: libwebp decodes a file whose image
+    chunk is intact but whose trailing metadata chunk is cut off —
+    decode_webp must too (lazy chunk walk, no full-container scan)."""
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (9, 11, 4), dtype=np.uint8)
+    data = encode_webp_lossless(img)
+    # append an EXIF chunk whose declared size overruns the file
+    import struct as _struct
+
+    bad_tail = b"EXIF" + _struct.pack("<I", 1000) + b"\x00" * 10
+    truncated = data[:4] + _struct.pack(
+        "<I", len(data) - 8 + len(bad_tail)) + data[8:] + bad_tail
+    out = decode_webp(truncated)
+    assert (out == img).all()
+
+
+def test_anim_first_frame_path_skips_the_tail():
+    """decode_webp on an animation decodes ONLY the first frame: a
+    malformed second ANMF (or truncated tail) must not matter, and
+    the work is O(frame 1), not O(all frames)."""
+    from org_revue_de_presse_trends_spark.functions.codec_webp import (
+        mux_webp_anim,
+    )
+
+    rng = np.random.default_rng(22)
+    f0 = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+    anim = mux_webp_anim(
+        [(encode_webp_lossless(f0), 0, 0, 10, True, False)] * 3,
+        canvas_w=8, canvas_h=8)
+    # corrupt everything after the first ANMF body ends
+    second = anim.index(b"ANMF", anim.index(b"ANMF") + 4)
+    broken = bytearray(anim)
+    broken[second + 4:second + 8] = (10 ** 6).to_bytes(4, "little")
+    first = decode_webp(bytes(broken))
+    _, frames = __import__(
+        "org_revue_de_presse_trends_spark.functions.codec_webp",
+        fromlist=["decode_webp_anim"],
+    ).decode_webp_anim(anim)
+    assert np.array_equal(first, frames[0][1])
