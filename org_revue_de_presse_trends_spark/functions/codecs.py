@@ -28,12 +28,15 @@ decodable with the standard library alone, so those paths are REAL
   intra modes, multi-partition, both loop filters) — YUV planes and
   RGBA output interop-verified bit-exact against the system libwebp.
   A minimal spec-valid VP8 ENCODER lives in ``codec_vp8_enc.py``.
+- MP4 (ISO-BMFF) + WebM (EBML): native container demux (tracks,
+  sample tables / clusters, sync flags) with VP8 video decoding
+  through ``codec_vp8`` (``container_mp4.py`` / ``container_webm.py``).
 - Animated WebP (ANIM/ANMF): full frame composition (alpha-over /
   replace, dispose-to-background) over the native still decoders in
   ``codec_webp.decode_webp_anim``; ``decode_image`` returns the first
   composed frame (the GIF precedent).
 
-Everything else (webm with non-VP8 codecs, mp4, arithmetic/12-bit JPEG,
+Everything else (non-VP8 video codecs, fragmented mp4, arithmetic/12-bit JPEG,
 ...) dispatches to PIL / the ffmpeg binary when present (``HAVE_PIL``
 / ``FFMPEG_BIN``) and raises ``NotImplementedError`` otherwise — the
 documented codec boundary.
@@ -305,14 +308,19 @@ def extract_video_frames(
     requested timestamp — the standard seek-to-keyframe behavior).
     Everything else goes to the ffmpeg binary (one seek+decode per
     timestamp) and raises NotImplementedError without it."""
-    if sniff_format(payload) == "webm":
+    fmt = sniff_format(payload)
+    if fmt in ("webm", "mp4"):
         try:
-            return _extract_webm_vp8_frames(payload, every_ms, duration_ms)
+            if fmt == "webm":
+                return _extract_webm_vp8_frames(payload, every_ms,
+                                                duration_ms)
+            return _extract_mp4_vp8_frames(payload, every_ms, duration_ms)
         except (NotImplementedError, ValueError):
             # NotImplementedError: valid but outside the native scope
-            # (non-VP8 codec, laced video).  ValueError: a WebM the
-            # native demuxer can't parse.  Either way ffmpeg, when
-            # present, gets the file the way it always did.
+            # (non-VP8 codec, laced video, fragmented mp4).
+            # ValueError: a container the native demuxer can't parse.
+            # Either way ffmpeg, when present, gets the file the way
+            # it always did.
             if FFMPEG_BIN is None:
                 raise
     if FFMPEG_BIN is None:
@@ -343,6 +351,22 @@ def extract_video_frames(
     return frames
 
 
+def _extract_mp4_vp8_frames(
+    payload: bytes, every_ms: int, duration_ms: int
+) -> list[tuple[int, bytes]]:
+    """Native MP4 sampling for 'vp08' (VP8) video tracks — the
+    container_mp4 twin of the WebM path below."""
+    from .container_mp4 import extract_samples
+
+    track, samples = extract_samples(payload)
+    if track["codec"] != "vp08":
+        raise NotImplementedError(
+            f"only vp08 MP4 decodes natively, not {track['codec']!r}"
+        )
+    frames = [(ts, sync, data) for ts, sync, data in samples]
+    return _sample_keyframes(frames, every_ms, duration_ms)
+
+
 def _extract_webm_vp8_frames(
     payload: bytes, every_ms: int, duration_ms: int
 ) -> list[tuple[int, bytes]]:
@@ -350,7 +374,6 @@ def _extract_webm_vp8_frames(
     frame at or before each requested timestamp.  Raises
     NotImplementedError for non-VP8 tracks or keyframe-less prefixes
     (inter-frame decode stays behind the ffmpeg boundary)."""
-    from .codec_vp8 import decode_vp8_rgba
     from .container_webm import demux_video_frames
 
     track, frames = demux_video_frames(payload)
@@ -358,11 +381,22 @@ def _extract_webm_vp8_frames(
         raise NotImplementedError(
             f"only V_VP8 WebM decodes natively, not {track['codec_id']!r}"
         )
+    return _sample_keyframes(frames, every_ms, duration_ms)
+
+
+def _sample_keyframes(
+    frames, every_ms: int, duration_ms: int
+) -> list[tuple[int, bytes]]:
+    """Shared WebM/MP4 tail: seek-to-latest-VP8-keyframe sampling over
+    ``(ts_ms, is_key, vp8_bytes)`` triples, PNG re-encode per unique
+    decoded frame."""
+    from .codec_vp8 import decode_vp8_rgba
+
     keyframes = sorted(
         ((ts, data) for ts, kf, data in frames if kf), key=lambda f: f[0]
     )
     if not keyframes:
-        raise NotImplementedError("WebM has no VP8 key frames to decode")
+        raise NotImplementedError("video has no VP8 key frames to decode")
     out: list[tuple[int, bytes]] = []
     decoded: dict[int, bytes] = {}
     k = 0   # single merged walk: sample timestamps ascend with k
