@@ -303,11 +303,12 @@ def extract_video_frames(
 ) -> list[tuple[int, bytes]]:
     """Video bytes → [(ts_ms, png_bytes)] sampled every ``every_ms``.
 
-    WebM carrying VP8 decodes NATIVELY (container_webm demux +
-    codec_vp8; each sample takes the latest key frame at or before the
-    requested timestamp — the standard seek-to-keyframe behavior).
-    Everything else goes to the ffmpeg binary (one seek+decode per
-    timestamp) and raises NotImplementedError without it."""
+    WebM and unfragmented MP4 carrying VP8 decode NATIVELY
+    (container_webm / container_mp4 demux + codec_vp8; each sample
+    takes the latest key frame at or before the requested timestamp —
+    the standard seek-to-keyframe behavior).  Everything else goes to
+    the ffmpeg binary (one seek+decode per timestamp) and raises
+    NotImplementedError without it."""
     fmt = sniff_format(payload)
     if fmt in ("webm", "mp4"):
         try:
@@ -326,7 +327,7 @@ def extract_video_frames(
     if FFMPEG_BIN is None:
         raise NotImplementedError(
             "video frame sampling requires the ffmpeg binary, which is "
-            "not installed (only WebM/VP8 decodes natively)"
+            "not installed (only WebM/VP8 and MP4/VP8 decode natively)"
         )
     # pragma: no cover — exercised only where ffmpeg exists
     import subprocess
@@ -363,8 +364,7 @@ def _extract_mp4_vp8_frames(
         raise NotImplementedError(
             f"only vp08 MP4 decodes natively, not {track['codec']!r}"
         )
-    frames = [(ts, sync, data) for ts, sync, data in samples]
-    return _sample_keyframes(frames, every_ms, duration_ms)
+    return _sample_keyframes(samples, every_ms, duration_ms)
 
 
 def _extract_webm_vp8_frames(

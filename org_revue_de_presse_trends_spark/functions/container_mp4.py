@@ -6,7 +6,9 @@ Scope mirrors ``container_webm``: enumerate tracks (handler, codec
 fourcc, dimensions, timescale), and extract every sample of a chosen
 track — (timestamp_ms, is_sync, payload) — by walking the sample
 tables: stts (decode deltas), stss (sync samples; absent = all sync),
-stsc (sample→chunk), stsz/stz2 (sizes), stco/co64 (chunk offsets).
+stsc (sample→chunk), stsz/stz2 (sizes, incl. 4-bit packed),
+stco/co64 (chunk offsets).  Every table read is bounds-checked so
+malformed input raises ValueError only (the repo's codec contract).
 Sample extraction is codec-agnostic plumbing; VP8 ('vp08') samples
 additionally decode NATIVELY through ``codec_vp8``, making MP4/VP8 a
 fully native video path like WebM/VP8.  Fragmented MP4 (moof) and
@@ -58,7 +60,7 @@ def _find(buf: bytes, start: int, end: int, typ: bytes):
 
 def _full(buf: bytes, s: int):
     """FullBox header: (version, flags, body_start)."""
-    vf = struct.unpack_from(">I", buf, s)[0]
+    vf = _u(">I", buf, s)[0]
     return vf >> 24, vf & 0xFFFFFF, s + 4
 
 
@@ -66,6 +68,19 @@ def parse_mp4(payload: bytes) -> dict:
     """MP4 bytes → ``{"brand", "tracks": [...]}`` with per-track
     id / handler / codec / width / height / timescale / duration_ms /
     n_samples."""
+    return _parse(payload)[0]
+
+
+def _u(fmt: str, buf: bytes, off: int):
+    """struct.unpack_from that raises ValueError on truncation (the
+    malformed-input contract: ValueError only, never struct.error)."""
+    try:
+        return struct.unpack_from(fmt, buf, off)
+    except struct.error as e:
+        raise ValueError(f"MP4: truncated field ({e})") from None
+
+
+def _parse(payload: bytes):
     if len(payload) < 16 or payload[4:8] != b"ftyp":
         raise ValueError("MP4: missing ftyp")
     brand = payload[8:12].decode("ascii", "replace")
@@ -75,6 +90,7 @@ def parse_mp4(payload: bytes) -> dict:
     if _find(payload, 0, len(payload), b"moof") is not None:
         raise NotImplementedError("fragmented MP4 (moof) not supported")
     tracks = []
+    stbls = []
     for t, s, e in _iter_boxes(payload, *moov):
         if t != b"trak":
             continue
@@ -85,9 +101,9 @@ def parse_mp4(payload: bytes) -> dict:
         if tkhd:
             ver, _, b = _full(payload, tkhd[0])
             off = b + (8 if ver == 0 else 16)        # times
-            info["id"] = struct.unpack_from(">I", payload, off)[0]
+            info["id"] = _u(">I", payload, off)[0]
             # width/height are the LAST two 16.16 values of the box
-            w, h = struct.unpack_from(">II", payload, tkhd[1] - 8)
+            w, h = _u(">II", payload, max(tkhd[1] - 8, tkhd[0]))
             info["width"], info["height"] = w >> 16, h >> 16
         mdia = _find(payload, s, e, b"mdia")
         if not mdia:
@@ -96,10 +112,10 @@ def parse_mp4(payload: bytes) -> dict:
         if mdhd:
             ver, _, b = _full(payload, mdhd[0])
             if ver == 0:
-                ts, dur = struct.unpack_from(">II", payload, b + 8)
+                ts, dur = _u(">II", payload, b + 8)
             else:
-                ts = struct.unpack_from(">I", payload, b + 16)[0]
-                dur = struct.unpack_from(">Q", payload, b + 20)[0]
+                ts = _u(">I", payload, b + 16)[0]
+                dur = _u(">Q", payload, b + 20)[0]
             info["timescale"] = ts
             info["duration_ms"] = dur * 1000 // max(ts, 1)
         hdlr = _find(payload, *mdia, b"hdlr")
@@ -112,26 +128,28 @@ def parse_mp4(payload: bytes) -> dict:
             stsd = _find(payload, *stbl, b"stsd")
             if stsd:
                 _, _, b = _full(payload, stsd[0])
-                n = struct.unpack_from(">I", payload, b)[0]
+                n = _u(">I", payload, b)[0]
                 if n >= 1:
                     info["codec"] = payload[b + 8:b + 12].decode(
                         "ascii", "replace")
             stsz = _find(payload, *stbl, b"stsz")
             if stsz:
                 _, _, b = _full(payload, stsz[0])
-                fixed, count = struct.unpack_from(">II", payload, b)
+                fixed, count = _u(">II", payload, b)
                 info["n_samples"] = count
-        info["_stbl"] = stbl
         tracks.append(info)
-    return {"brand": brand, "tracks": tracks}
+        stbls.append(stbl)
+    return {"brand": brand, "tracks": tracks}, stbls
 
 
-def _read_table(payload, stbl, typ, unpack_entry):
+def _read_table(payload, stbl, typ, entry_size, unpack_entry):
     box = _find(payload, *stbl, typ)
     if box is None:
         return None
     _, _, b = _full(payload, box[0])
-    n = struct.unpack_from(">I", payload, b)[0]
+    n = _u(">I", payload, b)[0]
+    if b + 4 + n * entry_size > box[1]:
+        raise ValueError(f"MP4: {typ.decode()} table overruns its box")
     return [unpack_entry(payload, b + 4, i) for i in range(n)]
 
 
@@ -139,61 +157,58 @@ def extract_samples(payload: bytes, track_id: int | None = None):
     """Samples of one track (default: the first video track):
     ``(track_info, [(ts_ms, is_sync, sample_bytes)])`` in decode
     order.  Timestamps come from stts in the track timescale."""
-    doc = parse_mp4(payload)
-    track = None
-    for t in doc["tracks"]:
+    doc, stbls = _parse(payload)
+    track = stbl = None
+    for t, sb in zip(doc["tracks"], stbls):
         if track_id is not None:
             if t["id"] == track_id:
-                track = t
+                track, stbl = t, sb
                 break
         elif t["handler"] == "vide":
-            track = t
+            track, stbl = t, sb
             break
     if track is None:
         raise ValueError("MP4: requested track not found")
-    stbl = track.pop("_stbl", None)
-    for t in doc["tracks"]:
-        t.pop("_stbl", None)
     if stbl is None:
         raise ValueError("MP4: track has no sample table")
 
     stts = _read_table(
-        payload, stbl, b"stts",
-        lambda p, b, i: struct.unpack_from(">II", p, b + 8 * i))
+        payload, stbl, b"stts", 8,
+        lambda p, b, i: _u(">II", p, b + 8 * i))
     stsc = _read_table(
-        payload, stbl, b"stsc",
-        lambda p, b, i: struct.unpack_from(">III", p, b + 12 * i))
+        payload, stbl, b"stsc", 12,
+        lambda p, b, i: _u(">III", p, b + 12 * i))
     stco = _read_table(
-        payload, stbl, b"stco",
-        lambda p, b, i: struct.unpack_from(">I", p, b + 4 * i)[0])
+        payload, stbl, b"stco", 4,
+        lambda p, b, i: _u(">I", p, b + 4 * i)[0])
     if stco is None:
         stco = _read_table(
-            payload, stbl, b"co64",
-            lambda p, b, i: struct.unpack_from(">Q", p, b + 8 * i)[0])
+            payload, stbl, b"co64", 8,
+            lambda p, b, i: _u(">Q", p, b + 8 * i)[0])
     stss_box = _find(payload, *stbl, b"stss")
     stss = None
     if stss_box is not None:
         _, _, b = _full(payload, stss_box[0])
-        n = struct.unpack_from(">I", payload, b)[0]
-        stss = {struct.unpack_from(">I", payload, b + 4 + 4 * i)[0]
-                for i in range(n)}
-    stsz_box = _find(payload, *stbl, b"stsz")
-    if stsz_box is None or stts is None or stsc is None or stco is None:
+        n = _u(">I", payload, b)[0]
+        if b + 4 + 4 * n > stss_box[1]:
+            raise ValueError("MP4: stss table overruns its box")
+        stss = {_u(">I", payload, b + 4 + 4 * i)[0] for i in range(n)}
+    sizes = _read_sizes(payload, stbl)
+    if stts is None or stsc is None or stco is None or sizes is None:
         raise ValueError("MP4: incomplete sample tables")
-    _, _, b = _full(payload, stsz_box[0])
-    fixed, count = struct.unpack_from(">II", payload, b)
-    sizes = ([fixed] * count if fixed
-             else [struct.unpack_from(">I", payload, b + 8 + 4 * i)[0]
-                   for i in range(count)])
+    count = len(sizes)
 
-    # decode timestamps from stts run lengths
+    # decode timestamps from stts run lengths, capped at the sample
+    # count (a corrupted run length must not build a multi-GB list)
     ts_scale = max(track["timescale"] or 1000, 1)
     stamps = []
     t = 0
     for n, delta in stts:
-        for _ in range(n):
+        for _ in range(min(n, count - len(stamps))):
             stamps.append(t * 1000 // ts_scale)
             t += delta
+        if len(stamps) >= count:
+            break
     if len(stamps) < count:
         raise ValueError("MP4: stts covers fewer samples than stsz")
 
@@ -201,8 +216,14 @@ def extract_samples(payload: bytes, track_id: int | None = None):
     # samples_per_chunk, desc_index), 1-based, run-length to next entry
     samples = []
     si = 0
+    prev_first = 0
     for ei, (first, per, _desc) in enumerate(stsc):
+        if first <= prev_first:
+            raise ValueError("MP4: stsc first_chunk not increasing")
+        prev_first = first
         last = (stsc[ei + 1][0] - 1) if ei + 1 < len(stsc) else len(stco)
+        if first < 1 or last > len(stco):
+            raise ValueError("MP4: stsc chunk index out of range")
         for chunk in range(first, last + 1):
             if si >= count:
                 break
@@ -221,6 +242,45 @@ def extract_samples(payload: bytes, track_id: int | None = None):
     if si != count:
         raise ValueError("MP4: chunk tables cover fewer samples than stsz")
     return track, samples
+
+
+def _read_sizes(payload: bytes, stbl):
+    """Sample sizes from stsz, or the compact stz2 (4/8/16-bit
+    entries, 4-bit packed two per byte, high nibble first)."""
+    box = _find(payload, *stbl, b"stsz")
+    if box is not None:
+        _, _, b = _full(payload, box[0])
+        fixed, count = _u(">II", payload, b)
+        if fixed:
+            return [fixed] * count
+        if b + 8 + 4 * count > box[1]:
+            raise ValueError("MP4: stsz table overruns its box")
+        return [_u(">I", payload, b + 8 + 4 * i)[0] for i in range(count)]
+    box = _find(payload, *stbl, b"stz2")
+    if box is None:
+        return None
+    _, _, b = _full(payload, box[0])
+    field_size = _u(">I", payload, b)[0] & 0xFF
+    count = _u(">I", payload, b + 4)[0]
+    data_start = b + 8
+    if field_size == 4:
+        need = (count + 1) // 2
+    elif field_size in (8, 16):
+        need = count * (field_size // 8)
+    else:
+        raise ValueError(f"MP4: bad stz2 field size {field_size}")
+    if data_start + need > box[1]:
+        raise ValueError("MP4: stz2 table overruns its box")
+    if field_size == 16:
+        return [_u(">H", payload, data_start + 2 * i)[0]
+                for i in range(count)]
+    if field_size == 8:
+        return list(payload[data_start:data_start + count])
+    out = []
+    for i in range(count):
+        byte = payload[data_start + (i >> 1)]
+        out.append((byte >> 4) if i % 2 == 0 else (byte & 0x0F))
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -171,3 +171,75 @@ def test_sample_video_frames_operator_on_mp4(spark, vp8_frames):
     out = sample_video_frames(df, every_ms=200, decoder="auto").collect()
     assert sorted((r.media_id, r.frame_ts_ms) for r in out) == [
         (9, 0), (9, 200)]
+
+
+@needs_libwebp
+def test_corrupted_tables_raise_value_error_only(vp8_frames):
+    """Review-caught repro set: stsc chunk indices out of range /
+    zero, corrupted stsz count, and a huge stts run length must all
+    raise ValueError (the codec contract) — never IndexError,
+    struct.error, silent wrong bytes, or a multi-GB allocation."""
+    payloads = [p for p, _ in vp8_frames[:4]]
+    base = cm.mux_mp4_vp8(payloads, W, H)
+
+    def corrupt(tag, rel_off, fmt, value):
+        buf = bytearray(base)
+        i = buf.index(tag)
+        struct.pack_into(fmt, buf, i + 4 + rel_off, value)
+        return bytes(buf)
+
+    # stsc: first_chunk = 0 (would negative-index stco)
+    with pytest.raises(ValueError):
+        cm.extract_samples(corrupt(b"stsc", 8, ">I", 0))
+    # stsc: first_chunk far past the chunk table
+    with pytest.raises(ValueError):
+        cm.extract_samples(corrupt(b"stsc", 8, ">I", 0xFFFFFF))
+    # stsz: entry count far past the box
+    with pytest.raises(ValueError):
+        cm.extract_samples(corrupt(b"stsz", 8, ">I", 0x00FFFFFF))
+    # stts: entry count overrunning its box
+    with pytest.raises(ValueError):
+        cm.extract_samples(corrupt(b"stts", 4, ">I", 0x00FFFFFF))
+    # stts: a huge run length must not build a huge stamps list —
+    # the cap stops at the stsz count, and extraction still succeeds
+    import time as _t
+    t0 = _t.perf_counter()
+    _, samples = cm.extract_samples(corrupt(b"stts", 8, ">I", 2 ** 31))
+    assert _t.perf_counter() - t0 < 1.0
+    assert [s[2] for s in samples] == payloads
+
+
+@needs_libwebp
+def test_stz2_sixteen_bit_sizes(vp8_frames):
+    """Spec-valid compact size table: swap stsz for a same-total-size
+    (stz2 + free) pair so parent box sizes stay valid."""
+    payloads = [p for p, _ in vp8_frames[:4]]
+    base = bytearray(cm.mux_mp4_vp8(payloads, W, H))
+    n = len(payloads)
+    i = base.index(b"stsz") - 4
+    old_total = struct.unpack_from(">I", base, i)[0]
+    assert old_total == 20 + 4 * n
+    stz2 = (struct.pack(">I", 20 + 2 * n) + b"stz2"
+            + struct.pack(">I", 0)                    # fullbox vf
+            + struct.pack(">I", 16)                   # field_size
+            + struct.pack(">I", n)
+            + b"".join(struct.pack(">H", len(p)) for p in payloads))
+    free = struct.pack(">I", old_total - len(stz2)) + b"free" \
+        + b"\x00" * (old_total - len(stz2) - 8)
+    assert len(stz2) + len(free) == old_total
+    patched = bytes(base[:i]) + stz2 + free + bytes(base[i + old_total:])
+    _, samples = cm.extract_samples(patched)
+    assert [s[2] for s in samples] == payloads
+
+
+def test_stz2_four_bit_packing():
+    """Direct 4-bit stz2 unpack: two sizes per byte, high nibble
+    first (tiny synthetic stbl blob)."""
+    entries = [3, 7, 1, 15, 2]
+    packed = bytes([(3 << 4) | 7, (1 << 4) | 15, (2 << 4)])
+    stz2 = (struct.pack(">I", 20 + len(packed)) + b"stz2"
+            + struct.pack(">I", 0) + struct.pack(">I", 4)
+            + struct.pack(">I", len(entries)) + packed)
+    stbl = struct.pack(">I", 8 + len(stz2)) + b"stbl" + stz2
+    sizes = cm._read_sizes(stbl, (8, len(stbl)))
+    assert sizes == entries
