@@ -184,6 +184,10 @@ SECONDARY = [
     "url_content_staleness",
     "q2_min_cost_supplier",
     "q11_important_part_values",
+    "event_value_auc",
+    "event_value_calibration",
+    "event_value_threshold_metrics",
+    "doc_rule_agreement_kappa",
     "bpe_merge_table",
 ]
 

@@ -1,0 +1,309 @@
+"""Classifier-evaluation metrics over DataFrames — the eval layer for
+quality-classifier-driven corpus curation (score docs with a weak/fast
+model, then decide keep/drop thresholds from these exact statistics).
+
+Everything here follows the repo's cross-engine determinism recipe
+(CLAUDE.md r7b): distributed reduces are EXACT integers (longs, or
+decimal(38,0) where products can pass 2^63), floats appear only in ONE
+pinned IEEE expression tree over those exact values, degenerate
+denominators emit NULL (never an ANSI DIVIDE_BY_ZERO).
+
+- ``auc``: exact tie-corrected rank AUC (the Mann-Whitney U form).
+  Scores are quantized to scaled longs (the ``grouped_moments``
+  convention); AUC over quantized scores is exact FOR the quantized
+  score, and the quantization granularity is what bounds the state:
+  the plan is one map-side-combined groupBy(score) producing at most
+  |distinct quantized scores| rows, one single-partition running-sum
+  window over those (the ``ks_statistic`` shape — fine while the
+  score range · scale is bounded, which the caller controls), and one
+  scalar aggregate.  Nothing ever shuffles raw rows.
+- ``calibration_bins``: reliability diagram — per fixed-width score
+  bin, observed positive rate vs mean score.  One groupBy, |bins|
+  output rows, merges across corpus shards by construction.
+- ``confusion_at_thresholds``: TP/FP/FN/TN + precision/recall/F1 at a
+  literal threshold list — ONE scan, conditional aggregation (no row
+  multiplication), |thresholds| output rows via an inline stack.
+- ``cohens_kappa``: inter-rater agreement between two binary rules —
+  one scalar aggregate; kappa as a SINGLE division of exact decimal
+  terms (never a composition of already-rounded ratios).
+
+Reference parity: the reference engine (trends.go) has no evaluation
+layer; this module is engine-side breadth for the LLM-pipeline
+mandate, same family as operators/histogram.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,0)"
+
+
+def _as01(label: Column) -> Column:
+    """Boolean/NULL label → 0/1 int (NULL counts as 0 only after the
+    caller's filter; callers filter NULL labels out)."""
+    return F.when(label, F.lit(1)).otherwise(F.lit(0))
+
+
+def auc(
+    df: DataFrame,
+    score_col: str,
+    label: Column,
+    scale: int = 10**2,
+) -> DataFrame:
+    """Exact tie-corrected AUC → one row
+    (n_pos BIGINT, n_neg BIGINT, auc DOUBLE, 9 dp).
+
+    AUC = P(score(pos) > score(neg)) + ½·P(score(pos) = score(neg)),
+    computed on ``round(score·scale)`` longs via the Mann-Whitney U
+    statistic over distinct-score counts:
+
+        2U = Σ_s [ 2·n_pos(s)·n_neg(<s) + n_pos(s)·n_neg(s) ]
+        AUC = 2U / (2·P·N)
+
+    2U accumulates in decimal(38,0) (count products can pass 2^63 at
+    scale); AUC is the single pinned IEEE division.  Empty side →
+    NULL auc.  Rows with NULL score or NULL label are dropped (a NULL
+    label is unknown ground truth, not a negative)."""
+    s = F.round(F.col(score_col).cast("double") * F.lit(float(scale)), 0).cast(
+        "long"
+    )
+    lab = _as01(label)
+    g = (
+        df.filter(F.col(score_col).isNotNull() & label.isNotNull())
+        .select(s.alias("_s"), lab.alias("_y"))
+        .groupBy("_s")
+        .agg(
+            F.sum("_y").cast("long").alias("_p"),
+            F.sum(1 - F.col("_y")).cast("long").alias("_q"),
+        )
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "_p",
+        "_q",
+        F.coalesce(F.sum("_q").over(w), F.lit(0)).cast("long").alias("_qlt"),
+    )
+    term = (
+        F.col("_p").cast(_DEC) * F.col("_qlt").cast(_DEC) * F.lit(2).cast(_DEC)
+        + F.col("_p").cast(_DEC) * F.col("_q").cast(_DEC)
+    ).cast(_DEC)
+    agg = c.agg(
+        F.sum("_p").cast("long").alias("n_pos"),
+        F.sum("_q").cast("long").alias("n_neg"),
+        F.sum(term).cast(_DEC).alias("_u2"),
+    )
+    a = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.round(
+            F.col("_u2").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            ),
+            9,
+        ),
+    )
+    return agg.select("n_pos", "n_neg", a.alias("auc"))
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label: Column,
+    bin_width: float,
+    scale: int = 10**2,
+) -> DataFrame:
+    """Reliability diagram → per-bin rows (bin_id BIGINT, n BIGINT,
+    n_pos BIGINT, pos_rate DOUBLE, mean_score DOUBLE; 9 dp).
+
+    bin_id = floor(score / bin_width) — the operators/histogram.py
+    convention exactly (negatives land in negative bins, identical in
+    both engines).  mean_score sums ``round(score·scale)`` longs in
+    decimal(38,0) so shard merges stay exact; the two ratios are each
+    one pinned IEEE division."""
+    b = F.floor(
+        F.col(score_col).cast("double") / F.lit(float(bin_width))
+    ).cast("long")
+    s = F.round(F.col(score_col).cast("double") * F.lit(float(scale)), 0).cast(
+        "long"
+    )
+    g = (
+        df.filter(F.col(score_col).isNotNull() & label.isNotNull())
+        .select(b.alias("bin_id"), s.alias("_s"), _as01(label).alias("_y"))
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_y").cast("long").alias("n_pos"),
+            F.sum(F.col("_s").cast(_DEC)).alias("_ssum"),
+        )
+    )
+    return g.select(
+        "bin_id",
+        "n",
+        "n_pos",
+        F.round(
+            F.col("n_pos").cast("double") / F.col("n").cast("double"), 9
+        ).alias("pos_rate"),
+        F.round(
+            F.col("_ssum").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(float(scale)),
+            9,
+        ).alias("mean_score"),
+    )
+
+
+def confusion_at_thresholds(
+    df: DataFrame,
+    score_col: str,
+    label: Column,
+    thresholds: Sequence[float],
+) -> DataFrame:
+    """Threshold sweep → per-threshold rows (threshold DOUBLE,
+    tp/fp/fn/tn BIGINT, precision/recall/f1 DOUBLE, 9 dp).
+
+    Predict positive when score >= threshold (raw units; IEEE
+    comparison, identical cross-engine).  ONE scan: conditional sums
+    per literal threshold (4·|thresholds| aggregate columns), stacked
+    to rows — no row multiplication, so |thresholds| never scales the
+    shuffle.  F1 comes straight from counts (2tp/(2tp+fp+fn)) — one
+    division, never a composition of rounded ratios.  Degenerate
+    denominators → NULL."""
+    sc = F.col(score_col).cast("double")
+    y = _as01(label)
+    base = df.filter(F.col(score_col).isNotNull() & label.isNotNull()).select(
+        sc.alias("_s"), y.alias("_y")
+    )
+    aggs = []
+    for i, t in enumerate(sorted(thresholds)):
+        pred = F.col("_s") >= F.lit(float(t))
+        pos = F.col("_y") == 1
+        aggs += [
+            F.sum(F.when(pred & pos, 1).otherwise(0)).cast("long").alias(f"_tp{i}"),
+            F.sum(F.when(pred & ~pos, 1).otherwise(0)).cast("long").alias(f"_fp{i}"),
+            F.sum(F.when(~pred & pos, 1).otherwise(0)).cast("long").alias(f"_fn{i}"),
+            F.sum(F.when(~pred & ~pos, 1).otherwise(0)).cast("long").alias(f"_tn{i}"),
+        ]
+    wide = base.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({repr(float(t))} AS DOUBLE), _tp{i}, _fp{i}, _fn{i}, _tn{i}"
+        for i, t in enumerate(sorted(thresholds))
+    )
+    rows = wide.selectExpr(
+        f"stack({len(thresholds)}, {stack}) AS (threshold, tp, fp, fn, tn)"
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.round(
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double"),
+            9,
+        ),
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.round(
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fn")).cast("double"),
+            9,
+        ),
+    )
+    f1 = F.when(
+        F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+        F.round(
+            (F.lit(2.0) * F.col("tp").cast("double"))
+            / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")).cast(
+                "double"
+            ),
+            9,
+        ),
+    )
+    return rows.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        f1.alias("f1"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: Column,
+    rater_b: Column,
+) -> DataFrame:
+    """Cohen's kappa between two binary raters → one row (n, n11, n10,
+    n01, n00 BIGINT, po, pe, kappa DOUBLE, 9 dp).
+
+    kappa = (po − pe)/(1 − pe) is computed as the SINGLE division
+    (n·(n11+n00) − Σ) / (n² − Σ) with
+    Σ = (n11+n10)(n11+n01) + (n01+n00)(n10+n00), every term an exact
+    decimal(38,0) — composing two already-rounded ratios would
+    compound rounding cross-engine.  n² = Σ (chance agreement is
+    certain, e.g. a constant rater pair) → NULL kappa.  Rows where
+    either rater is NULL are dropped."""
+    a = _as01(rater_a)
+    b = _as01(rater_b)
+    base = df.filter(rater_a.isNotNull() & rater_b.isNotNull()).select(
+        a.alias("_a"), b.alias("_b")
+    )
+    g = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when((F.col("_a") == 1) & (F.col("_b") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.when((F.col("_a") == 1) & (F.col("_b") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.when((F.col("_a") == 0) & (F.col("_b") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n01"),
+        F.sum(F.when((F.col("_a") == 0) & (F.col("_b") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n00"),
+    )
+    nd = F.col("n").cast(_DEC)
+    agree = (F.col("n11") + F.col("n00")).cast(_DEC)
+    sigma = (
+        (F.col("n11") + F.col("n10")).cast(_DEC)
+        * (F.col("n11") + F.col("n01")).cast(_DEC)
+        + (F.col("n01") + F.col("n00")).cast(_DEC)
+        * (F.col("n10") + F.col("n00")).cast(_DEC)
+    ).cast(_DEC)
+    po = F.when(
+        F.col("n") > 0,
+        F.round(agree.cast("double") / F.col("n").cast("double"), 9),
+    )
+    pe = F.when(
+        F.col("n") > 0,
+        F.round(
+            sigma.cast("double")
+            / (F.col("n").cast("double") * F.col("n").cast("double")),
+            9,
+        ),
+    )
+    denom = (nd * nd - sigma).cast(_DEC)
+    kappa = F.when(
+        denom != F.lit(0).cast(_DEC),
+        F.round(
+            (nd * agree - sigma).cast("double") / denom.cast("double"), 9
+        ),
+    )
+    return g.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        po.alias("po"),
+        pe.alias("pe"),
+        kappa.alias("kappa"),
+    )

@@ -1,0 +1,234 @@
+"""Classifier-evaluation queries (operators/evalmetrics.py) — past the
+driver's 50-slot window on purpose; the in-repo contract gate
+oracle-checks them at sf0.01.
+
+The eval layer of a quality-classifier curation loop: score docs with
+a cheap model, then read keep/drop thresholds off exact AUC /
+calibration / threshold-sweep tables, and sanity-check weak labelers
+against each other with kappa.  The fixture stand-in: does an event's
+``value`` discriminate purchases from clicks (events table), and how
+far do two weak document-quality rules agree (documents table)?
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.evalmetrics import (
+    auc,
+    calibration_bins,
+    cohens_kappa,
+    confusion_at_thresholds,
+)
+from .registry import query
+
+#: threshold sweep for the confusion query — raw value units
+_THRESHOLDS = (50.0, 150.0, 300.0)
+
+#: DuckDB mirror of the purchase-vs-click eval population
+_BASE = """
+    SELECT CAST(value AS DOUBLE) AS s,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+    FROM events
+    WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+"""
+
+
+def _eval_population(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type").isin("click", "purchase"))
+
+
+@query(
+    "event_value_auc",
+    f"""
+    WITH base AS ({_BASE}),
+    g AS (
+        SELECT CAST(ROUND(s * 100.0) AS BIGINT) AS sq,
+               CAST(SUM(y) AS BIGINT) AS p,
+               CAST(SUM(1 - y) AS BIGINT) AS q
+        FROM base GROUP BY 1
+    ),
+    c AS (
+        SELECT p, q,
+               CAST(COALESCE(SUM(q) OVER (ORDER BY sq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS qlt
+        FROM g
+    ),
+    agg AS (
+        SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+               CAST(SUM(q) AS BIGINT) AS n_neg,
+               SUM(CAST(p AS HUGEINT) * CAST(qlt AS HUGEINT) * 2
+                   + CAST(p AS HUGEINT) * CAST(q AS HUGEINT)) AS u2
+        FROM c
+    )
+    SELECT n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+               ROUND(CAST(u2 AS DOUBLE)
+                     / (2.0 * CAST(n_pos AS DOUBLE)
+                        * CAST(n_neg AS DOUBLE)), 9)
+           END AS auc
+    FROM agg
+    """,
+)
+def event_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected rank AUC of event value as a
+    purchase-vs-click classifier score (operators/evalmetrics.auc,
+    Mann-Whitney U over distinct quantized scores).  2U accumulates in
+    exact decimal/HUGEINT; AUC is one pinned IEEE division — value-
+    exact in DuckDB."""
+    base = _eval_population(spark, sf_dir)
+    return auc(base, "value", F.col("event_type") == "purchase", scale=100)
+
+
+@query(
+    "event_value_calibration",
+    f"""
+    WITH base AS ({_BASE}),
+    g AS (
+        SELECT CAST(FLOOR(s / 50.0) AS BIGINT) AS bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               SUM(CAST(CAST(ROUND(s * 100.0) AS BIGINT) AS HUGEINT))
+                   AS ssum
+        FROM base GROUP BY 1
+    )
+    SELECT bin_id, n, n_pos,
+           ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 9)
+               AS pos_rate,
+           ROUND(CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 9)
+               AS mean_score
+    FROM g
+    """,
+)
+def event_value_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the same score: per 50-unit value bin,
+    observed purchase rate vs mean value
+    (operators/evalmetrics.calibration_bins — exact counts, scaled-long
+    score sums, two pinned divisions)."""
+    base = _eval_population(spark, sf_dir)
+    return calibration_bins(
+        base, "value", F.col("event_type") == "purchase", 50.0, scale=100
+    )
+
+
+def _threshold_oracle() -> str:
+    aggs, rows = [], []
+    for i, t in enumerate(_THRESHOLDS):
+        lit = repr(float(t))
+        aggs += [
+            f"CAST(SUM(CASE WHEN s >= {lit} AND y = 1 THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS tp{i}",
+            f"CAST(SUM(CASE WHEN s >= {lit} AND y = 0 THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS fp{i}",
+            f"CAST(SUM(CASE WHEN s < {lit} AND y = 1 THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS fn{i}",
+            f"CAST(SUM(CASE WHEN s < {lit} AND y = 0 THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS tn{i}",
+        ]
+        rows.append(
+            f"SELECT CAST({lit} AS DOUBLE) AS threshold, tp{i} AS tp,"
+            f" fp{i} AS fp, fn{i} AS fn, tn{i} AS tn FROM w"
+        )
+    stacked = " UNION ALL ".join(rows)
+    return f"""
+    WITH base AS ({_BASE}),
+    w AS (SELECT {', '.join(aggs)} FROM base),
+    r AS ({stacked})
+    SELECT threshold, tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0 THEN
+               ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 9)
+           END AS precision,
+           CASE WHEN tp + fn > 0 THEN
+               ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 9)
+           END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0 THEN
+               ROUND((2.0 * CAST(tp AS DOUBLE))
+                     / CAST(2 * tp + fp + fn AS DOUBLE), 9)
+           END AS f1
+    FROM r
+    """
+
+
+@query("event_value_threshold_metrics", _threshold_oracle())
+def event_value_threshold_metrics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Threshold sweep over the same score: TP/FP/FN/TN +
+    precision/recall/F1 at three literal cut points in ONE scan
+    (operators/evalmetrics.confusion_at_thresholds — conditional
+    aggregation, no row multiplication; F1 straight from counts)."""
+    base = _eval_population(spark, sf_dir)
+    return confusion_at_thresholds(
+        base, "value", F.col("event_type") == "purchase", _THRESHOLDS
+    )
+
+
+@query(
+    "doc_rule_agreement_kappa",
+    """
+    WITH base AS (
+        SELECT CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS a,
+               CASE WHEN length(text) - length(replace(text, ' ', ''))
+                    >= 45 THEN 1 ELSE 0 END AS b
+        FROM documents
+        WHERE text IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n11,
+               CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n10,
+               CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n01,
+               CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n00
+        FROM base
+    )
+    SELECT n, n11, n10, n01, n00,
+           CASE WHEN n > 0 THEN
+               ROUND(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 9)
+           END AS po,
+           CASE WHEN n > 0 THEN
+               ROUND(CAST(CAST(n11 + n10 AS HUGEINT)
+                          * CAST(n11 + n01 AS HUGEINT)
+                          + CAST(n01 + n00 AS HUGEINT)
+                          * CAST(n10 + n00 AS HUGEINT) AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9)
+           END AS pe,
+           CASE WHEN CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+                     - (CAST(n11 + n10 AS HUGEINT)
+                        * CAST(n11 + n01 AS HUGEINT)
+                        + CAST(n01 + n00 AS HUGEINT)
+                        * CAST(n10 + n00 AS HUGEINT)) <> 0 THEN
+               ROUND(CAST(CAST(n AS HUGEINT) * CAST(n11 + n00 AS HUGEINT)
+                          - (CAST(n11 + n10 AS HUGEINT)
+                             * CAST(n11 + n01 AS HUGEINT)
+                             + CAST(n01 + n00 AS HUGEINT)
+                             * CAST(n10 + n00 AS HUGEINT)) AS DOUBLE)
+                     / CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+                            - (CAST(n11 + n10 AS HUGEINT)
+                               * CAST(n11 + n01 AS HUGEINT)
+                               + CAST(n01 + n00 AS HUGEINT)
+                               * CAST(n10 + n00 AS HUGEINT)) AS DOUBLE),
+                     9)
+           END AS kappa
+    FROM g
+    """,
+)
+def doc_rule_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two weak document-quality raters
+    (n_chars >= 250 vs space-count >= 45 — all four confusion cells
+    populated at every fixture SF; operators/evalmetrics.cohens_kappa).
+    kappa is the single division of exact decimal/HUGEINT terms."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    spaces = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), " ", "")
+    )
+    return cohens_kappa(docs, F.col("n_chars") >= 250, spaces >= 45)

@@ -271,6 +271,8 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "url_robots_audit", "domain_blocklist_audit",
         "url_content_staleness",
         "q2_min_cost_supplier", "q11_important_part_values",
+        "event_value_auc", "event_value_calibration",
+        "event_value_threshold_metrics", "doc_rule_agreement_kappa",
     ], f"unexpected overflow oracled set: {overflow}"
 
 

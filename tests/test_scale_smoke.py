@@ -1327,3 +1327,50 @@ def test_real_webm_decode_scales_linearly_10x(spark):
     # the decode map shuffles only count partials (a few bytes per
     # task), never payload bytes: 300 webms are ~350 KB
     assert results[300][1] < 50_000, "payload bytes leaked into a shuffle"
+
+
+def test_auc_scales_with_fixed_state_10x(spark):
+    """Exact AUC (operators/evalmetrics.auc): 10x the rows with a
+    bounded score grid must keep the shuffle at the distinct-score
+    sketch size (map-side-combined groupBy(score) + one |distinct|-row
+    window + one scalar agg — raw rows never shuffle) and grow runtime
+    sub-quadratically.  Closed-form check: scores and labels are both
+    functions of id on a full residue sweep, so AUC is identical at
+    both sizes."""
+    import time as _time
+
+    from org_revue_de_presse_trends_spark.operators.evalmetrics import auc
+
+    mc = MetricsCollector(spark)
+    results = {}
+    for n in (100_000, 1_000_000):
+        # 1000 distinct quantized scores; label correlates with score
+        # (y=1 exactly on the upper half of each 8-residue block)
+        df = spark.range(n).select(
+            ((F.col("id") % 1000).cast("double") / F.lit(4.0)).alias(
+                "score"
+            ),
+            ((F.col("id") % 8) >= 4).alias("y"),
+        )
+        res = auc(df, "score", F.col("y"), scale=100)
+        t0 = _time.perf_counter()
+        rows, qm = mc.measure(
+            f"auc_{n}", res, action=lambda d: d.collect()
+        )
+        results[n] = (
+            _time.perf_counter() - t0,
+            qm.shuffle_bytes_written,
+            rows,
+        )
+    a_small = results[100_000][2][0]
+    a_big = results[1_000_000][2][0]
+    # full sweeps of lcm(1000, 8) divide both sizes → identical counts
+    # up to the 10x factor and an IDENTICAL auc value
+    assert a_big["n_pos"] == 10 * a_small["n_pos"]
+    assert a_big["auc"] == a_small["auc"]
+    assert a_small["auc"] is not None and 0.4 < a_small["auc"] < 0.6
+    t_ratio = results[1_000_000][0] / results[100_000][0]
+    s_ratio = results[1_000_000][1] / max(results[100_000][1], 1)
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}x for 10x rows"
+    # shuffle carries <= tasks x 1000 combined score rows either way
+    assert s_ratio < 5, f"shuffle grew {s_ratio:.1f}x for 10x rows"
