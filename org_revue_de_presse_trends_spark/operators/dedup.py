@@ -1188,35 +1188,34 @@ def edit_distance_pairs(
     # bucket side: AQE already broadcasts it at small scale (measured
     # identical, 3.23 vs 3.24 s) and a forced broadcast would cap the
     # operator at the 8 GB broadcast limit at 100 TB.
-    left = spread_for_cpu(df).select(
+    # string-form builders (the r8b plan-build-tax rule: multi-stage
+    # Column-by-Column selects pay ~10 py4j round-trips per operator;
+    # the parsed trees below are identical to the old Column forms)
+    bkt = f"CAST(length({text_col}) / {w} AS BIGINT)"
+    left = spread_for_cpu(df).selectExpr(
         *blocks,
-        F.col(id_col).alias("id_a"),
-        F.col(text_col).alias("__ta"),
-        F.length(text_col).alias("__la"),
-        F.explode(
-            F.array(
-                (F.length(text_col) / w).cast("long") - 1,
-                (F.length(text_col) / w).cast("long"),
-                (F.length(text_col) / w).cast("long") + 1,
-            )
-        ).alias("__bkt"),
+        f"{id_col} AS id_a",
+        f"{text_col} AS __ta",
+        f"length({text_col}) AS __la",
+        f"explode(array({bkt} - 1, {bkt}, {bkt} + 1)) AS __bkt",
     )
-    right = df.select(
+    right = df.selectExpr(
         *blocks,
-        F.col(id_col).alias("id_b"),
-        F.col(text_col).alias("__tb"),
-        F.length(text_col).alias("__lb"),
-        (F.length(text_col) / w).cast("long").alias("__bkt"),
+        f"{id_col} AS id_b",
+        f"{text_col} AS __tb",
+        f"length({text_col}) AS __lb",
+        f"{bkt} AS __bkt",
     )
-    dist = F.levenshtein(F.col("__ta"), F.col("__tb"), max_dist)
     return (
         left.join(right, on=[*blocks, "__bkt"])
-        .where(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+        .where(f"id_a < id_b AND abs(__la - __lb) <= {int(max_dist)}")
+        .selectExpr(
+            "id_a",
+            "id_b",
+            f"CAST(levenshtein(__ta, __tb, {int(max_dist)})"
+            " AS BIGINT) AS dist",
         )
-        .select("id_a", "id_b", dist.cast("long").alias("dist"))
-        .where(F.col("dist") >= 0)
+        .where("dist >= 0")
     )
 
 
@@ -1287,35 +1286,31 @@ def edit_distance_pairs_qchunk(
         raise ValueError(
             f"max_doc_len must exceed 2*max_dist, got {max_doc_len}"
         )
-    ln = F.length(text_col)
-    docs = df.select(
+    docs = df.selectExpr(
         *blocks,
-        F.col(id_col).cast("long").alias("id"),
-        F.col(text_col).alias("txt"),
-        ln.alias("len"),
+        f"CAST({id_col} AS BIGINT) AS id",
+        f"{text_col} AS txt",
+        f"length({text_col}) AS len",
     )
     # index: docs long enough for the pigeonhole and short enough for
     # the O(len²/k) probe fan → skinny rows (block, q, gram, iid,
     # ipos, ilen); the whole fan is codegen'd (sequence-explode +
     # substring), no HOF lambda anywhere
     idx = (
-        docs.filter(
-            (F.col("len") >= k) & (F.col("len") < max_doc_len)
+        docs.where(f"len >= {k} AND len < {int(max_doc_len)}")
+        .selectExpr("*", f"len DIV {k} AS q")
+        .selectExpr(
+            "*",
+            "explode(sequence(0, CAST(len DIV q AS INT) - 1)) AS ci",
         )
-        .withColumn("q", F.expr(f"len DIV {k}"))
-        .withColumn(
-            "ci",
-            F.explode(F.expr("sequence(0, CAST(len DIV q AS INT) - 1)")),
-        )
-        .select(
+        .selectExpr(
             *blocks,
-            F.col("id").alias("iid"),
-            F.col("len").alias("ilen"),
+            "id AS iid",
+            "len AS ilen",
             "q",
-            (F.col("ci") * F.col("q")).alias("ipos"),
-            F.expr(
-                "substring(txt, CAST(ci * q AS INT) + 1, CAST(q AS INT))"
-            ).alias("gram"),
+            "ci * q AS ipos",
+            "substring(txt, CAST(ci * q AS INT) + 1, CAST(q AS INT))"
+            " AS gram",
         )
     )
     # probe: every substring of each feasible partner chunk length —
@@ -1323,77 +1318,60 @@ def edit_distance_pairs_qchunk(
     # small corpus file arrives as one split (same shape as the
     # minhash win); the index side's broadcast join keeps this layout
     probe = (
-        spread_for_cpu(docs.filter(F.col("len") < max_doc_len))
-        .withColumn(
-            "q",
-            F.explode(
-                F.expr(
-                    f"sequence(CAST(greatest({k}, len - {tau}) DIV {k} AS INT),"
-                    f" CAST((len + {tau}) DIV {k} AS INT))"
-                )
-            ),
+        spread_for_cpu(docs.where(f"len < {int(max_doc_len)}"))
+        .selectExpr(
+            "*",
+            f"explode(sequence("
+            f"CAST(greatest({k}, len - {tau}) DIV {k} AS INT),"
+            f" CAST((len + {tau}) DIV {k} AS INT))) AS q",
         )
-        .withColumn(
-            "pp", F.explode(F.expr("sequence(0, CAST(len - q AS INT))"))
+        .selectExpr(
+            "*", "explode(sequence(0, CAST(len - q AS INT))) AS pp"
         )
-        .select(
+        .selectExpr(
             *blocks,
-            F.col("id").alias("pid"),
-            F.col("len").alias("plen"),
+            "id AS pid",
+            "len AS plen",
             "q",
-            F.col("pp").alias("ppos"),
-            F.expr(
-                "substring(txt, CAST(pp AS INT) + 1, CAST(q AS INT))"
-            ).alias("gram"),
+            "pp AS ppos",
+            "substring(txt, CAST(pp AS INT) + 1, CAST(q AS INT))"
+            " AS gram",
         )
     )
     cand = (
         probe.join(idx, on=[*blocks, "q", "gram"])
         .where(
-            (F.col("iid") != F.col("pid"))
-            & (F.abs(F.col("ilen") - F.col("plen")) <= tau)
-            & (F.abs(F.col("ipos") - F.col("ppos")) <= tau)
+            f"iid != pid AND abs(ilen - plen) <= {tau}"
+            f" AND abs(ipos - ppos) <= {tau}"
         )
-        .select(
+        .selectExpr(
             *blocks,
-            F.least("iid", "pid").alias("id_a"),
-            F.greatest("iid", "pid").alias("id_b"),
+            "least(iid, pid) AS id_a",
+            "greatest(iid, pid) AS id_b",
         )
         .distinct()
     )
     texts = docs.select(*blocks, "id", "txt")
     verified = (
         cand.join(
-            texts.select(
-                *blocks,
-                F.col("id").alias("id_a"),
-                F.col("txt").alias("__ta"),
-            ),
+            texts.selectExpr(*blocks, "id AS id_a", "txt AS __ta"),
             on=[*blocks, "id_a"],
         )
         .join(
-            texts.select(
-                *blocks,
-                F.col("id").alias("id_b"),
-                F.col("txt").alias("__tb"),
-            ),
+            texts.selectExpr(*blocks, "id AS id_b", "txt AS __tb"),
             on=[*blocks, "id_b"],
         )
-        .select(
+        .selectExpr(
             "id_a",
             "id_b",
-            F.levenshtein(F.col("__ta"), F.col("__tb"), tau)
-            .cast("long")
-            .alias("dist"),
+            f"CAST(levenshtein(__ta, __tb, {tau}) AS BIGINT) AS dist",
         )
-        .where(F.col("dist") >= 0)
+        .where("dist >= 0")
     )
     # pairs where BOTH sides are shorter than k defeat the pigeonhole:
     # route the (tiny) short-short corner through the bucket path
-    short = docs.filter(F.col("len") <= tau).select(
-        *blocks,
-        F.col("id").alias(id_col),
-        F.col("txt").alias(text_col),
+    short = docs.where(f"len <= {tau}").selectExpr(
+        *blocks, f"id AS {id_col}", f"txt AS {text_col}"
     )
     fallback = edit_distance_pairs(
         short,
@@ -1407,12 +1385,10 @@ def edit_distance_pairs_qchunk(
     # keeping only pairs whose longer side is actually >= max_doc_len
     # so the q-chunk band keeps exclusive ownership of both-short-of-
     # the-cap pairs (no duplicates, no gaps — see docstring)
-    long_docs = docs.filter(F.col("len") >= max_doc_len - tau)
+    long_docs = docs.where(f"len >= {int(max_doc_len) - tau}")
     long_pairs = edit_distance_pairs(
-        long_docs.select(
-            *blocks,
-            F.col("id").alias(id_col),
-            F.col("txt").alias(text_col),
+        long_docs.selectExpr(
+            *blocks, f"id AS {id_col}", f"txt AS {text_col}"
         ),
         text_col=text_col,
         id_col=id_col,
@@ -1422,18 +1398,10 @@ def edit_distance_pairs_qchunk(
     lens = docs.select("id", "len")
     long_pairs = (
         long_pairs.join(
-            lens.select(
-                F.col("id").alias("id_a"), F.col("len").alias("__lla")
-            ),
-            "id_a",
+            lens.selectExpr("id AS id_a", "len AS __lla"), "id_a"
         )
-        .join(
-            lens.select(
-                F.col("id").alias("id_b"), F.col("len").alias("__llb")
-            ),
-            "id_b",
-        )
-        .where(F.greatest("__lla", "__llb") >= max_doc_len)
+        .join(lens.selectExpr("id AS id_b", "len AS __llb"), "id_b")
+        .where(f"greatest(__lla, __llb) >= {int(max_doc_len)}")
         .select("id_a", "id_b", "dist")
     )
     return verified.unionByName(fallback).unionByName(long_pairs)
