@@ -30,28 +30,26 @@ from pyspark.sql import functions as F
 BITS_PER_WORD = 62
 
 
-def _hash48(col: Column, seed: int) -> Column:
-    """48-bit md5-prefix hash of ``"<seed>|<value>"``."""
-    return F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"{int(seed)}|"), col.cast("string"))),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("long")
-
-
-def _word_and_mask(col: Column, seed: int, n_words: int):
-    pos = _hash48(col, seed) % F.lit(int(n_words) * BITS_PER_WORD)
-    word = (pos / F.lit(BITS_PER_WORD)).cast("long")
-    bit = pos % F.lit(BITS_PER_WORD)
-    # F.shiftleft only takes a literal bit count — call the SQL
-    # function directly for a column-valued shift
-    return word, F.call_function(
-        "shiftleft", F.lit(1).cast("long"), bit.cast("int")
+def _hash48_sql(key_expr: str, seed: int) -> str:
+    """48-bit md5-prefix hash of ``"<seed>|<value>"`` (string-form —
+    the r8b plan-build-tax rule; the parsed tree is identical to the
+    old Column builder)."""
+    return (
+        f"CAST(conv(substring(md5(concat('{int(seed)}|',"
+        f" CAST({key_expr} AS STRING))), 1, 12), 16, 10) AS BIGINT)"
     )
+
+
+def _word_and_mask_sql(key_expr: str, seed: int, n_words: int):
+    pos = f"({_hash48_sql(key_expr, seed)} % {int(n_words) * BITS_PER_WORD})"
+    word = f"CAST({pos} / {BITS_PER_WORD} AS BIGINT)"
+    # shiftleft with a column-valued bit count (F.shiftleft only takes
+    # a literal count in the Column API)
+    mask = (
+        f"shiftleft(CAST(1 AS BIGINT),"
+        f" CAST({pos} % {BITS_PER_WORD} AS INT))"
+    )
+    return word, mask
 
 
 def bloom_build(
@@ -65,13 +63,12 @@ def bloom_build(
     words no key hashed into are absent (an absent word is all-zero
     by definition — ``bloom_probe`` treats it so)."""
     fans = []
-    key = F.col(key_col)
     for j in range(int(k)):
-        w, m = _word_and_mask(key, j, n_words)
-        fans.append(F.struct(w.alias("word"), m.alias("mask")))
+        w, m = _word_and_mask_sql(key_col, j, n_words)
+        fans.append(f"struct({w} AS word, {m} AS mask)")
     return (
-        keys.select(F.explode(F.array(*fans)).alias("f"))
-        .select(F.col("f.word").alias("word"), F.col("f.mask").alias("mask"))
+        keys.selectExpr(f"explode(array({', '.join(fans)})) AS f")
+        .selectExpr("f.word AS word", "f.mask AS mask")
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
     )
@@ -95,24 +92,18 @@ def bloom_probe(
     word index (no explode, no groupBy — row multiplicity and order
     are preserved and the whole probe stays in the scan stage), each
     contributing one bit check; ``out_col`` is their AND."""
-    key = F.col(key_col)
     cols = list(df.columns)
     out = df
     checks = []
     for j in range(int(k)):
-        w, m = _word_and_mask(key, j, n_words)
-        side = bloom.select(
-            F.col("word").alias(f"__w{j}"), F.col("bits").alias(f"__b{j}")
-        )
-        out = out.withColumn(f"__w{j}", w).withColumn(f"__m{j}", m)
+        w, m = _word_and_mask_sql(key_col, j, n_words)
+        side = bloom.selectExpr(f"word AS __w{j}", f"bits AS __b{j}")
+        out = out.selectExpr("*", f"{w} AS __w{j}", f"{m} AS __m{j}")
         out = out.join(F.broadcast(side), f"__w{j}", "left")
         checks.append(
-            F.coalesce(F.col(f"__b{j}"), F.lit(0).cast("long")).bitwiseAND(
-                F.col(f"__m{j}")
-            )
-            == F.col(f"__m{j}")
+            f"((coalesce(__b{j}, CAST(0 AS BIGINT)) & __m{j})"
+            f" = __m{j})"
         )
-    acc = checks[0]
-    for c in checks[1:]:
-        acc = acc & c
-    return out.select(*cols, acc.alias(out_col))
+    return out.selectExpr(
+        *cols, f"({' AND '.join(checks)}) AS {out_col}"
+    )
