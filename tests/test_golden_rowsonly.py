@@ -92,8 +92,15 @@ GOLDEN_SHA256 = {
     "bpe_merge_table": (
         40, "8d20459fe12b44a2343a2a7c8984409eece6ccb07da385d17ea9556477970960"
     ),
+    # re-pinned r8d: the r8c pin (4fda326f...) reproduced on NEITHER the
+    # committed r8c tree NOR the current one against stable fixtures
+    # (same digest at 5599a4c and HEAD; every other text-dependent
+    # golden unchanged) — it was computed from a dirty working-tree
+    # state before the final r8c commits.  The value below is
+    # deterministic across layouts (local[8]/local[32]), sessions, and
+    # both trees; frame payloads stay interop-pinned by the codec suite.
     "video_real_webm_frames": (
-        22, "4fda326f80c07a19fb687586514cbf5e4131d1a04ed44d7d5853e33358c0784a"
+        22, "56e1dbffa55564d960e4725639c245c4c10c0fdb57330ea89a87bb9b96cf6cb7"
     ),
 }
 
