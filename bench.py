@@ -188,6 +188,8 @@ SECONDARY = [
     "event_value_calibration",
     "event_value_threshold_metrics",
     "doc_rule_agreement_kappa",
+    "qty_price_spearman",
+    "event_type_value_mi",
     "bpe_merge_table",
 ]
 

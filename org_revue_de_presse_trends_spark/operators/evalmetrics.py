@@ -307,3 +307,142 @@ def cohens_kappa(
         pe.alias("pe"),
         kappa.alias("kappa"),
     )
+
+
+def spearman(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    scale_x: int = 10**2,
+    scale_y: int = 10**2,
+) -> DataFrame:
+    """Exact Spearman rank correlation → one row (n BIGINT,
+    rho DOUBLE).
+
+    The scale-free monotonic-association companion to Pearson
+    (qty_price_correlation): values quantize to scaled longs, each
+    distinct value gets its tie-AVERAGED rank as a 2×-scaled integer
+    (2·rank(v) = 2·count(<v) + count(=v) + 1 — always integral), and
+    rho is Pearson over those exact integer ranks: the five moment
+    sums accumulate in decimal(38,0), then ONE pinned IEEE tree
+    (IEEE-754 sqrt is correctly rounded, the qty_price_correlation
+    precedent) — bit-equal cross-engine.  The 2× rank scaling cancels
+    inside the ratio identically in both engines (same tree, same
+    inputs).
+
+    Scale shape: two map-side-combined groupBy(value) marginals, each
+    followed by a single-partition running-sum window over DISTINCT
+    values only (the ks_statistic shape) — the quantization scale is
+    the knob that bounds that table (price-like columns: scale 1);
+    ranks re-attach by two equi-joins on the quantized value (AQE
+    broadcasts the rank tables when small), then one scalar aggregate.
+    Raw rows never hit a single-partition stage.
+
+    Zero variance on either side (all values tie) → NULL rho."""
+    qx = F.round(
+        F.col(x_col).cast("double") * F.lit(float(scale_x)), 0
+    ).cast("long")
+    qy = F.round(
+        F.col(y_col).cast("double") * F.lit(float(scale_y)), 0
+    ).cast("long")
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(qx.alias("_qx"), qy.alias("_qy"))
+
+    def _ranks(col: str):
+        g = base.groupBy(col).agg(F.count(F.lit(1)).alias("_c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return g.select(
+            col,
+            (
+                F.lit(2) * F.coalesce(F.sum("_c").over(w), F.lit(0))
+                + F.col("_c")
+                + F.lit(1)
+            )
+            .cast("long")
+            .alias(f"{col}r"),
+        )
+
+    ranked = base.join(_ranks("_qx"), "_qx").join(_ranks("_qy"), "_qy")
+    rx = F.col("_qxr").cast(_DEC)
+    ry = F.col("_qyr").cast(_DEC)
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(rx).cast(_DEC).alias("_sx"),
+        F.sum(ry).cast(_DEC).alias("_sy"),
+        F.sum((rx * ry).cast(_DEC)).cast(_DEC).alias("_sxy"),
+        F.sum((rx * rx).cast(_DEC)).cast(_DEC).alias("_sxx"),
+        F.sum((ry * ry).cast(_DEC)).cast(_DEC).alias("_syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy, sxy, sxx, syy = (
+        F.col(c).cast("double") for c in ("_sx", "_sy", "_sxy", "_sxx", "_syy")
+    )
+    varx = nd * sxx - sx * sx
+    vary = nd * syy - sy * sy
+    rho = F.when(
+        (varx > 0) & (vary > 0),
+        F.round((nd * sxy - sx * sy) / (F.sqrt(varx) * F.sqrt(vary)), 9),
+    )
+    return s.select("n", rho.alias("rho"))
+
+
+def mutual_information(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Mutual information (nats) between two LOW-CARDINALITY columns →
+    one row (n BIGINT, n_cells BIGINT, mi DOUBLE, 6 dp) — the
+    feature-relevance / leakage screen (MI(feature, label) ≈ 0 means
+    the feature carries nothing; MI ≈ H(label) means it leaks it).
+
+        MI = Σ_cells (c_ab/n) · ln(n·c_ab / (c_a·c_b))
+
+    Cross-engine: counts are exact longs (one groupBy(a,b) — the
+    contingency table — plus two partitioned marginal windows over its
+    ≤ |A|·|B| cells, never the rows); each cell term is rounded to a
+    10⁻⁶-scaled long BEFORE the exact sum (libm ln agrees at 6 dp —
+    the psi/doc_token_entropy discipline).  Zero-count cells
+    contribute nothing and are simply absent.  Callers must bound the
+    domains (band continuous columns first) — that bound IS the state
+    bound at 100 TB.  Empty input → zero rows."""
+    base = df.filter(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    ).select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+    cells = base.groupBy("_a", "_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_cab")
+    )
+    wa = Window.partitionBy("_a")
+    wb = Window.partitionBy("_b")
+    wall = Window.partitionBy()
+    staged = cells.select(
+        "_cab",
+        F.sum("_cab").over(wa).cast("long").alias("_ca"),
+        F.sum("_cab").over(wb).cast("long").alias("_cb"),
+        F.sum("_cab").over(wall).cast("long").alias("_n"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("_ncells"),
+    )
+    # exact-integer ratio inside the ln: n·c_ab / (c_a·c_b); products
+    # in decimal(38,0) so huge corpora can't overflow the argument
+    num = (F.col("_n").cast(_DEC) * F.col("_cab").cast(_DEC)).cast(_DEC)
+    den = (F.col("_ca").cast(_DEC) * F.col("_cb").cast(_DEC)).cast(_DEC)
+    term = F.round(
+        (F.col("_cab").cast("double") / F.col("_n").cast("double"))
+        * F.log(num.cast("double") / den.cast("double"))
+        * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        staged.select("_n", "_ncells", term.alias("_t"))
+        .groupBy("_n", "_ncells")
+        .agg(
+            F.round(
+                F.sum("_t").cast("double") / F.lit(1000000.0), 6
+            ).alias("mi")
+        )
+        .select(
+            F.col("_n").alias("n"),
+            F.col("_ncells").alias("n_cells"),
+            "mi",
+        )
+    )

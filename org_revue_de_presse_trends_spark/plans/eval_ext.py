@@ -232,3 +232,131 @@ def doc_rule_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.col("text"), " ", "")
     )
     return cohens_kappa(docs, F.col("n_chars") >= 250, spaces >= 45)
+
+
+@query(
+    "qty_price_spearman",
+    """
+    WITH base AS (
+        SELECT CAST(ROUND(CAST(l_quantity AS DOUBLE) * 100.0)
+                    AS BIGINT) AS qx,
+               CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 1.0)
+                    AS BIGINT) AS qy
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    gx AS (SELECT qx, COUNT(*) AS c FROM base GROUP BY 1),
+    rx AS (
+        SELECT qx,
+               CAST(2 * COALESCE(SUM(c) OVER (ORDER BY qx
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) + c + 1 AS BIGINT) AS qxr
+        FROM gx
+    ),
+    gy AS (SELECT qy, COUNT(*) AS c FROM base GROUP BY 1),
+    ry AS (
+        SELECT qy,
+               CAST(2 * COALESCE(SUM(c) OVER (ORDER BY qy
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) + c + 1 AS BIGINT) AS qyr
+        FROM gy
+    ),
+    j AS (
+        SELECT qxr, qyr FROM base
+        JOIN rx USING (qx) JOIN ry USING (qy)
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(qxr AS HUGEINT)) AS sx,
+               SUM(CAST(qyr AS HUGEINT)) AS sy,
+               SUM(CAST(qxr AS HUGEINT) * CAST(qyr AS HUGEINT)) AS sxy,
+               SUM(CAST(qxr AS HUGEINT) * CAST(qxr AS HUGEINT)) AS sxx,
+               SUM(CAST(qyr AS HUGEINT) * CAST(qyr AS HUGEINT)) AS syy
+        FROM j
+    )
+    SELECT n,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+           THEN ROUND(
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+               9)
+           END AS rho
+    FROM s
+    """,
+)
+def qty_price_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation between lineitem quantity and
+    extended price (operators/evalmetrics.spearman) — the scale-free
+    monotonic companion to qty_price_correlation's Pearson.
+    Tie-averaged ranks as 2x-scaled exact integers from distinct-value
+    counts; rho is one pinned IEEE tree (correctly-rounded sqrt) over
+    decimal-exact moment sums.  Price quantizes at scale 1 so the rank
+    table stays bounded (the documented knob)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from ..operators.evalmetrics import spearman
+
+    return spearman(
+        li, "l_quantity", "l_extendedprice", scale_x=100, scale_y=1
+    )
+
+
+@query(
+    "event_type_value_mi",
+    """
+    WITH base AS (
+        SELECT event_type AS a,
+               CAST(FLOOR(CAST(value AS DOUBLE) / 50.0) AS BIGINT) AS b
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    cells AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab
+        FROM base GROUP BY 1, 2
+    ),
+    staged AS (
+        SELECT cab,
+               CAST(SUM(cab) OVER (PARTITION BY a) AS BIGINT) AS ca,
+               CAST(SUM(cab) OVER (PARTITION BY b) AS BIGINT) AS cb,
+               CAST(SUM(cab) OVER () AS BIGINT) AS n,
+               CAST(COUNT(*) OVER () AS BIGINT) AS ncells
+        FROM cells
+    ),
+    t AS (
+        SELECT n, ncells,
+               CAST(ROUND((CAST(cab AS DOUBLE) / CAST(n AS DOUBLE))
+                    * ln(CAST(CAST(n AS HUGEINT) * CAST(cab AS HUGEINT)
+                              AS DOUBLE)
+                         / CAST(CAST(ca AS HUGEINT) * CAST(cb AS HUGEINT)
+                                AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS term
+        FROM staged
+    )
+    SELECT n, ncells AS n_cells,
+           ROUND(CAST(SUM(term) AS DOUBLE) / 1000000.0, 6) AS mi
+    FROM t GROUP BY 1, 2
+    """,
+)
+def event_type_value_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and the 50-unit value
+    band (operators/evalmetrics.mutual_information) — the
+    feature-relevance / label-leakage screen.  Contingency counts are
+    exact longs over <= |types|x|bands| cells; each cell term rounds
+    to a 1e-6-scaled long before the exact sum (the psi ln
+    discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    from ..operators.evalmetrics import mutual_information
+
+    base = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.col("value").cast("double") / F.lit(50.0))
+        .cast("long")
+        .alias("value_band"),
+    )
+    return mutual_information(base, "event_type", "value_band")

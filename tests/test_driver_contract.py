@@ -273,6 +273,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "q2_min_cost_supplier", "q11_important_part_values",
         "event_value_auc", "event_value_calibration",
         "event_value_threshold_metrics", "doc_rule_agreement_kappa",
+        "qty_price_spearman", "event_type_value_mi",
     ], f"unexpected overflow oracled set: {overflow}"
 
 

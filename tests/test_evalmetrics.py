@@ -223,3 +223,110 @@ class TestKappa:
         )
         r = cohens_kappa(df, F.col("a"), F.col("b")).collect()[0]
         assert r["n"] == 2 and r["kappa"] == 1.0
+
+
+class TestSpearman:
+    def _run(self, spark, pairs, sx=100, sy=100):
+        from org_revue_de_presse_trends_spark.operators.evalmetrics import (
+            spearman,
+        )
+
+        df = spark.createDataFrame(
+            [(float(x), float(y)) for x, y in pairs], "x double, y double"
+        )
+        return spearman(df, "x", "y", scale_x=sx, scale_y=sy).collect()[0]
+
+    def test_matches_scipy_free_mirror_with_ties(self, spark):
+        pairs = [(1.0, 2.0), (2.0, 2.0), (2.0, 5.0), (3.0, 1.0),
+                 (4.0, 4.0), (4.0, 4.0), (5.0, 3.0)]
+
+        # pure-python tie-averaged Spearman (2x-scaled integer ranks)
+        def ranks2(vals):
+            out = []
+            for v in vals:
+                below = sum(1 for u in vals if u < v)
+                tied = sum(1 for u in vals if u == v)
+                out.append(2 * below + tied + 1)
+            return out
+
+        rx = ranks2([p[0] for p in pairs])
+        ry = ranks2([p[1] for p in pairs])
+        n = len(pairs)
+        sx_, sy_ = sum(rx), sum(ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        sxx = sum(a * a for a in rx)
+        syy = sum(b * b for b in ry)
+        import math
+
+        expect = round(
+            (n * sxy - sx_ * sy_)
+            / (
+                math.sqrt(n * sxx - sx_ * sx_)
+                * math.sqrt(n * syy - sy_ * sy_)
+            ),
+            9,
+        )
+        r = self._run(spark, pairs)
+        assert r["n"] == n and r["rho"] == expect
+
+    def test_monotone_is_one_antitone_minus_one(self, spark):
+        inc = [(i, i * i) for i in range(1, 8)]  # nonlinear but monotone
+        assert self._run(spark, inc)["rho"] == 1.0
+        dec = [(i, -i * i) for i in range(1, 8)]
+        assert self._run(spark, dec)["rho"] == -1.0
+
+    def test_constant_side_null(self, spark):
+        r = self._run(spark, [(1.0, 7.0), (2.0, 7.0), (3.0, 7.0)])
+        assert r["rho"] is None
+
+
+class TestMutualInformation:
+    def _run(self, spark, rows):
+        from org_revue_de_presse_trends_spark.operators.evalmetrics import (
+            mutual_information,
+        )
+
+        df = spark.createDataFrame(rows, "a string, b long")
+        return mutual_information(df, "a", "b").collect()
+
+    def test_matches_python_mirror(self, spark):
+        rows = (
+            [("x", 0)] * 5 + [("x", 1)] * 2 + [("y", 0)] * 1
+            + [("y", 1)] * 6 + [("z", 2)] * 3
+        )
+        out = self._run(spark, rows)[0]
+        import math
+        from collections import Counter
+
+        cab = Counter(rows)
+        ca = Counter(a for a, _ in rows)
+        cb = Counter(b for _, b in rows)
+        n = len(rows)
+        # mirror the operator's fixed-point discipline exactly:
+        # per-cell term rounded to a 1e-6-scaled long before the sum
+        total = 0
+        for (a, b), c in cab.items():
+            t = (c / n) * math.log((n * c) / (ca[a] * cb[b])) * 1e6
+            total += int(
+                Decimal(repr(t)).quantize(Decimal("1"), ROUND_HALF_UP)
+            )
+        assert out["n"] == n and out["n_cells"] == len(cab)
+        assert out["mi"] == round(total / 1e6, 6)
+        assert out["mi"] > 0
+
+    def test_independent_columns_zero(self, spark):
+        # perfectly independent 2x2 with equal counts
+        rows = [("x", 0)] * 4 + [("x", 1)] * 4 + [("y", 0)] * 4 + [("y", 1)] * 4
+        out = self._run(spark, rows)[0]
+        assert out["mi"] == 0.0
+
+    def test_deterministic_mapping_equals_label_entropy(self, spark):
+        # b = f(a): MI = H(b); two equal classes -> ln 2
+        import math
+
+        rows = [("x", 0)] * 6 + [("y", 1)] * 6
+        out = self._run(spark, rows)[0]
+        assert abs(out["mi"] - math.log(2)) < 2e-6
+
+    def test_empty_input_zero_rows(self, spark):
+        assert self._run(spark, []) == []
