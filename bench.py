@@ -190,6 +190,7 @@ SECONDARY = [
     "doc_rule_agreement_kappa",
     "qty_price_spearman",
     "event_type_value_mi",
+    "event_type_value_chi2",
     "bpe_merge_table",
 ]
 

@@ -446,3 +446,92 @@ def mutual_information(
             "mi",
         )
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Pearson chi-squared test of independence between two
+    LOW-CARDINALITY columns → one row (n BIGINT, dof BIGINT,
+    chi2 DOUBLE 6 dp, cramers_v DOUBLE 9 dp) — the count-based
+    companion to ``mutual_information`` on the same contingency table
+    (Cramér's V is the [0,1]-normalized effect size).
+
+    Zero-observed cells never materialize: algebraically
+    chi2 = n·Σ_observed o²/(c_a·c_b) − n (expand (o−e)²/e with
+    e = c_a·c_b/n; absent-cell terms cancel into the −n), so the plan
+    is exactly the MI shape — one groupBy(a,b) + two marginal windows
+    over ≤ |A|·|B| cells.  Each cell term o²·n/(c_a·c_b) is one
+    pinned IEEE division of decimal-exact products rounded to a
+    10⁻⁶-scaled long before the exact sum; chi2 and V are each one
+    pinned tree over those exact values (correctly-rounded sqrt).
+    Degenerate table (either side constant → dof 0) emits NULL chi2/V.
+    Callers bound the domains (band continuous columns first)."""
+    base = df.filter(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    ).select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+    cells = base.groupBy("_a", "_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_o")
+    )
+    wa = Window.partitionBy("_a")
+    wb = Window.partitionBy("_b")
+    staged = cells.select(
+        "_a",
+        "_b",
+        "_o",
+        F.sum("_o").over(wa).cast("long").alias("_ca"),
+        F.sum("_o").over(wb).cast("long").alias("_cb"),
+    )
+    wall = Window.partitionBy()
+    staged = staged.withColumn(
+        "_n", F.sum("_o").over(wall).cast("long")
+    )
+    # o²·n folded into the term BEFORE the 10⁻⁶ rounding — rounding
+    # Σ o²/(c_a·c_b) first and multiplying by n after would amplify
+    # the per-term quantization by n
+    num = (
+        F.col("_o").cast(_DEC)
+        * F.col("_o").cast(_DEC)
+        * F.col("_n").cast(_DEC)
+    ).cast(_DEC)
+    den = (F.col("_ca").cast(_DEC) * F.col("_cb").cast(_DEC)).cast(_DEC)
+    term = F.round(
+        num.cast("double") / den.cast("double") * F.lit(1000000.0)
+    ).cast("long")
+    agg = staged.select(
+        "_a", "_b", term.alias("_t"), "_o"
+    ).agg(
+        F.sum("_o").cast("long").alias("n"),
+        F.countDistinct("_a").cast("long").alias("_ka"),
+        F.countDistinct("_b").cast("long").alias("_kb"),
+        F.sum("_t").cast("long").alias("_ts"),
+    )
+    dof = ((F.col("_ka") - 1) * (F.col("_kb") - 1)).cast("long")
+    chi2 = F.when(
+        (F.col("n") > 0) & (dof > 0),
+        F.round(
+            F.col("_ts").cast("double") / F.lit(1000000.0)
+            - F.col("n").cast("double"),
+            6,
+        ),
+    )
+    mindim = F.least(F.col("_ka") - 1, F.col("_kb") - 1).cast("long")
+    return agg.select(
+        "n",
+        dof.alias("dof"),
+        chi2.alias("chi2"),
+        F.when(
+            (F.col("n") > 0) & (dof > 0),
+            F.round(
+                F.sqrt(
+                    # greatest(·, 0): independence can quantize to a
+                    # −10⁻⁶-ish chi2; sqrt of that would be NaN
+                    F.greatest(chi2, F.lit(0.0))
+                    / (F.col("n").cast("double") * mindim.cast("double"))
+                ),
+                9,
+            ),
+        ).alias("cramers_v"),
+    )

@@ -360,3 +360,79 @@ def event_type_value_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_band"),
     )
     return mutual_information(base, "event_type", "value_band")
+
+
+@query(
+    "event_type_value_chi2",
+    """
+    WITH base AS (
+        SELECT event_type AS a,
+               CAST(FLOOR(CAST(value AS DOUBLE) / 50.0) AS BIGINT) AS b
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    cells AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o
+        FROM base GROUP BY 1, 2
+    ),
+    staged AS (
+        SELECT a, b, o,
+               CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) AS ca,
+               CAST(SUM(o) OVER (PARTITION BY b) AS BIGINT) AS cb,
+               CAST(SUM(o) OVER () AS BIGINT) AS nn
+        FROM cells
+    ),
+    t AS (
+        SELECT o, a, b,
+               CAST(ROUND(
+                   CAST(CAST(o AS HUGEINT) * CAST(o AS HUGEINT)
+                        * CAST(nn AS HUGEINT) AS DOUBLE)
+                   / CAST(CAST(ca AS HUGEINT) * CAST(cb AS HUGEINT)
+                          AS DOUBLE)
+                   * 1000000.0) AS BIGINT) AS term
+        FROM staged
+    ),
+    agg AS (
+        SELECT CAST(SUM(o) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT a) AS BIGINT) AS ka,
+               CAST(COUNT(DISTINCT b) AS BIGINT) AS kb,
+               CAST(SUM(term) AS BIGINT) AS ts
+        FROM t
+    )
+    SELECT n,
+           CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+           CASE WHEN n > 0 AND (ka - 1) * (kb - 1) > 0 THEN
+               ROUND(CAST(ts AS DOUBLE) / 1000000.0
+                     - CAST(n AS DOUBLE), 6)
+           END AS chi2,
+           CASE WHEN n > 0 AND (ka - 1) * (kb - 1) > 0 THEN
+               ROUND(sqrt(
+                   greatest(CASE WHEN n > 0
+                                  AND (ka - 1) * (kb - 1) > 0 THEN
+                       ROUND(CAST(ts AS DOUBLE) / 1000000.0
+                             - CAST(n AS DOUBLE), 6)
+                   END, 0.0)
+                   / (CAST(n AS DOUBLE)
+                      * CAST(CAST(least(ka - 1, kb - 1) AS BIGINT)
+                             AS DOUBLE))), 9)
+           END AS cramers_v
+    FROM agg
+    """,
+)
+def event_type_value_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test + Cramér's V between event type
+    and the 50-unit value band (operators/evalmetrics.
+    chi2_independence) — the count-based companion to
+    event_type_value_mi on the same contingency table.  Observed cells
+    only (the algebraic −n absorbs zero cells); per-cell terms as
+    1e-6-scaled longs; chi2 and V one pinned tree each."""
+    ev = load_table(spark, sf_dir, "events")
+    from ..operators.evalmetrics import chi2_independence
+
+    base = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.col("value").cast("double") / F.lit(50.0))
+        .cast("long")
+        .alias("value_band"),
+    )
+    return chi2_independence(base, "event_type", "value_band")

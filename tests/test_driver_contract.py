@@ -274,6 +274,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "event_value_auc", "event_value_calibration",
         "event_value_threshold_metrics", "doc_rule_agreement_kappa",
         "qty_price_spearman", "event_type_value_mi",
+        "event_type_value_chi2",
     ], f"unexpected overflow oracled set: {overflow}"
 
 

@@ -330,3 +330,51 @@ class TestMutualInformation:
 
     def test_empty_input_zero_rows(self, spark):
         assert self._run(spark, []) == []
+
+
+class TestChi2:
+    def _run(self, spark, rows):
+        from org_revue_de_presse_trends_spark.operators.evalmetrics import (
+            chi2_independence,
+        )
+
+        df = spark.createDataFrame(rows, "a string, b long")
+        return chi2_independence(df, "a", "b").collect()[0]
+
+    def test_matches_textbook_formula_with_zero_cell(self, spark):
+        # 2x2 with an EMPTY (x,1) cell — the algebraic -n must absorb it
+        rows = [("x", 0)] * 8 + [("y", 0)] * 2 + [("y", 1)] * 6
+        r = self._run(spark, rows)
+        from collections import Counter
+
+        cab = Counter(rows)
+        ca = Counter(a for a, _ in rows)
+        cb = Counter(b for _, b in rows)
+        n = len(rows)
+        # classic sum over ALL cells of (o-e)^2/e
+        expect = 0.0
+        for a in ca:
+            for b in cb:
+                e = ca[a] * cb[b] / n
+                o = cab.get((a, b), 0)
+                expect += (o - e) ** 2 / e
+        assert r["n"] == n and r["dof"] == 1
+        assert abs(r["chi2"] - expect) < 2e-5  # per-cell 1e-6 quantization
+        import math
+
+        assert abs(r["cramers_v"] - math.sqrt(expect / n)) < 2e-5
+
+    def test_exact_independence_zero(self, spark):
+        rows = [("x", 0)] * 4 + [("x", 1)] * 4 + [("y", 0)] * 4 + [("y", 1)] * 4
+        r = self._run(spark, rows)
+        assert abs(r["chi2"]) < 1e-5
+        assert r["cramers_v"] is not None and r["cramers_v"] < 1e-2
+
+    def test_perfect_association_v_is_one(self, spark):
+        rows = [("x", 0)] * 5 + [("y", 1)] * 7
+        r = self._run(spark, rows)
+        assert abs(r["cramers_v"] - 1.0) < 1e-5
+
+    def test_constant_side_null(self, spark):
+        r = self._run(spark, [("x", 0)] * 3 + [("x", 1)] * 4)
+        assert r["dof"] == 0 and r["chi2"] is None and r["cramers_v"] is None
