@@ -1374,3 +1374,46 @@ def test_auc_scales_with_fixed_state_10x(spark):
     assert t_ratio < 30, f"runtime grew {t_ratio:.1f}x for 10x rows"
     # shuffle carries <= tasks x 1000 combined score rows either way
     assert s_ratio < 5, f"shuffle grew {s_ratio:.1f}x for 10x rows"
+
+
+def test_spearman_scales_with_fixed_state_10x(spark):
+    """Spearman (operators/evalmetrics.spearman): 10x the rows with a
+    bounded value grid must keep shuffles at the distinct-value sketch
+    size (two combined marginals + two rank re-attach joins) and grow
+    runtime sub-quadratically; full residue sweeps make rho identical
+    at both sizes."""
+    import time as _time
+
+    from org_revue_de_presse_trends_spark.operators.evalmetrics import (
+        spearman,
+    )
+
+    mc = MetricsCollector(spark)
+    results = {}
+    for n in (100_000, 1_000_000):
+        df = spark.range(n).select(
+            ((F.col("id") % 500).cast("double") / F.lit(4.0)).alias("x"),
+            (((F.col("id") * 7) % 500).cast("double") / F.lit(2.0)).alias(
+                "y"
+            ),
+        )
+        res = spearman(df, "x", "y", scale_x=100, scale_y=100)
+        t0 = _time.perf_counter()
+        rows, qm = mc.measure(
+            f"spearman_{n}", res, action=lambda d: d.collect()
+        )
+        results[n] = (
+            _time.perf_counter() - t0,
+            qm.shuffle_bytes_written,
+            rows[0],
+        )
+    small, big = results[100_000][2], results[1_000_000][2]
+    assert big["n"] == 10 * small["n"]
+    # gcd(7, 500) = 1: y sweeps the same residue set -> identical rho
+    assert big["rho"] == small["rho"] and small["rho"] is not None
+    t_ratio = results[1_000_000][0] / results[100_000][0]
+    s_ratio = results[1_000_000][1] / max(results[100_000][1], 1)
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}x for 10x rows"
+    # rank tables are <= 500 rows each; only the rank re-attach joins
+    # move row-proportional bytes (two skinny long columns)
+    assert s_ratio < 15, f"shuffle grew {s_ratio:.1f}x for 10x rows"
