@@ -48,6 +48,19 @@ def _as01(label: Column) -> Column:
     return F.when(label, F.lit(1)).otherwise(F.lit(0))
 
 
+def _finite(score_col: str) -> Column:
+    """Usable-score predicate: non-NULL AND finite.  NaN/±Inf scores
+    (a 0/0 or overflow upstream) would otherwise hit the ANSI
+    CAST_OVERFLOW in ``round(score·scale)→long`` and abort the job —
+    they carry no rank information, so every operator in this module
+    drops them exactly like NULLs (pinned convention; DuckDB mirror
+    is ``isfinite(s)``)."""
+    c = F.col(score_col).cast("double")
+    return (
+        c.isNotNull() & ~F.isnan(c) & (F.abs(c) != F.lit(float("inf")))
+    )
+
+
 def auc(
     df: DataFrame,
     score_col: str,
@@ -73,7 +86,7 @@ def auc(
     )
     lab = _as01(label)
     g = (
-        df.filter(F.col(score_col).isNotNull() & label.isNotNull())
+        df.filter(_finite(score_col) & label.isNotNull())
         .select(s.alias("_s"), lab.alias("_y"))
         .groupBy("_s")
         .agg(
@@ -133,7 +146,7 @@ def calibration_bins(
         "long"
     )
     g = (
-        df.filter(F.col(score_col).isNotNull() & label.isNotNull())
+        df.filter(_finite(score_col) & label.isNotNull())
         .select(b.alias("bin_id"), s.alias("_s"), _as01(label).alias("_y"))
         .groupBy("bin_id")
         .agg(
@@ -174,9 +187,11 @@ def confusion_at_thresholds(
     shuffle.  F1 comes straight from counts (2tp/(2tp+fp+fn)) — one
     division, never a composition of rounded ratios.  Degenerate
     denominators → NULL."""
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
     sc = F.col(score_col).cast("double")
     y = _as01(label)
-    base = df.filter(F.col(score_col).isNotNull() & label.isNotNull()).select(
+    base = df.filter(_finite(score_col) & label.isNotNull()).select(
         sc.alias("_s"), y.alias("_y")
     )
     aggs = []
@@ -338,16 +353,29 @@ def spearman(
     broadcasts the rank tables when small), then one scalar aggregate.
     Raw rows never hit a single-partition stage.
 
-    Zero variance on either side (all values tie) → NULL rho."""
+    Zero variance on either side (all values tie) → NULL rho.
+
+    Oracle-exactness bound: rank-moment sums grow as 4n³, and DuckDB's
+    HUGEINT→DOUBLE cast is NOT correctly rounded past 2^117 (measured
+    one-ulp gap on (2^53+1)·2^64 + 2^63-shaped values, where Spark's
+    decimal(38,0)→double IS correctly rounded) — so the cross-engine
+    value-exactness claim holds for n ≲ 3·10¹¹ rows per call; past
+    that, pre-aggregate per shard and spearman the merged sketches."""
     qx = F.round(
         F.col(x_col).cast("double") * F.lit(float(scale_x)), 0
     ).cast("long")
     qy = F.round(
         F.col(y_col).cast("double") * F.lit(float(scale_y)), 0
     ).cast("long")
-    base = df.filter(
-        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
-    ).select(qx.alias("_qx"), qy.alias("_qy"))
+    # localCheckpoint: base feeds BOTH marginal groupBys AND the fact
+    # side of the rank joins — without it the upstream scan+quantize
+    # runs three times (the r7c checkpoint-before-union lesson;
+    # measured 2.02 -> 1.41 s best-of-3 at sf0.1 on lineitem)
+    base = (
+        df.filter(_finite(x_col) & _finite(y_col))
+        .select(qx.alias("_qx"), qy.alias("_qy"))
+        .localCheckpoint()
+    )
 
     def _ranks(col: str):
         g = base.groupBy(col).agg(F.count(F.lit(1)).alias("_c"))
@@ -387,6 +415,31 @@ def spearman(
     return s.select("n", rho.alias("rho"))
 
 
+def _contingency(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Shared staging for ``mutual_information`` / ``chi2_independence``:
+    one groupBy(a,b) contingency table plus marginal/global window
+    counts over its ≤ |A|·|B| cells — (_a, _b, _c, _ca, _cb, _n,
+    _ncells), all exact longs.  NULL on either side is dropped."""
+    base = df.filter(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    ).select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+    cells = base.groupBy("_a", "_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    wa = Window.partitionBy("_a")
+    wb = Window.partitionBy("_b")
+    wall = Window.partitionBy()
+    return cells.select(
+        "_a",
+        "_b",
+        "_c",
+        F.sum("_c").over(wa).cast("long").alias("_ca"),
+        F.sum("_c").over(wb).cast("long").alias("_cb"),
+        F.sum("_c").over(wall).cast("long").alias("_n"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("_ncells"),
+    )
+
+
 def mutual_information(
     df: DataFrame,
     a_col: str,
@@ -407,28 +460,13 @@ def mutual_information(
     contribute nothing and are simply absent.  Callers must bound the
     domains (band continuous columns first) — that bound IS the state
     bound at 100 TB.  Empty input → zero rows."""
-    base = df.filter(
-        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
-    ).select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
-    cells = base.groupBy("_a", "_b").agg(
-        F.count(F.lit(1)).cast("long").alias("_cab")
-    )
-    wa = Window.partitionBy("_a")
-    wb = Window.partitionBy("_b")
-    wall = Window.partitionBy()
-    staged = cells.select(
-        "_cab",
-        F.sum("_cab").over(wa).cast("long").alias("_ca"),
-        F.sum("_cab").over(wb).cast("long").alias("_cb"),
-        F.sum("_cab").over(wall).cast("long").alias("_n"),
-        F.count(F.lit(1)).over(wall).cast("long").alias("_ncells"),
-    )
+    staged = _contingency(df, a_col, b_col)
     # exact-integer ratio inside the ln: n·c_ab / (c_a·c_b); products
     # in decimal(38,0) so huge corpora can't overflow the argument
-    num = (F.col("_n").cast(_DEC) * F.col("_cab").cast(_DEC)).cast(_DEC)
+    num = (F.col("_n").cast(_DEC) * F.col("_c").cast(_DEC)).cast(_DEC)
     den = (F.col("_ca").cast(_DEC) * F.col("_cb").cast(_DEC)).cast(_DEC)
     term = F.round(
-        (F.col("_cab").cast("double") / F.col("_n").cast("double"))
+        (F.col("_c").cast("double") / F.col("_n").cast("double"))
         * F.log(num.cast("double") / den.cast("double"))
         * F.lit(1000000.0)
     ).cast("long")
@@ -469,31 +507,13 @@ def chi2_independence(
     pinned tree over those exact values (correctly-rounded sqrt).
     Degenerate table (either side constant → dof 0) emits NULL chi2/V.
     Callers bound the domains (band continuous columns first)."""
-    base = df.filter(
-        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
-    ).select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
-    cells = base.groupBy("_a", "_b").agg(
-        F.count(F.lit(1)).cast("long").alias("_o")
-    )
-    wa = Window.partitionBy("_a")
-    wb = Window.partitionBy("_b")
-    staged = cells.select(
-        "_a",
-        "_b",
-        "_o",
-        F.sum("_o").over(wa).cast("long").alias("_ca"),
-        F.sum("_o").over(wb).cast("long").alias("_cb"),
-    )
-    wall = Window.partitionBy()
-    staged = staged.withColumn(
-        "_n", F.sum("_o").over(wall).cast("long")
-    )
+    staged = _contingency(df, a_col, b_col)
     # o²·n folded into the term BEFORE the 10⁻⁶ rounding — rounding
     # Σ o²/(c_a·c_b) first and multiplying by n after would amplify
     # the per-term quantization by n
     num = (
-        F.col("_o").cast(_DEC)
-        * F.col("_o").cast(_DEC)
+        F.col("_c").cast(_DEC)
+        * F.col("_c").cast(_DEC)
         * F.col("_n").cast(_DEC)
     ).cast(_DEC)
     den = (F.col("_ca").cast(_DEC) * F.col("_cb").cast(_DEC)).cast(_DEC)
@@ -501,9 +521,9 @@ def chi2_independence(
         num.cast("double") / den.cast("double") * F.lit(1000000.0)
     ).cast("long")
     agg = staged.select(
-        "_a", "_b", term.alias("_t"), "_o"
+        "_a", "_b", term.alias("_t"), "_c"
     ).agg(
-        F.sum("_o").cast("long").alias("n"),
+        F.sum("_c").cast("long").alias("n"),
         F.countDistinct("_a").cast("long").alias("_ka"),
         F.countDistinct("_b").cast("long").alias("_kb"),
         F.sum("_t").cast("long").alias("_ts"),

@@ -33,12 +33,23 @@ _BASE = """
            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
     FROM events
     WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+      AND isfinite(value)
 """
 
 
 def _eval_population(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.filter(F.col("event_type").isin("click", "purchase"))
+
+
+def _finite_value(ev: DataFrame):
+    """NULL/NaN/Inf values carry no band: drop them before the
+    floor→long cast (ANSI CAST_OVERFLOW on NaN; mirrors the oracles'
+    ``isfinite(value)``)."""
+    v = F.col("value").cast("double")
+    return (
+        v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf")))
+    )
 
 
 @query(
@@ -243,7 +254,8 @@ def doc_rule_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 1.0)
                     AS BIGINT) AS qy
         FROM lineitem
-        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        WHERE l_quantity IS NOT NULL AND isfinite(l_quantity)
+          AND l_extendedprice IS NOT NULL AND isfinite(l_extendedprice)
     ),
     gx AS (SELECT qx, COUNT(*) AS c FROM base GROUP BY 1),
     rx AS (
@@ -315,6 +327,7 @@ def qty_price_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(FLOOR(CAST(value AS DOUBLE) / 50.0) AS BIGINT) AS b
         FROM events
         WHERE event_type IS NOT NULL AND value IS NOT NULL
+          AND isfinite(value)
     ),
     cells AS (
         SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab
@@ -353,7 +366,7 @@ def event_type_value_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     from ..operators.evalmetrics import mutual_information
 
-    base = ev.filter(F.col("value").isNotNull()).select(
+    base = ev.filter(_finite_value(ev)).select(
         "event_type",
         F.floor(F.col("value").cast("double") / F.lit(50.0))
         .cast("long")
@@ -370,6 +383,7 @@ def event_type_value_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(FLOOR(CAST(value AS DOUBLE) / 50.0) AS BIGINT) AS b
         FROM events
         WHERE event_type IS NOT NULL AND value IS NOT NULL
+          AND isfinite(value)
     ),
     cells AS (
         SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o
@@ -429,7 +443,7 @@ def event_type_value_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     from ..operators.evalmetrics import chi2_independence
 
-    base = ev.filter(F.col("value").isNotNull()).select(
+    base = ev.filter(_finite_value(ev)).select(
         "event_type",
         F.floor(F.col("value").cast("double") / F.lit(50.0))
         .cast("long")

@@ -378,3 +378,37 @@ class TestChi2:
     def test_constant_side_null(self, spark):
         r = self._run(spark, [("x", 0)] * 3 + [("x", 1)] * 4)
         assert r["dof"] == 0 and r["chi2"] is None and r["cramers_v"] is None
+
+
+class TestNonFiniteScores:
+    def test_nan_and_inf_scores_dropped_not_crash(self, spark):
+        # NaN/Inf would hit ANSI CAST_OVERFLOW in round(score*scale)->long
+        df = spark.createDataFrame(
+            [(1.0, True), (2.0, False), (float("nan"), True),
+             (float("inf"), False), (float("-inf"), True)],
+            "score double, y boolean",
+        )
+        r = auc(df, "score", F.col("y")).collect()[0]
+        assert (r["n_pos"], r["n_neg"]) == (1, 1)
+        rows = calibration_bins(df, "score", F.col("y"), 5.0).collect()
+        assert sum(x["n"] for x in rows) == 2
+        t = confusion_at_thresholds(df, "score", F.col("y"), [1.5]).collect()[0]
+        assert t["tp"] + t["fp"] + t["fn"] + t["tn"] == 2
+
+    def test_spearman_drops_non_finite_on_either_side(self, spark):
+        from org_revue_de_presse_trends_spark.operators.evalmetrics import (
+            spearman,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0, 1.0), (2.0, 4.0), (3.0, 9.0),
+             (float("nan"), 1.0), (4.0, float("inf"))],
+            "x double, y double",
+        )
+        r = spearman(df, "x", "y").collect()[0]
+        assert r["n"] == 3 and r["rho"] == 1.0
+
+    def test_empty_thresholds_raise_value_error(self, spark):
+        df = spark.createDataFrame([(1.0, True)], "score double, y boolean")
+        with pytest.raises(ValueError, match="non-empty"):
+            confusion_at_thresholds(df, "score", F.col("y"), [])
