@@ -66,6 +66,7 @@ def auc(
     score_col: str,
     label: Column,
     scale: int = 10**2,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Exact tie-corrected AUC → one row
     (n_pos BIGINT, n_neg BIGINT, auc DOUBLE, 9 dp).
@@ -80,22 +81,69 @@ def auc(
     2U accumulates in decimal(38,0) (count products can pass 2^63 at
     scale); AUC is the single pinned IEEE division.  Empty side →
     NULL auc.  Rows with NULL score or NULL label are dropped (a NULL
-    label is unknown ground truth, not a negative)."""
-    s = F.round(F.col(score_col).cast("double") * F.lit(float(scale)), 0).cast(
-        "long"
+    label is unknown ground truth, not a negative).
+
+    ``group_cols`` yields one row per group (per-domain / per-source
+    eval, the realistic shape) — the running-sum window is then
+    PARTITIONED by group, so no single-partition stage remains at
+    all."""
+    return auc_from_counts(
+        score_label_counts(df, score_col, label, scale, group_cols),
+        group_cols,
     )
+
+
+def score_label_counts(
+    df: DataFrame,
+    score_col: str,
+    label: Column,
+    scale: int = 10**2,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The mergeable AUC sketch: (score BIGINT, p BIGINT, q BIGINT) —
+    positive/negative counts per distinct quantized score.  Counts
+    merge across shards or micro-batches by union + SUM per score
+    (state ≤ |distinct quantized scores| rows forever), so running AUC
+    over a stream never re-reads the stream — the
+    foreach_batch_auc sink builds on exactly this."""
+    gcols = list(group_cols)
+    s = F.round(
+        F.col(score_col).cast("double") * F.lit(float(scale)), 0
+    ).cast("long")
     lab = _as01(label)
-    g = (
+    return (
         df.filter(_finite(score_col) & label.isNotNull())
-        .select(s.alias("_s"), lab.alias("_y"))
-        .groupBy("_s")
+        .select(*gcols, s.alias("score"), lab.alias("_y"))
+        .groupBy(*gcols, "score")
         .agg(
-            F.sum("_y").cast("long").alias("_p"),
-            F.sum(1 - F.col("_y")).cast("long").alias("_q"),
+            F.sum("_y").cast("long").alias("p"),
+            F.sum(1 - F.col("_y")).cast("long").alias("q"),
         )
     )
-    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+
+
+def auc_from_counts(
+    counts: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Finalize an AUC sketch (columns group_cols…, score, p, q — one
+    row per distinct quantized score per group) into (group_cols…,
+    n_pos, n_neg, auc) rows.  Ungrouped, the running-sum window is a
+    single partition over the sketch only; grouped, it partitions by
+    group and no single-partition stage remains."""
+    gcols = list(group_cols)
+    g = counts.select(
+        *gcols,
+        F.col("score").alias("_s"),
+        F.col("p").cast("long").alias("_p"),
+        F.col("q").cast("long").alias("_q"),
+    )
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     c = g.select(
+        *gcols,
         "_p",
         "_q",
         F.coalesce(F.sum("_q").over(w), F.lit(0)).cast("long").alias("_qlt"),
@@ -104,7 +152,7 @@ def auc(
         F.col("_p").cast(_DEC) * F.col("_qlt").cast(_DEC) * F.lit(2).cast(_DEC)
         + F.col("_p").cast(_DEC) * F.col("_q").cast(_DEC)
     ).cast(_DEC)
-    agg = c.agg(
+    agg = c.groupBy(*gcols).agg(
         F.sum("_p").cast("long").alias("n_pos"),
         F.sum("_q").cast("long").alias("n_neg"),
         F.sum(term).cast(_DEC).alias("_u2"),
@@ -121,7 +169,7 @@ def auc(
             9,
         ),
     )
-    return agg.select("n_pos", "n_neg", a.alias("auc"))
+    return agg.select(*gcols, "n_pos", "n_neg", a.alias("auc"))
 
 
 def calibration_bins(

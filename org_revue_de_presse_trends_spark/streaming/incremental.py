@@ -20,6 +20,11 @@ the same *semantics* with late-data tolerance:
 - ``running_user_peaks`` — applyInPandasWithState example: per-user
   running peak value with processing-time timeout, the template for
   custom stateful operators the built-in windows can't express.
+- ``foreach_batch_hll_distinct`` / ``foreach_batch_histogram_quantiles``
+  / ``foreach_batch_auc`` — running sketches over unbounded streams
+  (distinct counts by replay-safe max-merge; quantiles and exact
+  tie-corrected AUC by per-batch-delta sum-merge), state bounded by
+  the sketch size forever.
 """
 
 from __future__ import annotations
@@ -606,6 +611,76 @@ def foreach_batch_histogram_quantiles(
         histogram_quantiles(
             merged, qs=qs, group_cols=gcols, width=width
         ).write.mode("overwrite").parquet(quantiles_path)
+        if len(live) > compact_every:
+            dst = hpath(f"{compact_root}/upto={batch_id + 1}")
+            if not fs.exists(dst):
+                tmp = f"{compact_root}/_tmp_upto={batch_id + 1}"
+                merged.write.mode("overwrite").parquet(tmp)
+                if not fs.rename(hpath(tmp), dst):
+                    raise IOError(
+                        f"compact rename failed: {tmp} -> {dst}"
+                    )
+            for k, path in deltas.items():
+                if k <= batch_id:
+                    fs.delete(hpath(path), True)
+            for k, path in compacts.items():
+                fs.delete(hpath(path), True)
+
+    return run
+
+
+def foreach_batch_auc(
+    spark,
+    sketch_path: str,
+    auc_path: str,
+    score_col: str = "value",
+    label_expr: str = "event_type = 'purchase'",
+    scale: int = 10**2,
+    compact_every: int = 8,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming classifier evaluation: running exact tie-corrected
+    AUC over an unbounded stream with state ≤ |distinct quantized
+    scores| rows forever.
+
+    Each micro-batch writes its (score, p, q) sketch
+    (operators/evalmetrics.score_label_counts) as a per-batch delta;
+    the merged sketch is the union SUM-merged per score, finalized by
+    ``auc_from_counts`` into the running (n_pos, n_neg, auc) row after
+    every batch.  SUM-merge is NOT idempotent, so replay safety is the
+    per-batch-delta discipline (a replayed batch overwrites its own
+    ``delta/batch_id=N`` with identical rows — never a sum into a
+    shared table), with the same compaction markers as the histogram
+    sink (temp-write + atomic rename, readers take the max ``upto=``
+    marker, GC safe at any point)."""
+    from ..operators.evalmetrics import auc_from_counts, score_label_counts
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        hpath = spark._jvm.org.apache.hadoop.fs.Path
+        fs = hpath(sketch_path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        delta_root = f"{sketch_path}/delta"
+        compact_root = f"{sketch_path}/compact"
+        sk = score_label_counts(
+            batch_df, score_col, F.expr(label_expr), scale
+        )
+        sk.write.mode("overwrite").parquet(
+            f"{delta_root}/batch_id={batch_id}"
+        )
+        compacts = _numbered_subdirs(fs, hpath, compact_root, "upto=")
+        upto = max(compacts) if compacts else 0
+        deltas = _numbered_subdirs(fs, hpath, delta_root, "batch_id=")
+        live = [path for k, path in deltas.items() if k >= upto]
+        paths = ([compacts[upto]] if compacts else []) + live
+        merged = (
+            spark.read.parquet(*paths)
+            .groupBy("score")
+            .agg(
+                F.sum("p").cast("long").alias("p"),
+                F.sum("q").cast("long").alias("q"),
+            )
+        )
+        auc_from_counts(merged).write.mode("overwrite").parquet(auc_path)
         if len(live) > compact_every:
             dst = hpath(f"{compact_root}/upto={batch_id + 1}")
             if not fs.exists(dst):

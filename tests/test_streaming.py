@@ -978,3 +978,63 @@ def test_streaming_histogram_replay_idempotent_and_matches_batch(
         ).collect()
     }
     assert got_q == want_q
+
+
+def test_streaming_auc_replay_idempotent_and_matches_batch(
+    spark, tmp_path
+):
+    """Streaming AUC: chunked arrival with a replayed batch and a
+    compaction cycle must end with the merged (score, p, q) sketch AND
+    the finalized AUC row exactly equal to the one-shot batch values —
+    the eval layer's instance of the per-batch-delta discipline
+    (sum-merge is not idempotent)."""
+    from org_revue_de_presse_trends_spark.operators.evalmetrics import (
+        auc,
+        score_label_counts,
+    )
+    from org_revue_de_presse_trends_spark.streaming.incremental import (
+        foreach_batch_auc,
+    )
+
+    ev = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "value")
+    )
+    sketch_path = str(tmp_path / "auc_sketch")
+    auc_path = str(tmp_path / "auc_row")
+    run = foreach_batch_auc(
+        spark, sketch_path, auc_path, compact_every=1
+    )
+    chunks = [
+        ev.filter(F.crc32(F.col("value").cast("string")) % 3 == i)
+        for i in range(3)
+    ]
+    run(chunks[0], 0)
+    run(chunks[0], 0)  # replay: delta overwrite absorbs it
+    run(chunks[1], 1)  # compaction fires
+    run(chunks[1], 1)  # replay after compaction + GC
+    run(chunks[2], 2)
+    got_sketch = {
+        r["score"]: (r["p"], r["q"])
+        for r in spark.read.parquet(f"{sketch_path}/compact/upto=2")
+        .unionByName(
+            spark.read.parquet(f"{sketch_path}/delta/batch_id=2")
+        )
+        .groupBy("score")
+        .agg(F.sum("p").alias("p"), F.sum("q").alias("q"))
+        .collect()
+    }
+    want_sketch = {
+        r["score"]: (r["p"], r["q"])
+        for r in score_label_counts(
+            ev, "value", F.expr("event_type = 'purchase'")
+        ).collect()
+    }
+    assert got_sketch == want_sketch
+    got = spark.read.parquet(auc_path).collect()[0]
+    want = auc(ev, "value", F.expr("event_type = 'purchase'")).collect()[0]
+    assert (got["n_pos"], got["n_neg"], got["auc"]) == (
+        want["n_pos"], want["n_neg"], want["auc"],
+    )
+    assert got["auc"] is not None
