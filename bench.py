@@ -191,6 +191,7 @@ SECONDARY = [
     "qty_price_spearman",
     "event_type_value_mi",
     "event_type_value_chi2",
+    "doc_length_lang_auc_by_source",
     "bpe_merge_table",
 ]
 

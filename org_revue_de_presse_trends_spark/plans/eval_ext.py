@@ -450,3 +450,64 @@ def event_type_value_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_band"),
     )
     return chi2_independence(base, "event_type", "value_band")
+
+
+@query(
+    "doc_length_lang_auc_by_source",
+    """
+    WITH base AS (
+        SELECT source,
+               CAST(ROUND(CAST(n_chars AS DOUBLE) * 1.0) AS BIGINT)
+                   AS sq,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+        WHERE n_chars IS NOT NULL AND isfinite(CAST(n_chars AS DOUBLE))
+          AND lang IS NOT NULL AND source IS NOT NULL
+    ),
+    g AS (
+        SELECT source, sq,
+               CAST(SUM(y) AS BIGINT) AS p,
+               CAST(SUM(1 - y) AS BIGINT) AS q
+        FROM base GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT source, p, q,
+               CAST(COALESCE(SUM(q) OVER (PARTITION BY source
+                   ORDER BY sq ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS qlt
+        FROM g
+    ),
+    agg AS (
+        SELECT source,
+               CAST(SUM(p) AS BIGINT) AS n_pos,
+               CAST(SUM(q) AS BIGINT) AS n_neg,
+               SUM(CAST(p AS HUGEINT) * CAST(qlt AS HUGEINT) * 2
+                   + CAST(p AS HUGEINT) * CAST(q AS HUGEINT)) AS u2
+        FROM c GROUP BY 1
+    )
+    SELECT source, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+               ROUND(CAST(u2 AS DOUBLE)
+                     / (2.0 * CAST(n_pos AS DOUBLE)
+                        * CAST(n_neg AS DOUBLE)), 9)
+           END AS auc
+    FROM agg
+    """,
+)
+def doc_length_lang_auc_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source AUC of document length as an is-English classifier —
+    the grouped (per-domain) form of the eval layer: the running-sum
+    window is PARTITIONED by source, so the plan has no
+    single-partition stage at any corpus size (operators/
+    evalmetrics.auc with group_cols)."""
+    from ..operators.evalmetrics import auc
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    return auc(
+        docs, "n_chars", F.col("lang") == "en", scale=1,
+        group_cols=("source",),
+    )

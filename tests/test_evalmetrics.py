@@ -412,3 +412,87 @@ class TestNonFiniteScores:
         df = spark.createDataFrame([(1.0, True)], "score double, y boolean")
         with pytest.raises(ValueError, match="non-empty"):
             confusion_at_thresholds(df, "score", F.col("y"), [])
+
+
+class TestSpearmanFuzz:
+    @settings(max_examples=40, derandomize=True, database=None, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-30, max_value=30),
+                st.integers(min_value=-30, max_value=30),
+            ),
+            min_size=2,
+            max_size=40,
+        )
+    )
+    def test_fuzz_matches_mirror(self, spark, raw):
+        import math
+
+        from org_revue_de_presse_trends_spark.operators.evalmetrics import (
+            spearman,
+        )
+
+        pairs = [(x / 2.0, y / 2.0) for x, y in raw]  # tie-heavy grid
+        df = spark.createDataFrame(pairs, "x double, y double")
+        r = spearman(df, "x", "y").collect()[0]
+
+        def ranks2(vals):
+            return [
+                2 * sum(1 for u in vals if u < v)
+                + sum(1 for u in vals if u == v)
+                + 1
+                for v in vals
+            ]
+
+        rx = ranks2([p[0] for p in pairs])
+        ry = ranks2([p[1] for p in pairs])
+        n = len(pairs)
+        sx_, sy_ = sum(rx), sum(ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        sxx = sum(a * a for a in rx)
+        syy = sum(b * b for b in ry)
+        vx, vy = n * sxx - sx_ * sx_, n * syy - sy_ * sy_
+        if vx <= 0 or vy <= 0:
+            assert r["rho"] is None
+        else:
+            expect = round(
+                (n * sxy - sx_ * sy_) / (math.sqrt(vx) * math.sqrt(vy)), 9
+            )
+            assert r["rho"] == expect
+        assert r["n"] == n
+
+
+class TestGroupedAuc:
+    def test_grouped_equals_per_group_ungrouped(self, spark):
+        rows = [
+            ("a", 1.0, True), ("a", 2.0, False), ("a", 3.0, True),
+            ("b", 5.0, False), ("b", 4.0, True), ("b", 4.0, False),
+            ("b", 6.0, True),
+        ]
+        df = spark.createDataFrame(rows, "g string, score double, y boolean")
+        grouped = {
+            r["g"]: (r["n_pos"], r["n_neg"], r["auc"])
+            for r in auc(
+                df, "score", F.col("y"), group_cols=("g",)
+            ).collect()
+        }
+        for g in ("a", "b"):
+            solo = auc(
+                df.filter(F.col("g") == g), "score", F.col("y")
+            ).collect()[0]
+            assert grouped[g] == (
+                solo["n_pos"], solo["n_neg"], solo["auc"]
+            ), g
+
+    def test_group_with_one_class_gets_null(self, spark):
+        rows = [("a", 1.0, True), ("a", 2.0, True), ("b", 2.0, True),
+                ("b", 1.0, False)]
+        df = spark.createDataFrame(rows, "g string, score double, y boolean")
+        got = {
+            r["g"]: r["auc"]
+            for r in auc(
+                df, "score", F.col("y"), group_cols=("g",)
+            ).collect()
+        }
+        assert got["a"] is None and got["b"] == 1.0
