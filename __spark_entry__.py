@@ -33,29 +33,30 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (emitted first); the previous rotation returns to registration
 #: order.  tests/test_driver_contract.py pins both resulting sets.
 #:
-#: r8 batch (r7 verdict item 5): the remaining r7-era families —
-#: sketches (CMS/KS/PSI/moments), record linkage, ExactSubstr dedup,
-#: both LM scorers, the funnel/retention quartet, triangle clustering,
-#: and the Deequ-style quality report.  The r7 batch (edit-distance,
-#: scd2/merge, hll/bootstrap/histogram/pca/pagerank...) proved
-#: rotation-stable against regenerated fixtures and returns to
-#: overflow; the r7b six (hll..centrality) registered past the window
-#: natively, so they stay overflow-gated too.
+#: r9 batch (r8 verdict item 1): the families that have never carried
+#: driver evidence — the r8d classifier-evaluation octet (AUC,
+#: calibration, threshold sweep, kappa, Spearman, MI, chi², grouped
+#: AUC), the r8 URL-curation family (canonicalization, per-domain
+#: caps, robots verdicts, blocklist audit, staleness), and the two
+#: TPC-H closers q2/q11.  The r8 batch (CMS/KS/PSI/moments, fuzzy
+#: link, ExactSubstr, LMs, funnels, clustering, quality report) went
+#: 14/14 driver-green in CORRECTNESS_r08 and returns to overflow.
 WINDOW_ROTATION = [
-    "user_heavy_hitters_cms",
-    "value_ks_click_vs_purchase",
-    "value_drift_psi",
-    "value_moments_by_type",
-    "customer_directory_fuzzy_link",
-    "doc_exact_substring_dedup",
-    "doc_lm_kneser_ney",
-    "doc_lm_stupid_backoff",
-    "funnel_view_click_purchase",
-    "user_retention_cohorts",
-    "event_type_transitions",
-    "funnel_sliding_window",
-    "doc_neardup_clustering",
-    "orders_quality_report",
+    "event_value_auc",
+    "event_value_calibration",
+    "event_value_threshold_metrics",
+    "doc_rule_agreement_kappa",
+    "qty_price_spearman",
+    "event_type_value_mi",
+    "event_type_value_chi2",
+    "doc_length_lang_auc_by_source",
+    "url_canonical_dedup",
+    "domain_doc_caps",
+    "url_robots_audit",
+    "domain_blocklist_audit",
+    "url_content_staleness",
+    "q2_min_cost_supplier",
+    "q11_important_part_values",
 ]
 
 
