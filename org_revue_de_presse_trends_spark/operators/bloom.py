@@ -64,7 +64,7 @@ def bloom_build(
     by definition — ``bloom_probe`` treats it so)."""
     fans = []
     for j in range(int(k)):
-        w, m = _word_and_mask_sql(key_col, j, n_words)
+        w, m = _word_and_mask_sql(f"`{key_col}`", j, n_words)
         fans.append(f"struct({w} AS word, {m} AS mask)")
     return (
         keys.selectExpr(f"explode(array({', '.join(fans)})) AS f")
@@ -96,7 +96,7 @@ def bloom_probe(
     out = df
     checks = []
     for j in range(int(k)):
-        w, m = _word_and_mask_sql(key_col, j, n_words)
+        w, m = _word_and_mask_sql(f"`{key_col}`", j, n_words)
         side = bloom.selectExpr(f"word AS __w{j}", f"bits AS __b{j}")
         out = out.selectExpr("*", f"{w} AS __w{j}", f"{m} AS __m{j}")
         out = out.join(F.broadcast(side), f"__w{j}", "left")
@@ -104,6 +104,9 @@ def bloom_probe(
             f"((coalesce(__b{j}, CAST(0 AS BIGINT)) & __m{j})"
             f" = __m{j})"
         )
+    # backtick-quote the passthrough names: they route through the SQL
+    # parser here, and caller columns need not be bare identifiers
     return out.selectExpr(
-        *cols, f"({' AND '.join(checks)}) AS {out_col}"
+        *[f"`{c}`" for c in cols],
+        f"({' AND '.join(checks)}) AS `{out_col}`",
     )

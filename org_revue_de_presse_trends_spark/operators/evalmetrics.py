@@ -34,6 +34,7 @@ mandate, same family as operators/histogram.py.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -237,6 +238,11 @@ def confusion_at_thresholds(
     denominators → NULL."""
     if not thresholds:
         raise ValueError("thresholds must be non-empty")
+    bad = [t for t in thresholds if not math.isfinite(float(t))]
+    if bad:
+        raise ValueError(f"thresholds must be finite, got {bad}")
+    # dedupe: duplicate thresholds would emit duplicate output rows
+    thresholds = sorted({float(t) for t in thresholds})
     sc = F.col(score_col).cast("double")
     y = _as01(label)
     base = df.filter(_finite(score_col) & label.isNotNull()).select(
@@ -574,7 +580,10 @@ def chi2_independence(
         F.sum("_c").cast("long").alias("n"),
         F.countDistinct("_a").cast("long").alias("_ka"),
         F.countDistinct("_b").cast("long").alias("_kb"),
-        F.sum("_t").cast("long").alias("_ts"),
+        # decimal(38,0) accumulator: the total is (chi2+n)·1e6, which
+        # overflows BIGINT once n exceeds ~9e12 rows; decimal keeps
+        # the sum exact to 1e38 (the oracle mirrors via HUGEINT)
+        F.sum(F.col("_t").cast(_DEC)).alias("_ts"),
     )
     dof = ((F.col("_ka") - 1) * (F.col("_kb") - 1)).cast("long")
     chi2 = F.when(

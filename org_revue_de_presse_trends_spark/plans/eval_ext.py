@@ -410,7 +410,7 @@ def event_type_value_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(SUM(o) AS BIGINT) AS n,
                CAST(COUNT(DISTINCT a) AS BIGINT) AS ka,
                CAST(COUNT(DISTINCT b) AS BIGINT) AS kb,
-               CAST(SUM(term) AS BIGINT) AS ts
+               SUM(term) AS ts
         FROM t
     )
     SELECT n,

@@ -274,6 +274,30 @@ class TestBloom:
         assert len(out) == 3
         assert {r["tag"] for r in out} == {1, 2, 3}
 
+    def test_probe_handles_non_identifier_columns(self, spark):
+        # passthrough columns and out_col route through selectExpr —
+        # hyphens, spaces and reserved words must survive (ADVICE r8)
+        from org_revue_de_presse_trends_spark.operators.bloom import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        keys = spark.createDataFrame([("k1",), ("k2",)], "g string")
+        bf = bloom_build(keys, "g", n_words=8, k=3)
+        probes = (
+            spark.createDataFrame(
+                [("k1", 1), ("zzz", 2)], "g string, tag long"
+            )
+            .withColumnRenamed("tag", "tag-with dash")
+            .withColumnRenamed("g", "select")
+        )
+        out = bloom_probe(
+            probes, "select", bf, n_words=8, k=3, out_col="is member?"
+        ).collect()
+        assert sorted(r["tag-with dash"] for r in out) == [1, 2]
+        got = {r["select"]: r["is member?"] for r in out}
+        assert got["k1"] is True
+
 
 class TestKneserNey:
     @staticmethod

@@ -176,6 +176,28 @@ class TestConfusion:
         assert r["recall"] is None  # tp+fn == 0: no positives at all
         assert r["f1"] == 0.0  # denominator 2tp+fp+fn == 2 > 0
 
+    def test_duplicate_thresholds_deduped(self, spark):
+        pairs = [(1.0, 1), (5.0, 0)]
+        rows = confusion_at_thresholds(
+            _mk(spark, pairs), "score", F.col("y"), [3.0, 3.0, 3]
+        ).collect()
+        assert len(rows) == 1 and rows[0]["threshold"] == 3.0
+
+    def test_non_finite_threshold_rejected(self, spark):
+        import math
+
+        import pytest
+
+        with pytest.raises(ValueError, match="finite"):
+            confusion_at_thresholds(
+                _mk(spark, [(1.0, 1)]), "score", F.col("y"),
+                [1.0, math.inf],
+            )
+        with pytest.raises(ValueError, match="finite"):
+            confusion_at_thresholds(
+                _mk(spark, [(1.0, 1)]), "score", F.col("y"), [math.nan]
+            )
+
 
 class TestKappa:
     def _mk2(self, spark, cells):
