@@ -361,6 +361,7 @@ def build_payload(
     warm_secondary = warm_secondary or {}
     total = round(sum(warm.values()), 3)
     calib_mean = (calib_before + calib_after) / 2 or 1.0
+    par_mean = ((par_calib_before or 0.0) + (par_calib_after or 0.0)) / 2
     return {
         "metric": "headline_suite_runtime_warm",
         "unit": "sec",
@@ -391,6 +392,16 @@ def build_payload(
         "queries": warm,
         "value": total,
         "value_normalized": round(total / calib_mean, 3),
+        # the normalization the repo actually trusts (r8 verdict item
+        # 2a): the single-thread calib above INVERTS under a 32-way
+        # steal burst (a co-tenant load slows the suite while the one-
+        # core sample speeds up — measured r8/r8d); this sibling
+        # divides by the JVM-parallel calib mean, which moves with the
+        # same resource the queries consume.  Emitted LAST so the
+        # driver's ~2000-char tail archive always carries it.
+        "value_normalized_par": (
+            round(total / par_mean, 3) if par_mean else None
+        ),
     }
 
 
@@ -549,11 +560,20 @@ def main() -> None:
             # probe — a genuinely-slow steady-state query (edit
             # distance, ~3.5 s) costs one extra non-improving run,
             # bounded and visible in warm_retries.
+            # Stop rule (r8c→r9): JIT decay is NON-monotonic — a single
+            # non-improving run mid-decay made the loop quit early
+            # (doc_bloom_contamination published 1.99 s where standalone
+            # runs reach 1.16).  Require TWO consecutive runs that fail
+            # to improve ≥20% on the best-so-far before stopping, up to
+            # 4 extra runs; a genuinely steady slow query costs exactly
+            # one extra non-improving run more than before, bounded and
+            # visible in warm_retries.
             if (cold[name] > 3 * sink[name] and sink[name] > 0.5) or (
                 sink[name] > 3.0
             ):
                 runs = warm_retries.get(name, [sink[name]])
-                for _ in range(3):
+                stale = 0
+                for _ in range(4):
                     try:
                         if mc is not None:
                             _, qmw = timed_collect(
@@ -567,9 +587,9 @@ def main() -> None:
                     except Exception:  # noqa: BLE001 — keep best so far
                         break
                     runs.append(again)
-                    improved = again < 0.8 * sink[name]
+                    stale = 0 if again < 0.8 * sink[name] else stale + 1
                     sink[name] = min(sink[name], again)
-                    if not improved:
+                    if stale >= 2:
                         break
                 if len(runs) > 1:
                     warm_retries[name] = runs

@@ -19,6 +19,58 @@ import json
 import sys
 
 
+def _from_tail(tail: str) -> dict:
+    """Reconstruct a partial payload from the driver's archive format:
+    ``{"n":..,"rc":..,"cpus":..,"sf":..,"tail": "<last ~2000 chars of
+    the printed JSON line>"}``.  build_payload orders its fields so the
+    tail carries the comparison-critical ones (errors, the headline
+    warm map, value, value_normalized[_par]); the cut lands mid-map, so
+    we drop up to the first ``, "`` key boundary and re-open the
+    enclosing braces.  The truncation depth is unknown (usually inside
+    the headline "queries" map; possibly inside a nested query_io
+    entry), so try deeper re-openings until one parses.  Duplicate keys
+    are harmless: json keeps the LAST one, and the real "queries" /
+    "value" fields come last in the line.  Calibration anchors live in
+    the sacrificed head, so _calib_at falls back to 1.0 — comparisons
+    against a tail artifact are RAW, exactly the honest common-subset
+    number the r8 verdict computed by hand."""
+    cut = tail.find(', "')
+    body = tail[cut + 2 :] if cut >= 0 else tail
+    for depth in range(1, 4):
+        candidate = "{" + '"__tail_prefix__": {' * (depth - 1) + body
+        try:
+            d = json.loads(candidate)
+        except json.JSONDecodeError:
+            continue
+        # all synthetic nesting lives under the single top-level key —
+        # the fields after the truncated object parse as siblings
+        partial = d.pop("__tail_prefix__", None)
+        if "queries" not in d and isinstance(partial, dict) and partial and all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in partial.values()
+        ):
+            # the cut landed inside the headline "queries" map itself
+            # (its 76 entries alone span ~2 KB): the recovered flat
+            # name→seconds entries ARE the visible headline subset —
+            # r8's hand comparison used exactly these 64 rows
+            d["queries"] = partial
+        if "value" in d or "queries" in d:
+            return d
+    raise SystemExit(
+        "could not reconstruct a payload from the tail wrapper; "
+        "compare against bench_full.json from the round's commit instead"
+    )
+
+
+def _load(path: str) -> dict:
+    d = json.load(open(path))
+    if isinstance(d, dict) and isinstance(d.get("tail"), str):
+        sf = d.get("sf")
+        d = _from_tail(d["tail"])
+        d.setdefault("sf", sf)
+    return d
+
+
 def _suite_order(d: dict) -> list[str]:
     return list(d.get("queries", {})) + list(d.get("queries_secondary", {}))
 
@@ -115,8 +167,8 @@ def main() -> None:
         else:
             args.append(a)
         i += 1
-    old = json.load(open(args[0]))
-    new = json.load(open(args[1]))
+    old = _load(args[0])
+    new = _load(args[1])
     print(json.dumps(compare(old, new, thr), indent=2))
 
 

@@ -85,23 +85,32 @@ def test_payload_tail_carries_critical_fields():
     }
     line = json.dumps(
         build_payload(0.1, io, cold, warm, {"bad_query": "Boom: x"},
-                      0.5, 0.52, warm_sec)
+                      0.5, 0.52, warm_sec,
+                      par_calib_before=2.0, par_calib_after=2.2)
     )
     tail = line[-2000:]
     assert '"errors"' in tail and '"n_failed"' in tail
     assert '"queries"' in tail and '"value"' in tail
     assert '"value_normalized"' in tail
+    assert '"value_normalized_par"' in tail
     # every HEADLINE warm timing must be individually recoverable from
     # the tail — the secondary map is sacrificial head weight and must
     # NOT displace them
     for q in qnames:
         assert tail.count(f'"{q}": 1.234') == 1
-    # order pin: the five critical keys are the LAST five keys, and the
+    # order pin: the six critical keys are the LAST six keys, and the
     # secondary section sits in the head, before errors
     keys = list(json.loads(line).keys())
-    assert keys[-5:] == [
-        "errors", "n_failed", "queries", "value", "value_normalized"
+    assert keys[-6:] == [
+        "errors", "n_failed", "queries", "value", "value_normalized",
+        "value_normalized_par",
     ]
+    # the parallel-calib normalization (the one the repo trusts — the
+    # single-thread calib inverts under steal bursts)
+    payload = json.loads(line)
+    assert payload["value_normalized_par"] == round(
+        payload["value"] / 2.1, 3
+    )
     assert keys.index("queries_secondary") < keys.index("errors")
     assert json.loads(line)["secondary_total"] == round(0.123 * 30, 3)
     # the spike-retry report is sacrificial head weight too
@@ -162,6 +171,55 @@ def test_bench_compare_prefers_parallel_calibration():
     out = compare(old, new, threshold=1.3)
     assert out["normalized_total_ratio"] == 2.0
     assert [r["query"] for r in out["regressions"]] == ["q"]
+
+
+def test_bench_compare_parses_driver_tail_wrapper(tmp_path):
+    """The driver archives BENCH_r{N}.json as {"n","rc","cpus","sf",
+    "tail": <last ~2000 chars of the printed line>} — the comparer must
+    reconstruct the visible headline subset from that wrapper (r8
+    verdict item 2b: it returned n_common: 0 on its own round
+    artifacts)."""
+    import json
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from bench_compare import _load, compare
+
+    n = 60
+    warm = {f"query_name_number_{i:02d}": 1.0 + i / 100 for i in range(n)}
+    payload = build_payload(
+        0.1,
+        {q: {"read_mb": 9.99, "shuffle_mb": 1.11, "spill_mb": 0.0,
+             "tasks": 64, "rows": 500} for q in warm},
+        {q: 2.0 for q in warm},
+        warm,
+        {},
+        0.5, 0.52,
+        {f"sec_{i:02d}": 0.2 for i in range(30)},
+        par_calib_before=1.0, par_calib_after=1.0,
+    )
+    line = json.dumps(payload)
+    wrapped = {"n": 9, "rc": 0, "cpus": 32, "sf": 0.1,
+               "tail": line[-2000:] + "\n"}
+    p = tmp_path / "BENCH_rXX.json"
+    p.write_text(json.dumps(wrapped))
+    got = _load(str(p))
+    # the cut lands inside the headline map: a suffix of it must be
+    # recovered verbatim, plus the trailing scalars
+    assert got["value"] == payload["value"]
+    assert got["value_normalized_par"] == payload["value_normalized_par"]
+    recovered = got["queries"]
+    assert 30 <= len(recovered) <= n
+    assert all(warm[q] == v for q, v in recovered.items())
+    # and compare() runs on two such wrappers with a real common subset
+    out = compare(got, got, threshold=1.3)
+    assert out["n_common"] == len(recovered)
+    assert out["normalized_total_ratio"] == 1.0
+    assert out["regressions"] == [] and out["improvements"] == []
+
+    # full payloads still load unchanged
+    p2 = tmp_path / "bench_full.json"
+    p2.write_text(line)
+    assert _load(str(p2))["queries"] == warm
 
 
 def test_bench_compare_nearest_window_localizes_burst():
