@@ -14,11 +14,14 @@ text-level dedup:
   introduces map to one canonical form; scheme and non-default ports
   are deliberately NOT unified (http and https may serve different
   content).
-- **registrable_domain** — the label pair a blocklist or per-site cap
-  keys on, with two-level public suffixes (``co.uk`` family) taking
-  three labels.  A full public-suffix list is a runtime data file at
-  scale; the hardcoded set here covers the test corpus and documents
-  the slot where the list plugs in.
+- **registrable_domain** — the label group a blocklist or per-site cap
+  keys on, extracted with the FULL vendored public-suffix list
+  (``operators/psl.py``: 9.5k rules incl. wildcard and exception
+  semantics, rendered as one engine-independent CASE/IN ladder over
+  staged label tails — measured faster than the broadcast-join
+  alternative and identical text in both engines).  Hosts that are
+  themselves public suffixes fall back to the host so the column
+  stays total.
 - **synthesized raw URLs** — the driver fixtures carry no URL column,
   so the queries synthesize one per document as a PURE function of
   (doc_id, source): md5-derived noise bits toggle case, ``www.``,
@@ -45,9 +48,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: two-level public suffixes the extractor recognizes (the plug-in
-#: slot for the full Mozilla public-suffix list at scale)
-TWO_LEVEL_SUFFIXES = ("co.uk", "org.uk", "com.au", "co.jp")
+from . import psl
 
 #: query parameters dropped by canonicalization: exact names, plus the
 #: ``utm_`` prefix family
@@ -70,6 +71,11 @@ def _eng(engine: str) -> dict:
             "filter_sort_join": lambda a, cond: (
                 f"array_join(array_sort(filter({a}, p -> {cond})), '&')"
             ),
+            # last-k-labels tail, NULL when the host is shorter
+            "tail_join": lambda a, k: (
+                f"CASE WHEN _ln >= {k}"
+                f" THEN array_join(slice({a}, -{k}, {k}), '.') END"
+            ),
         }
     if engine == "duckdb":
         return {
@@ -86,6 +92,10 @@ def _eng(engine: str) -> dict:
             "filter_sort_join": lambda a, cond: (
                 f"coalesce(array_to_string(list_sort(list_filter({a}, "
                 f"p -> {cond})), '&'), '')"
+            ),
+            "tail_join": lambda a, k: (
+                f"CASE WHEN _ln >= {k} THEN array_to_string("
+                f"list_slice({a}, _ln - {k} + 1, _ln), '.') END"
             ),
         }
     raise ValueError(f"unknown engine: {engine}")
@@ -165,7 +175,6 @@ def canonical_url_stages(engine: str, url_col: str) -> list[tuple[str, str]]:
         + " OR ".join(f"{name} = '{t}'" for t in TRACKING_EXACT)
     )
     keep = f"p <> '' AND NOT ({drop})"
-    suffixes = ", ".join(f"'{sfx}'" for sfx in TWO_LEVEL_SUFFIXES)
     # the registrable domain ignores any KEPT (non-default) port
     labels = e["split_dot"]("split_part(_host, ':', 1)")
     n = e["arr_n"]("_lbl")
@@ -202,18 +211,20 @@ def canonical_url_stages(engine: str, url_col: str) -> list[tuple[str, str]]:
             e["filter_sort_join"](e["split_amp"]("_q"), keep),
         ),
         ("_lbl", labels),
+        ("_ln", n),
+        # k-label tails feeding the public-suffix ladder (NULL when
+        # the host is shorter than k; a NULL tail fails its IN test)
+        *[
+            (f"_s{k}", e["tail_join"]("_lbl", k))
+            for k in range(1, psl.MAX_TAIL + 1)
+        ],
+        # public-suffix label count via the full vendored PSL —
+        # exceptions, wildcards, and 2-5-label plain rules; the ladder
+        # text is engine-independent (CASE/IN only)
+        ("_psl", psl.public_suffix_labels_sql()),
         (
             "registrable_domain",
-            f"CASE WHEN {n} >= 3 AND "
-            f"{e['arr_at']('_lbl', f'{n} - 1')} || '.' || "
-            f"{e['arr_at']('_lbl', n)} IN ({suffixes}) "
-            f"THEN {e['arr_at']('_lbl', f'{n} - 2')} || '.' || "
-            f"{e['arr_at']('_lbl', f'{n} - 1')} || '.' || "
-            f"{e['arr_at']('_lbl', n)} "
-            f"WHEN {n} >= 2 THEN "
-            f"{e['arr_at']('_lbl', f'{n} - 1')} || '.' || "
-            f"{e['arr_at']('_lbl', n)} "
-            "ELSE _host END",
+            psl.registrable_sql("split_part(_host, ':', 1)"),
         ),
         # canonical path survives as an output column (robots-style
         # path rules match on it)
