@@ -193,6 +193,8 @@ SECONDARY = [
     "event_type_value_chi2",
     "doc_length_lang_auc_by_source",
     "bpe_merge_table",
+    "dedup_simhash_md5",
+    "doc_winnow_fingerprints_md5",
 ]
 
 

@@ -380,6 +380,74 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def _md5_simhash_oracle() -> str:
+    from ..operators.urls import md5_bucket_sql
+
+    md5d = md5_bucket_sql("duckdb", "t", 15)
+    return f"""
+    WITH tok AS (
+        SELECT CAST(doc_id AS BIGINT) AS id,
+               unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ),
+    h AS (SELECT id, {md5d} AS h FROM tok),
+    bits AS (
+        SELECT id, j, SUM(((h >> j) & 1) * 2 - 1) AS c
+        FROM h CROSS JOIN (SELECT unnest(range(60)) AS j) grid
+        GROUP BY id, j
+    ),
+    fp AS (
+        SELECT id,
+               CAST(SUM(CASE WHEN c > 0
+                             THEN (CAST(1 AS BIGINT) << j)
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sh
+        FROM bits GROUP BY id
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.id < b.id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """
+
+
+@query("dedup_simhash_md5", _md5_simhash_oracle())
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VALUE-EXACT cross-engine sibling of q:dedup_simhash: same
+    SimHash algorithm and the same blocked ``hamming_pairs`` join, but
+    the per-token hash is the md5-prefix 60-bit hash both engines
+    compute identically (operators/urls.md5_bucket_sql — the bloom/
+    dsir recipe), so the DuckDB oracle reproduces the FINGERPRINTS and
+    the pair set bit-for-bit (13 pairs at sf0.01, verified r9).  The
+    60-bit hash rides in a 64-bit long with the top nibble zero, so
+    the 4x16-bit pigeonhole blocking and hamming<=3 guarantee carry
+    over unchanged; the oracle uses the brute-force O(n²) pair join —
+    legitimate BECAUSE the blocked join is pigeonhole-exact, which is
+    precisely the property this oracle pins.  The xxhash64 headline
+    variant stays golden-pinned (md5 per token is ~2x the hash cost —
+    the fast path keeps xxhash64, the evidence path pays md5)."""
+    from ..operators.urls import md5_bucket_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    md5s = md5_bucket_sql("spark", "t", 15)
+    tok = docs.select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.explode(T.tokens(F.col("text"))).alias("t"),
+    ).selectExpr("id", f"{md5s} AS h")
+    counts = tok.groupBy("id").agg(
+        *[
+            F.expr(f"sum((shiftright(h, {j}) & 1) * 2 - 1)").alias(f"c{j}")
+            for j in range(60)
+        ]
+    )
+    packed = " | ".join(
+        f"(CASE WHEN c{j} > 0 THEN shiftleft(CAST(1 AS BIGINT), {j}) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for j in range(60)
+    )
+    hashed = counts.select("id", F.expr(packed).alias("sh"))
+    return D.hamming_pairs(hashed, max_hamming=3)
+
+
 _DOT = (
     "list_aggregate(list_transform(range(1, 65), "
     "i -> CAST(ROUND(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
@@ -574,6 +642,113 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("fps").cast("long").alias("n_fps"),
         F.array_min("fps").alias("min_fp"),
         F.array_max("fps").alias("max_fp"),
+    )
+
+
+_WINNOW_K, _WINNOW_W = 5, 4
+
+
+def _md5_winnow_oracle() -> str:
+    from ..operators.urls import md5_bucket_sql
+
+    k, w = _WINNOW_K, _WINNOW_W
+    md5g = md5_bucket_sql("duckdb", "g", 15)
+    md5whole = md5_bucket_sql("duckdb", "array_to_string(tk, ' ')", 15)
+    return f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS tk,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    gram AS (
+        SELECT doc_id, p,
+               array_to_string(list_slice(tk, p, p + {k - 1}), ' ') AS g
+        FROM base
+        CROSS JOIN LATERAL (SELECT unnest(range(1, n - {k} + 2)) AS p) _
+        WHERE n >= {k}
+    ),
+    gh AS (SELECT doc_id, p, {md5g} AS h FROM gram),
+    mins AS (
+        SELECT doc_id, p, n_h,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN CURRENT ROW
+                            AND {w - 1} FOLLOWING) AS m
+        FROM (SELECT doc_id, p, h,
+                     COUNT(*) OVER (PARTITION BY doc_id) AS n_h FROM gh)
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id, m FROM mins
+        WHERE p <= greatest(n_h - {w - 1}, 1)
+    ),
+    longdocs AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+               MIN(m) AS min_fp, MAX(m) AS max_fp
+        FROM sel GROUP BY doc_id
+    ),
+    shortdocs AS (
+        SELECT doc_id, CAST(1 AS BIGINT) AS n_fps,
+               {md5whole} AS min_fp, {md5whole} AS max_fp
+        FROM base WHERE n < {k}
+    )
+    SELECT * FROM longdocs UNION ALL SELECT * FROM shortdocs
+    """
+
+
+@query("doc_winnow_fingerprints_md5", _md5_winnow_oracle())
+def doc_winnow_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VALUE-EXACT cross-engine sibling of
+    q:doc_winnow_fingerprints: same winnowing selection (per-window
+    minimum over w consecutive k-gram hashes, distinct survivors —
+    Schleimer et al. 2003), but the gram hash is the md5-prefix 60-bit
+    hash of the LITERAL k-gram string, identical in both engines, so
+    the fingerprint VALUES (not just counts) are oracle-verified.  The
+    Spark side mirrors functions/text.with_winnow_fingerprints
+    stage-for-stage (staged zip_with fans behind projection
+    boundaries, each level a column attribute — the interpreted-HOF
+    rule); the DuckDB side winnows with a ROWS window (min over
+    [p, p+w-1], windows limited to p <= max(n_h-w+1, 1) — exactly the
+    null-padded zip_with semantics).  Short docs (< k tokens) hash the
+    whole rejoined token string in both engines.  500/500 rows
+    bit-identical at sf0.01 (verified r9)."""
+    from ..operators.urls import md5_bucket_sql
+
+    k, w = _WINNOW_K, _WINNOW_W
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    md5g = md5_bucket_sql("spark", "g", 15)
+    md5whole = md5_bucket_sql("spark", "concat_ws(' ', __toks)", 15)
+    win = f"greatest(size(__toks) - {k - 1}, 1)"
+    g = f"slice(__toks, 1, {win})"
+    for j in range(1, k):
+        g = (
+            f"zip_with({g}, slice(__toks, {j + 1}, {win}),"
+            f" (a, b) -> concat_ws(' ', a, b))"
+        )
+    minw = f"greatest(size(__gh) - {w - 1}, 1)"
+    m = f"slice(__gh, 1, {minw})"
+    for j in range(1, w):
+        m = (
+            f"zip_with({m}, slice(__gh, {j + 1}, {minw}),"
+            f" (a, b) -> least(a, b))"
+        )
+    return (
+        docs.selectExpr("doc_id", "split(text, ' ') AS __toks")
+        .selectExpr("doc_id", "__toks", f"{g} AS __grams")
+        .selectExpr(
+            "doc_id", "__toks",
+            f"transform(__grams, g -> {md5g}) AS __gh",
+        )
+        .selectExpr("doc_id", "__toks", f"{m} AS __mins")
+        .selectExpr(
+            "doc_id",
+            f"CASE WHEN size(__toks) < {k} THEN array({md5whole}) "
+            f"ELSE array_distinct(__mins) END AS fps",
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(size(fps) AS BIGINT) AS n_fps",
+            "array_min(fps) AS min_fp",
+            "array_max(fps) AS max_fp",
+        )
     )
 
 
