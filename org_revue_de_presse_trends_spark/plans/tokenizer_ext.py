@@ -1,13 +1,14 @@
-"""Tokenizer-artifact query (round 8): the learned BPE merge TABLE —
-the artifact a tokenizer ships (doc_bpe_token_stats consumes the
-merges per-document; this exposes the table itself as a query
-surface).
+"""Tokenizer-artifact queries (round 8 BPE, round 9 unigram-LM): the
+learned vocabularies/merge tables — the artifacts a tokenizer ships
+(doc_bpe_token_stats consumes the merges per-document; these expose
+the tables themselves as query surfaces).
 
-Rows-only (no DuckDB oracle — the merge loop is an iterative argmax
-over corpus state, not SQL-expressible): pinned by the golden hash at
-sf0.01 (tests/test_golden_rowsonly.py); the trainer itself is
-cross-checked driver-vs-distributed in tests/test_bpe.py.  Scalar
-output columns only, per the rows-only canonicalizer rule.
+Rows-only (no DuckDB oracle — both trainers are iterative loops over
+corpus state, not SQL-expressible): pinned by golden hashes at sf0.01
+(tests/test_golden_rowsonly.py); each trainer is cross-checked
+driver-vs-distributed bit-identically in tests/test_bpe.py /
+tests/test_unigram.py.  Scalar output columns only, per the rows-only
+canonicalizer rule.
 
 Registered after analytics_tpch3; rows-only queries order after every
 oracled query, so the driver window is untouched.
@@ -16,9 +17,11 @@ oracled query, so the driver window is untouched.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.bpe import train_bpe
+from ..operators.unigram import train_unigram
 from .registry import query
 
 
@@ -34,3 +37,19 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, left, right) for i, (left, right) in enumerate(merges)],
         "rank INT, left STRING, right STRING",
     )
+
+
+@query("unigram_vocab_table")
+def unigram_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned unigram-LM (SentencePiece-style) piece vocabulary over
+    `documents` — (rank, piece, logprob), Kudo 2018 EM over a seed
+    substring vocabulary (operators/unigram.py).  Deterministic on
+    both trainer paths: expected counts quantize to exact integers
+    before accumulation, so driver and distributed EM produce the
+    identical table; logprob rounded to 9 dp for golden stability."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = train_unigram(docs, vocab_size=30, seed_size=200)
+    return spark.createDataFrame(
+        [(i, p, lp) for i, (p, lp) in enumerate(vocab)],
+        "rank INT, piece STRING, logprob DOUBLE",
+    ).select("rank", "piece", F.round("logprob", 9).alias("logprob"))

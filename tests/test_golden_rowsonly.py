@@ -92,6 +92,9 @@ GOLDEN_SHA256 = {
     "bpe_merge_table": (
         40, "8d20459fe12b44a2343a2a7c8984409eece6ccb07da385d17ea9556477970960"
     ),
+    "unigram_vocab_table": (
+        30, "d4509e7cf193e7757b0d027ab16108aa61b1c20eee2b2baa338be81e79b66fdc"
+    ),
     # re-pinned r8d: the r8c pin (4fda326f...) reproduced on NEITHER the
     # committed r8c tree NOR the current one against stable fixtures
     # (same digest at 5599a4c and HEAD; every other text-dependent
