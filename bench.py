@@ -195,6 +195,7 @@ SECONDARY = [
     "bpe_merge_table",
     "dedup_simhash_md5",
     "doc_winnow_fingerprints_md5",
+    "dedup_minhash_md5",
     "unigram_vocab_table",
 ]
 

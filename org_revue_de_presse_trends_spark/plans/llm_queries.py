@@ -448,6 +448,164 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.hamming_pairs(hashed, max_hamming=3)
 
 
+#: dedup_minhash_md5 parameters: 16 permutations in 4 bands x 4 rows
+#: (the md5-per-shingle base hash bounds the sibling's cost; the
+#: S-curve still crosses ~0.5 near J~0.5)
+_MH_NP, _MH_NB, _MH_NR, _MH_K, _MH_THR = 16, 4, 4, 3, 0.35
+_M47, _M43 = (1 << 47) - 1, (1 << 43) - 1
+
+
+def _mh_perm_keys() -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"minhash-perm-{j}".encode()).hexdigest()[:15], 16)
+        for j in range(_MH_NP)
+    ]
+
+
+def _mh_mix(engine: str, h: str, kj: int) -> str:
+    """Cross-engine 60-bit permutation mix: xor with a plan-time
+    md5-derived constant + xorshift (shifts/xor ONLY — no
+    multiplication under ANSI; the & masks keep every left shift
+    inside 60 bits so DuckDB's checked << cannot overflow).  Exact in
+    both engines by construction."""
+    if engine == "spark":
+        x0 = f"({h} ^ {kj})"
+        x1 = f"({x0} ^ shiftleft({x0} & {_M47}, 13))"
+        x2 = f"({x1} ^ shiftright({x1}, 7))"
+        return f"({x2} ^ shiftleft({x2} & {_M43}, 17))"
+    x0 = f"xor({h}, {kj})"
+    x1 = f"xor({x0}, (({x0} & {_M47}) << 13))"
+    x2 = f"xor({x1}, ({x1} >> 7))"
+    return f"xor({x2}, (({x2} & {_M43}) << 17))"
+
+
+def _md5_minhash_oracle() -> str:
+    from ..operators.urls import md5_bucket_sql
+
+    np_, nb, nr, k, thr = _MH_NP, _MH_NB, _MH_NR, _MH_K, _MH_THR
+    md5s = md5_bucket_sql("duckdb", "s", 15)
+    minterms = ", ".join(
+        f"MIN({_mh_mix('duckdb', 'h', kj)}) AS m{j}"
+        for j, kj in enumerate(_mh_perm_keys())
+    )
+    siglist = "[" + ", ".join(f"m{j}" for j in range(np_)) + "]"
+    return f"""
+    WITH base AS (
+        SELECT CAST(doc_id AS BIGINT) AS id, string_split(text, ' ') AS tk,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    shl AS (
+        SELECT id, CASE WHEN n < {k} THEN [array_to_string(tk, ' ')]
+             ELSE list_distinct(list_transform(range(1, n - {k} + 2),
+                  i -> array_to_string(list_slice(tk, i, i + {k - 1}), ' ')))
+             END AS shl
+        FROM base
+    ),
+    sh AS (SELECT id, {md5s} AS h
+           FROM (SELECT id, unnest(shl) AS s FROM shl)),
+    sig AS (SELECT id, {siglist} AS sig
+            FROM (SELECT id, {minterms} FROM sh GROUP BY id)),
+    bands AS (
+        SELECT id, b,
+               md5(array_to_string(
+                   list_slice(sig, b*{nr}+1, b*{nr}+{nr}), ',')) AS key
+        FROM sig CROSS JOIN (SELECT unnest(range({nb})) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+        FROM bands a JOIN bands b2
+          ON a.b = b2.b AND a.key = b2.key AND a.id < b2.id
+    ),
+    scored AS (
+        SELECT c.id_a, c.id_b,
+               CAST(list_sum(list_transform(range(1, {np_} + 1),
+                    i -> CASE WHEN sa.sig[i] = sb.sig[i]
+                              THEN 1 ELSE 0 END)) AS DOUBLE) / {float(np_)}
+               AS est_jaccard
+        FROM cand c JOIN sig sa ON sa.id = c.id_a
+                    JOIN sig sb ON sb.id = c.id_b
+    )
+    SELECT id_a, id_b, est_jaccard FROM scored
+    WHERE est_jaccard >= {thr}
+    """
+
+
+@query("dedup_minhash_md5", _md5_minhash_oracle())
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VALUE-EXACT cross-engine sibling of q:dedup_minhash_lsh:
+    the same signature -> repartition barrier -> band explode ->
+    self-equi-join -> slot-agreement estimate pipeline, but every hash
+    both engines can compute — shingles hashed ONCE with the
+    md5-prefix 60-bit hash, permutations via ``_mh_mix`` (xor-shift
+    over plan-time constants; shifts/xor only), band keys the md5 hex
+    of the comma-joined band rows.  The DuckDB oracle reproduces
+    signatures, candidate buckets, and estimates bit-for-bit (25 pairs
+    at sf0.01, verified r9).  16 perms / 4x4 bands bound the md5 base
+    cost; the xxhash64 64-perm original stays the golden-pinned
+    headline path."""
+    from ..operators.skew import spread_for_cpu
+    from ..operators.urls import md5_bucket_sql
+
+    np_, nb, nr, k, thr = _MH_NP, _MH_NB, _MH_NR, _MH_K, _MH_THR
+    docs = load_table(spark, sf_dir, "documents")
+    md5s = md5_bucket_sql("spark", "s", 15)
+    win = f"greatest(size(__toks) - {k - 1}, 1)"
+    g = f"slice(__toks, 1, {win})"
+    for j in range(1, k):
+        g = (
+            f"zip_with({g}, slice(__toks, {j + 1}, {win}),"
+            f" (a, b) -> concat_ws(' ', a, b))"
+        )
+    sig_terms = ", ".join(
+        f"array_min(transform(__sh, h -> {_mh_mix('spark', 'h', kj)}))"
+        for kj in _mh_perm_keys()
+    )
+    band_terms = ", ".join(
+        f"struct({b} AS band, md5(concat_ws(',',"
+        f" slice(__sig, {b * nr + 1}, {nr}))) AS key)"
+        for b in range(nb)
+    )
+    base = (
+        spread_for_cpu(docs)
+        .selectExpr("CAST(doc_id AS LONG) AS id", "split(text, ' ') AS __toks")
+        .selectExpr(
+            "id",
+            f"CASE WHEN size(__toks) < {k}"
+            f" THEN array(concat_ws(' ', __toks))"
+            f" ELSE array_distinct({g}) END AS __shl",
+        )
+        .selectExpr("id", f"transform(__shl, s -> {md5s}) AS __sh")
+        .selectExpr("id", f"array({sig_terms}) AS __sig")
+        .repartition(F.col("id"))
+    )
+    banded = base.selectExpr(
+        "id", f"explode(array({band_terms})) AS bk"
+    ).selectExpr("id", "bk.band AS band", "bk.key AS key")
+    a, b2 = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .join(base.selectExpr("id AS id_a", "__sig AS sa"), "id_a")
+        .join(base.selectExpr("id AS id_b", "__sig AS sb"), "id_b")
+    )
+    est = F.expr(
+        f"CAST(size(filter(zip_with(sa, sb, (x, y) -> x = y), e -> e))"
+        f" AS DOUBLE) / {float(np_)}"
+    )
+    return cand.select("id_a", "id_b", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= thr
+    )
+
+
 _DOT = (
     "list_aggregate(list_transform(range(1, 65), "
     "i -> CAST(ROUND(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "

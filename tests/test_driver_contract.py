@@ -228,7 +228,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "doc_token_stats", "doc_quality_scores", "doc_lang_id",
         "doc_chunks", "vocab_top_tokens",
         "doc_top_tfidf_terms", "dedup_exact_docs", "dedup_ngram_jaccard",
-        "dedup_clusters", "dedup_simhash_md5",
+        "dedup_clusters", "dedup_simhash_md5", "dedup_minhash_md5",
         "embedding_near_dup", "corpus_selection",
         "doc_embedding_join", "ann_cosine_topk",
         "doc_winnow_fingerprints_md5",
