@@ -3,9 +3,12 @@ deduplication, similarity search, text analysis (task brief: first-class
 components alongside SURVEY §2).
 
 Oracle policy: everything SQL-expressible carries a DuckDB oracle;
-minhash/simhash use Spark-side xxhash64 (no DuckDB equivalent) so they
-register without an oracle (driver records rows-only check) and get
-property-based correctness tests in tests/ instead.
+minhash/simhash/winnowing use Spark-side xxhash64 (no DuckDB
+equivalent) so the fast variants register without an oracle (driver
+records rows-only check; golden-pinned + property tests) — and each
+family ALSO registers a value-exact md5-hashed sibling
+(dedup_minhash_md5 / dedup_simhash_md5 / doc_winnow_fingerprints_md5)
+whose DuckDB oracle reproduces the hash values themselves.
 """
 
 from __future__ import annotations

@@ -1249,6 +1249,45 @@ def test_url_robots_600k_closed_form(spark):
     assert got.get(True, 0) + got.get(False, 0) == n
 
 
+def test_psl_ladder_is_map_only(spark):
+    """The full-PSL registrable-domain extraction must stay a pure
+    per-row projection — the 9.5k-rule ladder is an InSet probe, never
+    a join: the canonicalization plan may contain NO Exchange and no
+    join operator at any corpus size."""
+    from org_revue_de_presse_trends_spark.operators import urls as U
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 20).cast("string")).alias(
+            "source"
+        ),
+    )
+    c = U.with_canonical_url(
+        docs.withColumn("raw_url", U.synth_url("spark")), "raw_url"
+    ).select("doc_id", "registrable_domain", "canonical_url")
+    plan = c._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_unigram_distributed_auto_switch_and_equality_at_10x_vocab(spark):
+    """train_unigram's 100 TB path: a vocabulary past max_words must
+    (a) auto-switch to the distributed E-step (the word table never
+    collects) and (b) still produce the EXACT driver-path vocabulary —
+    the quantized-integer accumulation makes the paths bit-identical
+    on a 10x-larger synthetic vocabulary too, not just fixtures."""
+    from org_revue_de_presse_trends_spark.operators.unigram import (
+        train_unigram,
+    )
+
+    docs = _synthetic_docs(spark, 400, n_tokens=12, vocab=300)
+    kw = dict(vocab_size=40, seed_size=150, max_piece_len=4)
+    auto = train_unigram(docs, max_words=10, distributed="auto", **kw)
+    driver = train_unigram(docs, distributed="never", **kw)
+    assert auto == driver
+    assert len(auto) <= 40 and any(len(p) > 1 for p, _ in auto)
+
+
 def test_bpe_distributed_learn_scales_linearly_10x(spark):
     """Distributed BPE training: per-round cost is one pair-count
     groupBy + one TakeOrdered over the WORD DICTIONARY, so 10× the
