@@ -197,6 +197,7 @@ SECONDARY = [
     "doc_winnow_fingerprints_md5",
     "dedup_minhash_md5",
     "unigram_vocab_table",
+    "doc_unigram_token_stats",
 ]
 
 

@@ -39,6 +39,29 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("doc_unigram_token_stats")
+def doc_unigram_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM fertility audit (the doc_bpe_token_stats analog):
+    train the 30-piece vocabulary, Viterbi-encode every document, emit
+    per-doc whitespace-token vs piece counts.  Deterministic end to
+    end (quantized-EM training + tiebroken Viterbi); rows-only golden
+    at sf0.01."""
+    from ..operators.unigram import train_unigram, unigram_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = train_unigram(docs, vocab_size=30, seed_size=200)
+    enc = unigram_encode(docs, vocab)
+    return enc.select("doc_id", "n_pieces").join(
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias(
+                "n_words"
+            ),
+        ),
+        "doc_id",
+    )
+
+
 @query("unigram_vocab_table")
 def unigram_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned unigram-LM (SentencePiece-style) piece vocabulary over

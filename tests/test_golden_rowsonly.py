@@ -95,6 +95,9 @@ GOLDEN_SHA256 = {
     "unigram_vocab_table": (
         30, "d4509e7cf193e7757b0d027ab16108aa61b1c20eee2b2baa338be81e79b66fdc"
     ),
+    "doc_unigram_token_stats": (
+        500, "ba72f8cb57e13c3983a8ba0338030fdd9a3f6939ee91c65df40f07783629383a"
+    ),
     # re-pinned r8d: the r8c pin (4fda326f...) reproduced on NEITHER the
     # committed r8c tree NOR the current one against stable fixtures
     # (same digest at 5599a4c and HEAD; every other text-dependent
