@@ -1437,15 +1437,21 @@ def test_spearman_scales_with_fixed_state_10x(spark):
             ),
         )
         res = spearman(df, "x", "y", scale_x=100, scale_y=100)
-        t0 = _time.perf_counter()
-        rows, qm = mc.measure(
-            f"spearman_{n}", res, action=lambda d: d.collect()
-        )
-        results[n] = (
-            _time.perf_counter() - t0,
-            qm.shuffle_bytes_written,
-            rows[0],
-        )
+        # best-of-2 per size: in-suite the small run is fully warm
+        # (~0.1 s) and one shared-VM steal pause on the big run can
+        # read as a >30x "blow-up" (observed r9: passes standalone,
+        # tripped twice in loaded full-suite runs) — min is the same
+        # estimator the bench's spike guard uses
+        best = None
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            rows, qm = mc.measure(
+                f"spearman_{n}", res, action=lambda d: d.collect()
+            )
+            took = _time.perf_counter() - t0
+            if best is None or took < best[0]:
+                best = (took, qm.shuffle_bytes_written, rows[0])
+        results[n] = best
     small, big = results[100_000][2], results[1_000_000][2]
     assert big["n"] == 10 * small["n"]
     # gcd(7, 500) = 1: y sweeps the same residue set -> identical rho
