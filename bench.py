@@ -198,6 +198,8 @@ SECONDARY = [
     "dedup_minhash_md5",
     "unigram_vocab_table",
     "doc_unigram_token_stats",
+    "doc_lang_classifier_weights",
+    "doc_lang_classifier_auc",
 ]
 
 

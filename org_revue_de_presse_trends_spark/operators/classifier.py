@@ -1,0 +1,232 @@
+"""Linear quality-classifier training over hashed bag-of-words
+features (fastText-style shallow text classifier — Joulin et al. 2017;
+logistic regression via full-batch gradient descent; public
+algorithms).  The MODEL-TRAINING stage of a quality-classifier
+curation loop — `operators/evalmetrics.py` is its evaluation stage and
+`plans/classifier_ext.py` wires the two together.
+
+Features: token → md5-prefix bucket (`int(md5(t)[:6], 16) % dim` —
+exactly `urls.md5_bucket_sql(…, 6) % dim`, so SQL scoring in EITHER
+engine reproduces the Python featurizer bit-for-bit), x_b =
+count_b / n_tokens, plus an intercept.
+
+Scale shape: one corpus pass per GD iteration, map-only +
+one ≤(dim+1)-row exact aggregation — the model state (dim+1 floats)
+broadcasts in the closure; nothing corpus-sized ever collects on the
+distributed path.
+
+Driver ≡ distributed bit-identity (the unigram/r7b recipe): floats
+enter ONLY inside the per-document gradient (sigmoid — the same
+Python function evaluated per row on both paths); each document's
+gradient quantizes to 1e9-scaled integers before an exact,
+order-independent accumulation (Python int / decimal(38,0) sum), and
+the weight update runs on the driver over identical integers.  The
+quantization is part of the model definition.
+
+Scoring for EVALUATION is rank-exact without libm: sigmoid is
+monotone, so AUC/threshold sweeps over `w·x` equal those over
+`sigmoid(w·x + b)`; `w·x` itself is computed as the exact integer
+`Σ count_b · round(w_b·1e9)` divided once by `n_tokens` — one pinned
+IEEE division over exact operands, identical cross-engine (see
+`score_scaled_sql`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: gradient quantization scale — exact-integer accumulation makes
+#: driver and distributed training bit-identical
+G_SCALE = 1_000_000_000
+
+
+def token_bucket(token: str, dim: int) -> int:
+    """Python mirror of ``urls.md5_bucket_sql(engine, token, 6) % dim``."""
+    return int(hashlib.md5(token.encode()).hexdigest()[:6], 16) % dim
+
+
+def _doc_features(text: str, dim: int) -> tuple[dict[int, int], int]:
+    counts: dict[int, int] = {}
+    n = 0
+    for t in text.split(" "):
+        if not t:
+            continue
+        n += 1
+        b = token_bucket(t, dim)
+        counts[b] = counts.get(b, 0) + 1
+    return counts, n
+
+
+def _doc_grad_quantized(
+    text: str, y: int, w: list[float], b: float, dim: int
+) -> tuple[dict[int, int], int]:
+    """Quantized per-document gradient of the logistic loss — the one
+    place floats exist during training; identical on both paths."""
+    counts, n = _doc_features(text, dim)
+    if n == 0:
+        return {}, 0
+    z = b + sum(w[k] * c for k, c in counts.items()) / n
+    # numerically-stable sigmoid; same branch structure everywhere
+    p = 1.0 / (1.0 + math.exp(-z)) if z >= 0 else (
+        math.exp(z) / (1.0 + math.exp(z))
+    )
+    g = p - y
+    gq = {
+        k: q
+        for k, c in counts.items()
+        if (q := round(g * c / n * G_SCALE))
+    }
+    return gq, round(g * G_SCALE)
+
+
+def train_logreg(
+    docs: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    dim: int = 64,
+    iters: int = 12,
+    lr: float = 2.0,
+    max_docs: int = 100_000,
+    distributed: str = "auto",
+) -> tuple[list[float], float]:
+    """Learn (weights[dim], bias) for P(label | hashed-BoW(text)).
+
+    ``distributed="auto"`` switches to the mapInPandas gradient path
+    past ``max_docs`` (the corpus never collects); ``"never"`` /
+    ``"always"`` force a path — outputs are bit-identical whichever
+    runs (tests pin equality)."""
+    if distributed not in ("auto", "never", "always"):
+        raise ValueError(
+            f"distributed must be auto|never|always, got {distributed!r}"
+        )
+    base = docs.select(
+        F.col(text_col).alias("text"),
+        F.when(label, 1).otherwise(0).alias("y"),
+    ).localCheckpoint(eager=True)
+    n = base.count()
+    if n == 0:
+        raise ValueError("empty training set")
+    use_dist = distributed == "always" or (
+        distributed == "auto" and n > max_docs
+    )
+    rows = (
+        None
+        if use_dist
+        else [(r["text"], int(r["y"])) for r in base.collect()]
+    )
+    w = [0.0] * dim
+    b = 0.0
+
+    def grad_sums(cw: list[float], cb: float) -> dict[int, int]:
+        """{feature: Σ quantized grads} with the intercept at key -1 —
+        exact integers, identical on both paths."""
+        if not use_dist:
+            acc: dict[int, int] = {}
+            for text, y in rows:
+                gq, gb = _doc_grad_quantized(text, y, cw, cb, dim)
+                for k, q in gq.items():
+                    acc[k] = acc.get(k, 0) + q
+                if gb:
+                    acc[-1] = acc.get(-1, 0) + gb
+            return acc
+
+        def gen(batches):
+            for pdf in batches:
+                acc: dict[int, int] = {}
+                for text, y in zip(pdf["text"], pdf["y"]):
+                    gq, gb = _doc_grad_quantized(
+                        text, int(y), cw, cb, dim
+                    )
+                    for k, q in gq.items():
+                        acc[k] = acc.get(k, 0) + q
+                    if gb:
+                        acc[-1] = acc.get(-1, 0) + gb
+                if acc:
+                    yield pd.DataFrame(
+                        {"k": list(acc), "q": list(acc.values())}
+                    )
+
+        out = (
+            base.mapInPandas(gen, "k int, q decimal(38,0)")
+            .groupBy("k")
+            .agg(F.sum("q").alias("q"))
+            .collect()
+        )
+        return {int(r["k"]): int(r["q"]) for r in out}
+
+    for _ in range(iters):
+        gs = grad_sums(w, b)
+        for k, q in gs.items():
+            step = lr * q / (n * G_SCALE)
+            if k == -1:
+                b -= step
+            else:
+                w[k] -= step
+    return w, b
+
+
+def scaled_weights(w: list[float]) -> list[int]:
+    """Plan-time integer weights for exact-integer scoring."""
+    return [round(x * G_SCALE) for x in w]
+
+
+def score_scaled_sql(
+    engine: str, wq: list[int], dim: int, doc_table_sql: str
+) -> str:
+    """Rank-exact classifier score over ``doc_table_sql`` (must expose
+    doc_id and text) as one SQL string per engine: per-doc
+    ``CAST(Σ count_b·wq_b AS DOUBLE) / n_tokens`` — monotone in
+    sigmoid(w·x + b) (the /G_SCALE and +bias constants drop), exact
+    integer operands into ONE pinned division, so both engines emit
+    identical doubles.  The bucket expression is the shared
+    ``urls.md5_bucket_sql`` recipe."""
+    from .urls import md5_bucket_sql
+
+    if len(wq) != dim:
+        raise ValueError(f"need {dim} weights, got {len(wq)}")
+    bucket = f"({md5_bucket_sql(engine, 't', 6)} % {dim})"
+    items = ", ".join(str(int(x)) for x in wq)
+    warr = f"({items})" if engine == "spark" else f"[{items}]"
+    # n_tokens = SUM of the per-bucket counts of the FILTERED token
+    # stream — matches the Python featurizer's non-empty count exactly
+    # (size(split(...)) would count empty tokens from double spaces)
+    if engine == "spark":
+        return f"""
+        WITH toks AS (
+            SELECT doc_id, t FROM (
+                SELECT doc_id, explode(split(text, ' ')) AS t
+                FROM ({doc_table_sql})
+            ) WHERE t <> ''
+        ),
+        cb AS (
+            SELECT doc_id, {bucket} AS b, COUNT(*) AS c
+            FROM toks GROUP BY doc_id, {bucket}
+        )
+        SELECT doc_id,
+               CAST(SUM(c * element_at(array{warr},
+                        CAST(b + 1 AS INT))) AS DOUBLE)
+                   / CAST(SUM(c) AS DOUBLE) AS score
+        FROM cb GROUP BY doc_id
+        """
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, t FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM ({doc_table_sql})
+        ) _ WHERE t <> ''
+    ),
+    cb AS (
+        SELECT doc_id, {bucket} AS b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks GROUP BY doc_id, {bucket}
+    )
+    SELECT doc_id,
+           CAST(SUM(c * ({warr})[b + 1]) AS DOUBLE)
+               / CAST(SUM(c) AS DOUBLE) AS score
+    FROM cb GROUP BY doc_id
+    """

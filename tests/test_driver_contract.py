@@ -276,6 +276,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "doc_centrality_pagerank",
         "customer_directory_fuzzy_link",
         "doc_neardup_clustering",
+        "doc_lang_classifier_auc",
     ], f"unexpected overflow oracled set: {overflow}"
 
 

@@ -98,6 +98,9 @@ GOLDEN_SHA256 = {
     "doc_unigram_token_stats": (
         500, "ba72f8cb57e13c3983a8ba0338030fdd9a3f6939ee91c65df40f07783629383a"
     ),
+    "doc_lang_classifier_weights": (
+        65, "c3cd03c383b390a1e6c68716d3ca500324d061d8f4f9c5752478673ea13b27f9"
+    ),
     # re-pinned r8d: the r8c pin (4fda326f...) reproduced on NEITHER the
     # committed r8c tree NOR the current one against stable fixtures
     # (same digest at 5599a4c and HEAD; every other text-dependent
