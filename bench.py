@@ -368,7 +368,10 @@ def build_payload(
     warm_secondary = warm_secondary or {}
     total = round(sum(warm.values()), 3)
     calib_mean = (calib_before + calib_after) / 2 or 1.0
-    par_mean = ((par_calib_before or 0.0) + (par_calib_after or 0.0)) / 2
+    # mean of the AVAILABLE parallel samples — a one-sided call must
+    # use the single sample, never halve the divisor (review-caught)
+    par_samples = [x for x in (par_calib_before, par_calib_after) if x]
+    par_mean = sum(par_samples) / len(par_samples) if par_samples else 0.0
     return {
         "metric": "headline_suite_runtime_warm",
         "unit": "sec",

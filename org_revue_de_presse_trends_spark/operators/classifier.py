@@ -54,6 +54,8 @@ def token_bucket(token: str, dim: int) -> int:
 def _doc_features(text: str, dim: int) -> tuple[dict[int, int], int]:
     counts: dict[int, int] = {}
     n = 0
+    if not isinstance(text, str):  # NULL text → no features
+        return counts, n
     for t in text.split(" "):
         if not t:
             continue
@@ -105,10 +107,16 @@ def train_logreg(
         raise ValueError(
             f"distributed must be auto|never|always, got {distributed!r}"
         )
-    base = docs.select(
-        F.col(text_col).alias("text"),
-        F.when(label, 1).otherwise(0).alias("y"),
-    ).localCheckpoint(eager=True)
+    # NULL label = unknown ground truth — dropped, never a negative
+    # (the evalmetrics convention; review-aligned r9)
+    base = (
+        docs.filter(label.isNotNull())
+        .select(
+            F.col(text_col).alias("text"),
+            F.when(label, 1).otherwise(0).alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
     n = base.count()
     if n == 0:
         raise ValueError("empty training set")

@@ -249,7 +249,7 @@ def confusion_at_thresholds(
         sc.alias("_s"), y.alias("_y")
     )
     aggs = []
-    for i, t in enumerate(sorted(thresholds)):
+    for i, t in enumerate(thresholds):
         pred = F.col("_s") >= F.lit(float(t))
         pos = F.col("_y") == 1
         aggs += [
@@ -259,9 +259,11 @@ def confusion_at_thresholds(
             F.sum(F.when(~pred & ~pos, 1).otherwise(0)).cast("long").alias(f"_tn{i}"),
         ]
     wide = base.agg(*aggs)
+    # same enumeration as the aggregate aliases above — a divergent
+    # order here would swap counts across thresholds
     stack = ", ".join(
         f"CAST({repr(float(t))} AS DOUBLE), _tp{i}, _fp{i}, _fn{i}, _tn{i}"
-        for i, t in enumerate(sorted(thresholds))
+        for i, t in enumerate(thresholds)
     )
     rows = wide.selectExpr(
         f"stack({len(thresholds)}, {stack}) AS (threshold, tp, fp, fn, tn)"

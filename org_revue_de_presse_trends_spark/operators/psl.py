@@ -113,7 +113,12 @@ def public_suffix_labels_sql() -> str:
     for k in sorted({k for _, k in exceptions}, reverse=True):
         excs = [b for b, kk in exceptions if kk == k]
         branches.append(f"WHEN _s{k} IN ({_inlist(excs)}) THEN {k - 1}")
-    for k in range(max(plain, default=1), 1, -1):
+    # ladder depth covers the deepest rule of EITHER kind: a wildcard
+    # with tail j matches at level j+1, which can exceed max(plain)
+    # (not in the current snapshot, but a refresh must not silently
+    # skip it — review-caught r9)
+    top = max(max(plain, default=1), max(wildtails, default=0) + 1)
+    for k in range(top, 1, -1):
         conds = []
         if plain.get(k):
             conds.append(f"_s{k} IN ({_inlist(plain[k])})")
@@ -150,12 +155,16 @@ def registrable_domain_py(host: str, strict: bool = False) -> str | None:
         return ".".join(labels[-k:])
 
     ps = None
-    for body, k in exceptions:
+    # most-labels exception prevails (match the ladder's k-desc order,
+    # not file order — review-caught r9; today's 8 exceptions cannot
+    # overlap, but a snapshot refresh could add ones that do)
+    for body, k in sorted(exceptions, key=lambda e: -e[1]):
         if n >= k and tail(k) == body:
             ps = k - 1
             break
     if ps is None:
-        for k in range(max(plain, default=1), 1, -1):
+        top = max(max(plain, default=1), max(wildtails, default=0) + 1)
+        for k in range(top, 1, -1):
             if (n >= k and tail(k) in plain.get(k, ())) or (
                 n >= k and tail(k - 1) in wildtails.get(k - 1, ())
             ):

@@ -66,7 +66,6 @@ def _eng(engine: str) -> dict:
             "split_dot": lambda s: f"split({s}, '\\\\.')",
             "split_amp": lambda s: f"split({s}, '&')",
             "arr_n": lambda a: f"size({a})",
-            "arr_at": lambda a, i: f"element_at({a}, {i})",
             "re_all": lambda s, p, r: f"regexp_replace({s}, '{p}', '{r}')",
             "filter_sort_join": lambda a, cond: (
                 f"array_join(array_sort(filter({a}, p -> {cond})), '&')"
@@ -83,7 +82,6 @@ def _eng(engine: str) -> dict:
             "split_dot": lambda s: f"string_split({s}, '.')",
             "split_amp": lambda s: f"string_split({s}, '&')",
             "arr_n": lambda a: f"len({a})",
-            "arr_at": lambda a, i: f"({a})[{i}]",
             "re_all": lambda s, p, r: (
                 f"regexp_replace({s}, '{p}', '{r}', 'g')"
             ),

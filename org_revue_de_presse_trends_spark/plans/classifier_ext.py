@@ -91,6 +91,11 @@ def _auc_oracle() -> str:
         SELECT s.score AS s,
                CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
         FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+        -- NULL label = unknown ground truth: evalmetrics.auc drops it
+        -- on the Spark side; the oracle must mirror that totality
+        -- (review-caught r9 — fixtures are currently NULL-free, but
+        -- the driver regenerates them)
+        WHERE d.lang IS NOT NULL
     ),
     g AS (
         SELECT CAST(ROUND(s * 0.0001) AS BIGINT) AS sq,

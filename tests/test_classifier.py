@@ -138,6 +138,31 @@ def test_score_sql_cross_engine_and_rank_exact(spark, duck):
     assert ri == rf
 
 
+def test_null_label_and_null_text_rows(spark):
+    """NULL label = unknown ground truth → dropped (the evalmetrics
+    convention, mirrored by the AUC oracle's WHERE lang IS NOT NULL);
+    NULL text contributes no features instead of crashing the Python
+    worker (review-caught r9)."""
+    base = _planted(spark, 80)
+    with_null_label = base.unionByName(
+        spark.sql(
+            "SELECT CAST(999 AS BIGINT) AS doc_id,"
+            " 'posmark filler' AS text, CAST(NULL AS BOOLEAN) AS y"
+        )
+    )
+    assert C.train_logreg(
+        with_null_label, F.col("y"), iters=3
+    ) == C.train_logreg(base, F.col("y"), iters=3)
+    with_null_text = base.unionByName(
+        spark.sql(
+            "SELECT CAST(998 AS BIGINT) AS doc_id,"
+            " CAST(NULL AS STRING) AS text, TRUE AS y"
+        )
+    )
+    w, b = C.train_logreg(with_null_text, F.col("y"), iters=3)
+    assert all(math.isfinite(x) for x in w) and math.isfinite(b)
+
+
 def test_guards(spark):
     docs = _planted(spark, 10)
     with pytest.raises(ValueError, match="auto"):

@@ -187,6 +187,62 @@ def test_raw_host_ladder_cross_engine(spark, duck, host_battery):
         assert got_duck[h] == want, f"duck {h}: {got_duck[h]!r}"
 
 
+def test_ladder_covers_wildcards_deeper_than_all_plain(monkeypatch):
+    """Review-caught r9: the ladder's depth must cover the deepest
+    rule of EITHER kind — a snapshot refresh where the deepest
+    wildcard has more labels than every plain rule must not be
+    silently skipped (the current snapshot has max plain 5 > max
+    wildcard tail 4, so only a synthetic rule set exercises this)."""
+    synth = (
+        {2: frozenset({"co.xx"})},          # plain rules max out at k=2
+        {3: frozenset({"a.b.zz"})},         # *.a.b.zz → k=4 > max(plain)
+        (("www.ck", 2),),
+    )
+    monkeypatch.setattr(psl, "load_rules", lambda path=None: synth)
+    psl.public_suffix_labels_sql.cache_clear()
+    try:
+        sql = psl.public_suffix_labels_sql()
+        assert "_s3 IN ('a.b.zz') AND _ln >= 4) THEN 4" in sql
+        # python reference takes the same bound: q.a.b.zz IS the
+        # public suffix (ps=4), one more label is registrable, a
+        # deeper subdomain resolves back to it
+        assert psl.registrable_domain_py("q.a.b.zz", strict=True) is None
+        assert (
+            psl.registrable_domain_py("p.q.a.b.zz", strict=True)
+            == "p.q.a.b.zz"
+        )
+        assert (
+            psl.registrable_domain_py("x.p.q.a.b.zz", strict=True)
+            == "p.q.a.b.zz"
+        )
+    finally:
+        psl.public_suffix_labels_sql.cache_clear()
+
+
+def test_overlapping_exceptions_resolve_by_label_count(monkeypatch):
+    """Review-caught r9: among matching exception rules the
+    MOST-LABELS one prevails (the ladder emits them k-desc; the Python
+    reference must not resolve in file order)."""
+    synth = (
+        {},
+        {1: frozenset({"ck"})},
+        (("www.ck", 2), ("x.www.ck", 3)),  # file order: shallow first
+    )
+    monkeypatch.setattr(psl, "load_rules", lambda path=None: synth)
+    psl.public_suffix_labels_sql.cache_clear()
+    try:
+        # host a.x.www.ck matches BOTH; k=3 must win → ps=2 →
+        # registrable = x.www.ck (file order would give www.ck)
+        assert (
+            psl.registrable_domain_py("a.x.www.ck", strict=True)
+            == "x.www.ck"
+        )
+        sql = psl.public_suffix_labels_sql()
+        assert sql.index("x.www.ck") < sql.index("'www.ck'")
+    finally:
+        psl.public_suffix_labels_sql.cache_clear()
+
+
 def test_ladder_is_engine_independent_text():
     """The ladder must stay renderable verbatim in both engines: only
     CASE/WHEN/IN/AND/OR/THEN/ELSE/END over _s1.._s5 and _ln."""
