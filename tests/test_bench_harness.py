@@ -222,6 +222,37 @@ def test_bench_compare_parses_driver_tail_wrapper(tmp_path):
     assert _load(str(p2))["queries"] == warm
 
 
+def test_bench_compare_tail_cut_inside_nested_object(tmp_path):
+    """A tail whose cut lands INSIDE a nested query_io entry (depth 2)
+    must still reconstruct: the partial inner object is synthetic-
+    prefix junk, the later real fields parse as siblings, and the
+    flat-numeric heuristic must NOT mislabel the junk as the headline
+    map when a real \"queries\" key is present."""
+    import json
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from bench_compare import _from_tail
+
+    warm = {f"q{i:02d}": 1.0 for i in range(5)}
+    payload = build_payload(
+        0.1,
+        {q: {"read_mb": 1.0, "shuffle_mb": 2.0, "spill_mb": 0.0,
+             "tasks": 8, "rows": 100} for q in warm},
+        {q: 2.0 for q in warm}, warm, {}, 0.5, 0.5,
+        par_calib_before=1.0, par_calib_after=1.0,
+    )
+    line = json.dumps(payload)
+    # cut mid-way through the FIRST query_io entry's inner dict
+    cut_at = line.index('"shuffle_mb"')
+    got = _from_tail(line[cut_at:])
+    assert got["queries"] == warm
+    assert got["value"] == payload["value"]
+    # the junk key from the partial inner object must not leak into
+    # the comparison maps
+    assert "shuffle_mb" not in got["queries"]
+    assert "shuffle_mb" not in got.get("queries_secondary", {})
+
+
 def test_bench_compare_nearest_window_localizes_burst():
     """A mid-run noise burst captured by one interleaved sample must
     normalize only the queries in its window."""
