@@ -4,10 +4,12 @@ One command from a raw ``documents.parquet`` to curated, split,
 optionally packed training data, wired entirely from the tested
 operators:
 
-    quality rules (Gopher) → exact dedup → near-dup dedup (MinHash
-    LSH + connected components) → benchmark decontamination (drop or
-    span-removal) → deterministic train/val/test split → chunk + pack
-    (optional) → split-partitioned parquet + a per-stage funnel report.
+    quality rules (Gopher) → model-based quality filter (optional:
+    a shipped hashed-BoW classifier artifact, rank-exact integer
+    scoring) → exact dedup → near-dup dedup (MinHash LSH + connected
+    components) → benchmark decontamination (drop or span-removal) →
+    deterministic train/val/test split → chunk + pack (optional) →
+    split-partitioned parquet + a per-stage funnel report.
 
 Every stage is the same code the driver queries exercise
 (plans.analytics_ext.gopher_rule_flags, operators.dedup,
@@ -52,6 +54,15 @@ def build_parser() -> argparse.ArgumentParser:
                    "optional packed chunks, funnel.json)")
     p.add_argument("--no-gopher", action="store_true",
                    help="skip the Gopher rule-set quality filter")
+    p.add_argument("--classifier-model", default=None,
+                   help="JSON model artifact {\"wq\": [ints], \"dim\": N}"
+                   " (operators/classifier.scaled_weights output) — "
+                   "adds a model-based quality filter after the rule "
+                   "gate (the CCNet/GPT-3 classifier step)")
+    p.add_argument("--classifier-min-score", type=float, default=0.0,
+                   help="keep documents with rank-exact classifier "
+                   "score >= this (raw sum(count*wq)/n_tokens units; "
+                   "used only with --classifier-model)")
     p.add_argument("--lsh-threshold", type=float, default=0.5,
                    help="MinHash-LSH near-dup similarity threshold "
                    "(0 disables near-dup dedup)")
@@ -92,6 +103,8 @@ def curate(
     docs: DataFrame,
     *,
     gopher: bool = True,
+    classifier_model: dict | None = None,
+    classifier_min_score: float = 0.0,
     lsh_threshold: float = 0.5,
     benchmark: DataFrame | None = None,
     decontaminate_mode: str = "drop",
@@ -120,6 +133,26 @@ def curate(
             passing.select("doc_id"), "doc_id", "left_semi"
         ).localCheckpoint()
         funnel["gopher_quality"] = cur.count()
+
+    if classifier_model is not None:
+        # model-based quality filter (the CCNet/GPT-3 classifier
+        # step): score with the shipped artifact's integer weights —
+        # rank-exact, libm-free — and keep above the threshold.
+        # Unscorable docs (no non-empty token) have NULL score and
+        # are dropped, like every other gate.
+        from .operators.classifier import with_classifier_score
+
+        cur = (
+            with_classifier_score(
+                cur,
+                [int(x) for x in classifier_model["wq"]],
+                dim=int(classifier_model.get("dim", 64)),
+            )
+            .filter(F.col("clf_score") >= float(classifier_min_score))
+            .drop("clf_score")
+            .localCheckpoint()
+        )
+        funnel["classifier_quality"] = cur.count()
 
     exact = D.dedup_exact(cur)
     cur = cur.join(
@@ -213,10 +246,16 @@ def main(argv: list[str] | None = None,
             benchmark = raw.select(
                 F.col(bid).alias("bench_id"), "text"
             )
+        model = None
+        if args.classifier_model:
+            with open(args.classifier_model) as f:
+                model = json.load(f)
         curated, funnel = curate(
             spark,
             docs,
             gopher=not args.no_gopher,
+            classifier_model=model,
+            classifier_min_score=args.classifier_min_score,
             lsh_threshold=args.lsh_threshold,
             benchmark=benchmark,
             decontaminate_mode=args.decontaminate_mode,

@@ -184,6 +184,49 @@ def scaled_weights(w: list[float]) -> list[int]:
     return [round(x * G_SCALE) for x in w]
 
 
+def with_classifier_score(
+    df: DataFrame,
+    wq: list[int],
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clf_score",
+) -> DataFrame:
+    """``df`` plus the rank-exact integer-arithmetic classifier score
+    (the DataFrame form of ``score_scaled_sql`` — same expressions, so
+    values are identical): ``Σ count_b·wq_b / n_tokens`` per document.
+    Documents whose text has no non-empty token get NULL (no features
+    → no score).  Scale shape: explode + one map-side-combined
+    groupBy(doc, bucket) + per-doc aggregate — the weight array is a
+    plan literal, never a join."""
+    from .urls import md5_bucket_sql
+
+    if len(wq) != dim:
+        raise ValueError(f"need {dim} weights, got {len(wq)}")
+    bucket = f"({md5_bucket_sql('spark', 't', 6)} % {dim})"
+    witems = ", ".join(str(int(x)) for x in wq)
+    scored = (
+        df.select(
+            F.col(id_col).alias("__cid"),
+            F.explode(F.split(F.col(text_col), " ")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .groupBy("__cid", F.expr(f"{bucket} AS b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("__cid")
+        .agg(
+            F.expr(
+                f"CAST(SUM(c * element_at(array({witems}),"
+                f" CAST(b + 1 AS INT))) AS DOUBLE)"
+                f" / CAST(SUM(c) AS DOUBLE)"
+            ).alias(out_col)
+        )
+    )
+    return df.join(
+        scored, df[id_col] == scored["__cid"], "left"
+    ).drop("__cid")
+
+
 def score_scaled_sql(
     engine: str, wq: list[int], dim: int, doc_table_sql: str
 ) -> str:

@@ -52,6 +52,64 @@ def test_prepare_corpus_e2e_funnel_and_outputs(spark, tmp_path):
     assert over == 0, "a multi-chunk sequence exceeds the token budget"
 
 
+def test_prepare_corpus_classifier_stage(spark, tmp_path):
+    """The optional model-based quality filter: train a tiny planted
+    model, ship it as the JSON artifact, and verify the CLI stage
+    keeps exactly the threshold-passing documents (rank-exact integer
+    scoring — the same expressions the oracled AUC query uses)."""
+    from org_revue_de_presse_trends_spark.catalog import load_table
+    from org_revue_de_presse_trends_spark.operators import (
+        classifier as C,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    # planted model: lang=='en' on the even split (the classifier_ext
+    # recipe) — the exact weights don't matter for the stage test,
+    # only that scoring + thresholding is reproducible
+    w, _ = C.train_logreg(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        F.col("lang") == "en",
+        iters=4,
+    )
+    wq = C.scaled_weights(w)
+    model_path = str(tmp_path / "model.json")
+    with open(model_path, "w") as f:
+        json.dump({"wq": wq, "dim": 64}, f)
+    # threshold at the median score so the gate provably keeps SOME
+    # and drops SOME (scores are all-negative for this model — w·x
+    # sans bias skews with the minority class)
+    scores = sorted(
+        r["clf_score"]
+        for r in C.with_classifier_score(docs, wq).collect()
+    )
+    thr = scores[len(scores) // 2]
+    out = str(tmp_path / "corpus")
+    rc = main(
+        [
+            "--source-dir", SF,
+            "--out-dir", out,
+            "--no-gopher",
+            "--lsh-threshold", "0",
+            "--classifier-model", model_path,
+            "--classifier-min-score", str(thr),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    funnel = json.load(open(os.path.join(out, "funnel.json")))
+    # expectation computed independently through the operator
+    want = (
+        C.with_classifier_score(docs, wq)
+        .filter(F.col("clf_score") >= thr)
+        .count()
+    )
+    assert funnel["classifier_quality"] == want
+    assert 0 < want < funnel["input"]  # the gate actually filtered
+    # survivors flow through to the output (exact dedup drops nothing
+    # on the duplicate-free fixture)
+    assert funnel["output"] == funnel["exact_dedup"]
+
+
 def test_prepare_corpus_rerun_is_deterministic(spark, tmp_path):
     from org_revue_de_presse_trends_spark.catalog import load_table
 
