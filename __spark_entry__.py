@@ -33,30 +33,73 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (emitted first); the previous rotation returns to registration
 #: order.  tests/test_driver_contract.py pins both resulting sets.
 #:
-#: r9 batch (r8 verdict item 1): the families that have never carried
-#: driver evidence — the r8d classifier-evaluation octet (AUC,
-#: calibration, threshold sweep, kappa, Spearman, MI, chi², grouped
-#: AUC), the r8 URL-curation family (canonicalization, per-domain
-#: caps, robots verdicts, blocklist audit, staleness), and the two
-#: TPC-H closers q2/q11.  The r8 batch (CMS/KS/PSI/moments, fuzzy
-#: link, ExactSubstr, LMs, funnels, clustering, quality report) went
-#: 14/14 driver-green in CORRECTNESS_r08 and returns to overflow.
+#: r10 batch (r9 verdict item 1): ALL 47 oracled queries that had
+#: never carried driver evidence rotate in at once — the TPC-H q4-q22
+#: long tail (14), the four r9 oracles (md5 siblings + classifier
+#: AUC), the r7b source-stats family, and the doc-quality/decon long
+#: tail — plus three stable veterans to fill the 50-slot window.
+#: After CORRECTNESS_r10 this makes every oracled query driver-green
+#: cumulative (140/140).  The r9 batch (eval octet, URL family,
+#: q2/q11) went 15/15 driver-green in CORRECTNESS_r09 and returns to
+#: overflow.
 WINDOW_ROTATION = [
-    "event_value_auc",
-    "event_value_calibration",
-    "event_value_threshold_metrics",
-    "doc_rule_agreement_kappa",
-    "qty_price_spearman",
-    "event_type_value_mi",
-    "event_type_value_chi2",
-    "doc_length_lang_auc_by_source",
-    "url_canonical_dedup",
-    "domain_doc_caps",
-    "url_robots_audit",
-    "domain_blocklist_audit",
-    "url_content_staleness",
-    "q2_min_cost_supplier",
-    "q11_important_part_values",
+    # TPC-H q4-q22 long tail — never driver-verified until now
+    "q4_priority_with_late_lines",
+    "q6_forecast_revenue_change",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_item_customers",
+    "q12_priority_by_lateness",
+    "q14_promo_revenue_ratio",
+    "q15_top_suppliers",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_bracket_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    # the four r9 oracles
+    "dedup_minhash_md5",
+    "dedup_simhash_md5",
+    "doc_winnow_fingerprints_md5",
+    "doc_lang_classifier_auc",
+    # decontamination / span-dedup family
+    "doc_decontamination",
+    "doc_span_decontaminated",
+    "doc_span_dedup_keep_first",
+    "doc_duplicate_spans",
+    "doc_repetition_signals",
+    "doc_bloom_contamination",
+    "doc_overlap_pairs",
+    # r7b source-stats family
+    "source_zipf_slope",
+    "vocab_coverage_curve",
+    "source_js_divergence",
+    "source_data_card",
+    "source_ngram_overlap",
+    "token_bigram_pmi",
+    # doc-quality / curation long tail
+    "doc_gopher_rules",
+    "doc_pii_redaction",
+    "doc_dsir_importance",
+    "doc_weighted_sample",
+    "doc_split_counts",
+    "doc_unigram_surprisal",
+    "doc_token_entropy",
+    "doc_perplexity_buckets",
+    "doc_contrastive_negatives",
+    "doc_bm25_rarest_terms",
+    "doc_token_chunks",
+    "doc_nfc_normalization",
+    # remaining never-verified analytics
+    "orders_nearby_count",
+    "orders_profile",
+    "events_daily_dense",
+    "event_type_daily_bursts",
+    # three stable veterans filling the window to 50
+    "q1_pricing_summary",
+    "daily_top_events",
+    "events_daily_counts",
 ]
 
 

@@ -101,6 +101,11 @@ HEADLINE = [
     "dedup_edit_distance",
     "doc_boilerplate_removal",
     "dedup_edit_distance_bounded",
+    # r10: md5-sibling promotion (r9 verdict item 7) — the only
+    # ORACLED dedup-VALUES evidence, now round-compared every round
+    "dedup_minhash_md5",
+    "dedup_simhash_md5",
+    "doc_winnow_fingerprints_md5",
 ]
 
 #: the long tail — every registered query not in HEADLINE (cheap
@@ -193,9 +198,6 @@ SECONDARY = [
     "event_type_value_chi2",
     "doc_length_lang_auc_by_source",
     "bpe_merge_table",
-    "dedup_simhash_md5",
-    "doc_winnow_fingerprints_md5",
-    "dedup_minhash_md5",
     "unigram_vocab_table",
     "doc_unigram_token_stats",
     "doc_lang_classifier_weights",
@@ -335,6 +337,50 @@ def _parallel_calibration(spark) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _spike_guard_trips(warm: float, cold: float) -> bool:
+    """Single-retry trigger: steady-state warm never legitimately
+    exceeds cold by much (cold pays plan+codegen on top of the same
+    execution), so warm >> cold means a transient host spike hit the
+    warm pass."""
+    return warm > max(1.4 * cold, cold + 0.3)
+
+
+def _needs_slow_warmup(warm: float, cold: float) -> bool:
+    """Improving-reruns trigger (three arms):
+
+    - cold > 3x warm — one-time costs (python-worker spawn, imports)
+      inflated cold, so warm may still sit mid-JIT-decay (r8);
+    - warm > 3 s absolute — the ratio gate alone missed a mid-decay
+      sample at cold/warm = 2.0 (r8b);
+    - warm > cold on a non-trivial query (cold > 0.5 s) — on a warmed
+      JVM this essentially never happens without external load; the r9
+      artifact archived ann_ivf_topk's burst-hit warm 1.59 s at
+      1.19x cold, below the 1.4x single-retry trigger (r9 verdict
+      item 3).  The reruns recover the true steady state and every
+      run stays visible in warm_retries.
+    """
+    return (
+        (cold > 3 * warm and warm > 0.5)
+        or warm > 3.0
+        or (warm > cold and cold > 0.5)
+    )
+
+
+def _trimmed_median(samples) -> float | None:
+    """Robust calibration anchor: drop the min and max sample when
+    five or more exist, then take the median.  A single steal-burst-
+    polluted calibration sample (r9: par endpoints 0.23-0.31 mid-run
+    vs 0.906 after) lands in the trimmed tail instead of halving the
+    anchor (r9 verdict item 4)."""
+    xs = sorted(x for x in samples if x is not None and x > 0)
+    if not xs:
+        return None
+    if len(xs) >= 5:
+        xs = xs[1:-1]
+    mid = len(xs) // 2
+    return xs[mid] if len(xs) % 2 else round((xs[mid - 1] + xs[mid]) / 2, 4)
+
+
 #: interleave one calibration sample every N suite queries;
 #: ``cpu_calib_series`` entries are
 #: [last_completed_query, single_thread_sec, parallel_sec]
@@ -369,9 +415,21 @@ def build_payload(
     total = round(sum(warm.values()), 3)
     calib_mean = (calib_before + calib_after) / 2 or 1.0
     # mean of the AVAILABLE parallel samples — a one-sided call must
-    # use the single sample, never halve the divisor (review-caught)
-    par_samples = [x for x in (par_calib_before, par_calib_after) if x]
+    # use the single sample, never halve the divisor (review-caught);
+    # filter on `is not None` so a measured 0.0 (calibration FAILURE)
+    # stays distinguishable from 'not run' (ADVICE r9)
+    par_samples = [
+        x for x in (par_calib_before, par_calib_after) if x is not None
+    ]
     par_mean = sum(par_samples) / len(par_samples) if par_samples else 0.0
+    # every parallel sample taken during the run: endpoints + the
+    # interleaved series (entry layout [last_query, single, par])
+    par_all = [x for x in par_samples if x > 0] + [
+        e[2]
+        for e in (calib_series or [])
+        if len(e) > 2 and e[2] is not None and e[2] > 0
+    ]
+    par_anchor = _trimmed_median(par_all)
     return {
         "metric": "headline_suite_runtime_warm",
         "unit": "sec",
@@ -402,15 +460,31 @@ def build_payload(
         "queries": warm,
         "value": total,
         "value_normalized": round(total / calib_mean, 3),
-        # the normalization the repo actually trusts (r8 verdict item
-        # 2a): the single-thread calib above INVERTS under a 32-way
+        # r8: the single-thread calib above INVERTS under a 32-way
         # steal burst (a co-tenant load slows the suite while the one-
         # core sample speeds up — measured r8/r8d); this sibling
-        # divides by the JVM-parallel calib mean, which moves with the
-        # same resource the queries consume.  Emitted LAST so the
-        # driver's ~2000-char tail archive always carries it.
+        # divides by the JVM-parallel calib mean.  Superseded by the
+        # _robust sibling below for round-over-round reads — the
+        # endpoint mean debuted polluted in r9 (168.5 vs 99.6 on the
+        # same tree when a steal burst hit one endpoint).
         "value_normalized_par": (
             round(total / par_mean, 3) if par_mean else None
+        ),
+        # THE round-over-round number (r9 verdict item 4): total over
+        # the TRIMMED MEDIAN of every JVM-parallel calib sample taken
+        # during the run (both endpoints + the every-20-queries
+        # series, ~10 samples) — one burst-polluted sample lands in
+        # the trimmed tail instead of moving the anchor.  calib_burst
+        # is the machine-readable flag that the samples themselves
+        # disagree >1.5x (read the series before trusting any total).
+        # Emitted LAST so the driver's ~2000-char tail archive always
+        # carries it.
+        "par_calib_median": par_anchor,
+        "calib_burst": bool(
+            par_all and min(par_all) > 0 and max(par_all) / min(par_all) > 1.5
+        ),
+        "value_normalized_robust": (
+            round(total / par_anchor, 3) if par_anchor else None
         ),
     }
 
@@ -517,15 +591,12 @@ def main() -> None:
                 t0 = time.perf_counter()
                 timed_collect(spark, fn, sf_dir, name)
                 sink[name] = round(time.perf_counter() - t0, 3)
-            # spike guard: steady-state warm never legitimately exceeds
-            # the cold run (cold pays plan+codegen on top of the same
-            # execution), so warm >> cold means a transient host spike
-            # (shared VM, visible steal time) hit the warm pass — the
-            # final r6 bench caught three queries at 2.5-2.75x their
-            # standalone time this way, with byte-identical query_io.
-            # Re-run once, keep the min, and report both timings in
-            # "warm_retries" so the retry is visible, not silent.
-            if sink[name] > max(1.4 * cold[name], cold[name] + 0.3):
+            # spike guard (see _spike_guard_trips) — the final r6 bench
+            # caught three queries at 2.5-2.75x their standalone time
+            # this way, with byte-identical query_io.  Re-run once,
+            # keep the min, and report both timings in "warm_retries"
+            # so the retry is visible, not silent.
+            if _spike_guard_trips(sink[name], cold[name]):
                 # the retry runs under its own try: a retry failure
                 # must keep the first (successful) timing, not ALSO
                 # record the query under errors — that would double-
@@ -578,9 +649,10 @@ def main() -> None:
             # 4 extra runs; a genuinely steady slow query costs exactly
             # one extra non-improving run more than before, bounded and
             # visible in warm_retries.
-            if (cold[name] > 3 * sink[name] and sink[name] > 0.5) or (
-                sink[name] > 3.0
-            ):
+            # Third arm (r10): warm > cold on a non-trivial query is
+            # itself a load-burst signal (r9 verdict item 3) — see
+            # _needs_slow_warmup.
+            if _needs_slow_warmup(sink[name], cold[name]):
                 runs = warm_retries.get(name, [sink[name]])
                 stale = 0
                 for _ in range(4):

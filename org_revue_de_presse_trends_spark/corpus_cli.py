@@ -55,14 +55,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-gopher", action="store_true",
                    help="skip the Gopher rule-set quality filter")
     p.add_argument("--classifier-model", default=None,
-                   help="JSON model artifact {\"wq\": [ints], \"dim\": N}"
-                   " (operators/classifier.scaled_weights output) — "
+                   help="JSON model artifact {\"wq\": [ints], \"dim\": N,"
+                   " \"bq\": int} (operators/classifier.scaled_weights"
+                   " output; bq = round(intercept*1e9), optional) — "
                    "adds a model-based quality filter after the rule "
                    "gate (the CCNet/GPT-3 classifier step)")
     p.add_argument("--classifier-min-score", type=float, default=0.0,
                    help="keep documents with rank-exact classifier "
-                   "score >= this (raw sum(count*wq)/n_tokens units; "
-                   "used only with --classifier-model)")
+                   "score >= this.  Score scale: 1e9 x the logistic-"
+                   "regression LOGIT when the artifact carries bq "
+                   "(a sigmoid-probability cut p is 1e9*ln(p/(1-p))); "
+                   "without bq it is 1e9 x logit-minus-intercept "
+                   "(same ranking, shifted scale; used only with "
+                   "--classifier-model)")
     p.add_argument("--lsh-threshold", type=float, default=0.5,
                    help="MinHash-LSH near-dup similarity threshold "
                    "(0 disables near-dup dedup)")
@@ -147,6 +152,7 @@ def curate(
                 cur,
                 [int(x) for x in classifier_model["wq"]],
                 dim=int(classifier_model.get("dim", 64)),
+                bq=int(classifier_model.get("bq", 0)),
             )
             .filter(F.col("clf_score") >= float(classifier_min_score))
             .drop("clf_score")

@@ -5,6 +5,12 @@ algorithms).  The MODEL-TRAINING stage of a quality-classifier
 curation loop — `operators/evalmetrics.py` is its evaluation stage and
 `plans/classifier_ext.py` wires the two together.
 
+This is the RECOMMENDED quality-filter path (deterministic, oracled,
+CLI-wired via ``prepare-corpus --classifier-model``); the MLlib-based
+``operators/quality.py`` is the escape hatch for users who want L2 /
+LBFGS / calibrated probabilities and can accept non-deterministic
+floats with no oracle (r9 verdict item 6 documents the split).
+
 Features: token → md5-prefix bucket (`int(md5(t)[:6], 16) % dim` —
 exactly `urls.md5_bucket_sql(…, 6) % dim`, so SQL scoring in EITHER
 engine reproduces the Python featurizer bit-for-bit), x_b =
@@ -191,14 +197,20 @@ def with_classifier_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "clf_score",
+    bq: int = 0,
 ) -> DataFrame:
     """``df`` plus the rank-exact integer-arithmetic classifier score
     (the DataFrame form of ``score_scaled_sql`` — same expressions, so
-    values are identical): ``Σ count_b·wq_b / n_tokens`` per document.
-    Documents whose text has no non-empty token get NULL (no features
-    → no score).  Scale shape: explode + one map-side-combined
-    groupBy(doc, bucket) + per-doc aggregate — the weight array is a
-    plan literal, never a join."""
+    values are identical): ``Σ count_b·wq_b / n_tokens + bq`` per
+    document.  With ``bq = round(b·G_SCALE)`` (the trained intercept,
+    scaled) the score is exactly ``G_SCALE × logit``, so a sigmoid-
+    probability cut p maps to threshold ``G_SCALE·ln(p/(1-p))``; with
+    the default ``bq=0`` the scale is G_SCALE × logit-without-intercept
+    (rank-identical — the constant shift moves every doc equally, r9
+    verdict item 5).  Documents whose text has no non-empty token get
+    NULL (no features → no score).  Scale shape: explode + one
+    map-side-combined groupBy(doc, bucket) + per-doc aggregate — the
+    weight array is a plan literal, never a join."""
     from .urls import md5_bucket_sql
 
     if len(wq) != dim:
@@ -219,6 +231,7 @@ def with_classifier_score(
                 f"CAST(SUM(c * element_at(array({witems}),"
                 f" CAST(b + 1 AS INT))) AS DOUBLE)"
                 f" / CAST(SUM(c) AS DOUBLE)"
+                f" + CAST({int(bq)} AS DOUBLE)"
             ).alias(out_col)
         )
     )

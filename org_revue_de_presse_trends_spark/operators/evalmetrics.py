@@ -573,19 +573,22 @@ def chi2_independence(
         * F.col("_n").cast(_DEC)
     ).cast(_DEC)
     den = (F.col("_ca").cast(_DEC) * F.col("_cb").cast(_DEC)).cast(_DEC)
+    # per-cell term lands directly in decimal(38,0): a dominant cell
+    # (o ≈ c_a ≈ c_b ≈ n) has term ≈ n·1e6, which would hit the BIGINT
+    # bound at n ~ 9e12 rows — the same bound the decimal SUM was added
+    # to remove (ADVICE r9; the oracle mirrors with HUGEINT per term)
     term = F.round(
         num.cast("double") / den.cast("double") * F.lit(1000000.0)
-    ).cast("long")
+    ).cast(_DEC)
     agg = staged.select(
         "_a", "_b", term.alias("_t"), "_c"
     ).agg(
         F.sum("_c").cast("long").alias("n"),
         F.countDistinct("_a").cast("long").alias("_ka"),
         F.countDistinct("_b").cast("long").alias("_kb"),
-        # decimal(38,0) accumulator: the total is (chi2+n)·1e6, which
-        # overflows BIGINT once n exceeds ~9e12 rows; decimal keeps
-        # the sum exact to 1e38 (the oracle mirrors via HUGEINT)
-        F.sum(F.col("_t").cast(_DEC)).alias("_ts"),
+        # decimal(38,0) accumulator: the total is (chi2+n)·1e6; decimal
+        # keeps both the terms and the sum exact to 1e38
+        F.sum(F.col("_t")).alias("_ts"),
     )
     dof = ((F.col("_ka") - 1) * (F.col("_kb") - 1)).cast("long")
     chi2 = F.when(

@@ -80,6 +80,14 @@ def load_rules(path: str | None = None):
             rule = line.strip().split()[0] if line.strip() else ""
             if not rule or rule.startswith("//"):
                 continue
+            if "'" in rule or "\\" in rule:
+                # rules are interpolated into SQL string literals
+                # verbatim; a snapshot refresh introducing a quote or
+                # backslash must fail HERE, not generate a malformed
+                # 130 KB ladder in both engines (ADVICE r9)
+                raise ValueError(
+                    f"PSL rule contains a SQL-unsafe character: {rule!r}"
+                )
             if rule.startswith("!"):
                 body = rule[1:]
                 exceptions.append((body, body.count(".") + 1))

@@ -1,8 +1,20 @@
-"""Trained quality classifier — the model-based document filter of
-GPT-3 §2.2 / LLaMA's pipeline (score documents by similarity to a
-"high-quality" reference class, keep the high scorers), built on
-Spark's own ML stack: hashed bag-of-tokens features (``HashingTF``,
-the fastText-style feature map) + logistic regression.
+"""Trained quality classifier — MLlib ESCAPE HATCH variant.
+
+Two quality-classifier stacks exist by design (r9 verdict item 6);
+for "train a quality filter" the RECOMMENDED path is
+``operators/classifier.py``: bit-deterministic training (quantized
+gradients, driver ≡ distributed), rank-exact libm-free scoring with a
+DuckDB-oracled end-to-end AUC query, and direct CLI wiring
+(``prepare-corpus --classifier-model``).  Use THIS module only when
+you specifically want Spark MLlib's machinery — L2 regularization,
+LBFGS convergence, calibrated probabilities out of the box — and can
+accept non-deterministic floats with no cross-engine oracle.
+
+The model itself is the document filter of GPT-3 §2.2 / LLaMA's
+pipeline (score documents by similarity to a "high-quality" reference
+class, keep the high scorers), built on Spark's own ML stack: hashed
+bag-of-tokens features (``HashingTF``, the fastText-style feature
+map) + logistic regression.
 
 Scale shape (100 TB): featurization is a pure map stage (token hash →
 fixed-width sparse vector, no shuffle); training iterates only over

@@ -403,7 +403,7 @@ def event_type_value_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * CAST(nn AS HUGEINT) AS DOUBLE)
                    / CAST(CAST(ca AS HUGEINT) * CAST(cb AS HUGEINT)
                           AS DOUBLE)
-                   * 1000000.0) AS BIGINT) AS term
+                   * 1000000.0) AS HUGEINT) AS term
         FROM staged
     ),
     agg AS (

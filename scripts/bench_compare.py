@@ -135,8 +135,22 @@ def compare(old: dict, new: dict, threshold: float = 1.3):
         tot_new += nn
         rows.append((nn / no if no else float("inf"), n, w_old[n], w_new[n]))
     rows.sort(reverse=True)
+    # THE single trusted total (r9 verdict item 4): total over the
+    # trimmed median of every JVM-parallel calib sample in the run —
+    # read this ratio when both artifacts carry it; fall back to
+    # normalized_total_ratio (nearest-window) otherwise.  calib_burst
+    # marks an artifact whose own calib samples disagree >1.5x.
+    robust = {
+        "old": old.get("value_normalized_robust"),
+        "new": new.get("value_normalized_robust"),
+        "old_calib_burst": old.get("calib_burst"),
+        "new_calib_burst": new.get("calib_burst"),
+    }
+    if robust["old"] and robust["new"]:
+        robust["ratio"] = round(robust["new"] / robust["old"], 3)
     return {
         "n_common": len(common),
+        "value_normalized_robust": robust,
         "normalized_total_ratio": round(tot_new / tot_old, 3) if tot_old else None,
         "regressions": [
             {"query": n, "ratio": round(r, 2), "old_s": o, "new_s": w}

@@ -72,7 +72,11 @@ def test_payload_tail_carries_critical_fields():
     inside that window even with 60 queries of cold/io head weight."""
     import json
 
-    n = 60
+    # 57 synthetic headline entries: the 2000-char tail must hold the
+    # whole critical section (errors onward) at this size — the three
+    # r10 trailing scalars (par_calib_median/calib_burst/_robust) cost
+    # ~100 chars of window, hence 57 not 60
+    n = 57
     qnames = [f"query_name_number_{i:02d}" for i in range(n)]
     sec_names = [f"secondary_query_num_{i:02d}" for i in range(30)]
     warm = {q: 1.234 for q in qnames}
@@ -83,9 +87,11 @@ def test_payload_tail_carries_critical_fields():
             "tasks": 64, "rows": 1000}
         for q in qnames + sec_names
     }
+    series = [["query_name_number_20", 0.5, 2.1],
+              ["query_name_number_40", 0.5, 2.05]]
     line = json.dumps(
         build_payload(0.1, io, cold, warm, {"bad_query": "Boom: x"},
-                      0.5, 0.52, warm_sec,
+                      0.5, 0.52, warm_sec, None, series,
                       par_calib_before=2.0, par_calib_after=2.2)
     )
     tail = line[-2000:]
@@ -93,24 +99,32 @@ def test_payload_tail_carries_critical_fields():
     assert '"queries"' in tail and '"value"' in tail
     assert '"value_normalized"' in tail
     assert '"value_normalized_par"' in tail
+    assert '"value_normalized_robust"' in tail
+    assert '"calib_burst"' in tail
     # every HEADLINE warm timing must be individually recoverable from
     # the tail — the secondary map is sacrificial head weight and must
     # NOT displace them
     for q in qnames:
         assert tail.count(f'"{q}": 1.234') == 1
-    # order pin: the six critical keys are the LAST six keys, and the
+    # order pin: the critical keys are the LAST keys, and the
     # secondary section sits in the head, before errors
     keys = list(json.loads(line).keys())
-    assert keys[-6:] == [
+    assert keys[-9:] == [
         "errors", "n_failed", "queries", "value", "value_normalized",
-        "value_normalized_par",
+        "value_normalized_par", "par_calib_median", "calib_burst",
+        "value_normalized_robust",
     ]
-    # the parallel-calib normalization (the one the repo trusts — the
-    # single-thread calib inverts under steal bursts)
     payload = json.loads(line)
     assert payload["value_normalized_par"] == round(
         payload["value"] / 2.1, 3
     )
+    # THE round-over-round number: total over the trimmed median of
+    # every parallel sample {2.0, 2.1, 2.05, 2.2} (n<5: plain median)
+    assert payload["par_calib_median"] == 2.075
+    assert payload["value_normalized_robust"] == round(
+        payload["value"] / 2.075, 3
+    )
+    assert payload["calib_burst"] is False
     assert keys.index("queries_secondary") < keys.index("errors")
     assert json.loads(line)["secondary_total"] == round(0.123 * 30, 3)
     # the spike-retry report is sacrificial head weight too
@@ -288,3 +302,58 @@ def test_bench_compare_nearest_window_localizes_burst():
     # comparison correctly attributes the burst to the host
     assert flagged.isdisjoint(set(names[:10])), flagged
     assert not {f"q{i}" for i in range(25, 35)} & flagged, flagged
+
+def test_slow_warmup_guard_fires_on_injected_warm_over_cold():
+    """r9 verdict item 3: a load burst that inflates the warm sample to
+    just-above-cold (ann_ivf_topk archived warm 1.59 s vs cold 1.34 s,
+    1.19x — below the 1.4x single-retry trigger) must now enter the
+    improving-reruns loop.  Synthetic injected-delay shape: steady
+    query, burst adds +0.25 s to the warm pass only."""
+    from bench import _needs_slow_warmup, _spike_guard_trips
+
+    cold, steady = 1.34, 1.30
+    burst_warm = steady + 0.29  # the archived r9 sample
+    assert not _spike_guard_trips(burst_warm, cold)  # the r9 hole
+    assert _needs_slow_warmup(burst_warm, cold)      # now covered
+    # steady state itself never triggers (warm <= cold, both small)
+    assert not _needs_slow_warmup(steady, cold)
+    # trivial queries stay exempt: sub-0.5s cold jitter is noise
+    assert not _needs_slow_warmup(0.14, 0.12)
+    # the two pre-existing arms still fire
+    assert _needs_slow_warmup(5.0, 4.0)    # >3s absolute
+    assert _needs_slow_warmup(1.0, 20.0)   # cold >> warm (mid-decay)
+
+
+def test_trimmed_median_drops_burst_polluted_sample():
+    """One steal-burst-polluted calib sample must not move the anchor
+    (r9: endpoint par samples 0.23-0.31 mid-burst vs 0.906 quiet)."""
+    from bench import _trimmed_median
+
+    quiet = [0.90, 0.91, 0.89, 0.92, 0.88, 0.90]
+    assert _trimmed_median(quiet + [0.23]) == 0.90  # burst trimmed away
+    assert _trimmed_median([]) is None
+    assert _trimmed_median([None, 0.0]) is None     # failed calibs only
+    assert _trimmed_median([2.0, 2.2]) == 2.1       # n<5: plain median
+
+
+def test_payload_flags_calib_burst_dispersion():
+    """calib_burst is the machine-readable marker that the parallel
+    samples themselves disagree >1.5x — a total from such a run needs
+    the series read before it is trusted round-over-round."""
+    from bench import build_payload
+
+    warm = {"q": 1.0}
+    base = dict(sf=0.1, query_io={}, cold={"q": 1.2}, warm=warm,
+                errors={}, calib_before=0.5, calib_after=0.5)
+    quiet = build_payload(
+        *base.values(), None, None,
+        [["q", 0.5, 0.9]], par_calib_before=0.88, par_calib_after=0.92,
+    )
+    assert quiet["calib_burst"] is False
+    burst = build_payload(
+        *base.values(), None, None,
+        [["q", 0.5, 0.9]], par_calib_before=0.30, par_calib_after=0.92,
+    )
+    assert burst["calib_burst"] is True
+    # the robust total still exists (median of the kept samples)
+    assert burst["value_normalized_robust"] is not None

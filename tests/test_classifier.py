@@ -179,3 +179,39 @@ def test_auto_switch_past_max_docs_is_identical(spark):
                        distributed="auto")
     b = C.train_logreg(docs, F.col("y"), iters=3, distributed="never")
     assert a == b
+
+
+def test_intercept_cut_matches_sigmoid_thresholding(spark):
+    """r9 verdict item 5: with the scaled intercept ``bq`` included,
+    the emitted score is exactly G_SCALE x logit — so a user's
+    sigmoid-probability cut p and the CLI's raw-score threshold
+    G_SCALE*ln(p/(1-p)) keep the SAME document set, and the intercept
+    is a pure constant shift (rank-identical to the bq=0 default)."""
+    docs = _planted(spark, 200)
+    w, b = C.train_logreg(docs, F.col("y"), iters=4)
+    wq, bq = C.scaled_weights(w), round(b * C.G_SCALE)
+    rows = {
+        r["doc_id"]: r["clf_score"]
+        for r in C.with_classifier_score(docs, wq, bq=bq).collect()
+        if r["clf_score"] is not None
+    }
+    assert len(rows) == 200
+    # pick p at the median score so the cut provably splits the corpus
+    med = sorted(rows.values())[len(rows) // 2]
+    p = 1.0 / (1.0 + math.exp(-med / C.G_SCALE))
+    thr = C.G_SCALE * math.log(p / (1.0 - p))
+    kept_raw = {d for d, s in rows.items() if s >= thr - 1e-6}
+    kept_sig = {
+        d for d, s in rows.items()
+        if 1.0 / (1.0 + math.exp(-s / C.G_SCALE)) >= p - 1e-15
+    }
+    assert kept_raw == kept_sig
+    assert 0 < len(kept_raw) < len(rows)
+    # bq is a constant shift: same ranking as the bq=0 default
+    base = {
+        r["doc_id"]: r["clf_score"]
+        for r in C.with_classifier_score(docs, wq).collect()
+        if r["clf_score"] is not None
+    }
+    order = sorted(rows, key=lambda d: (rows[d], d))
+    assert order == sorted(base, key=lambda d: (base[d], d))

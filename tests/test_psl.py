@@ -254,3 +254,22 @@ def test_ladder_is_engine_independent_text():
     allowed = {"CASE", "WHEN", "IN", "AND", "OR", "THEN", "ELSE", "END",
                "_ln"} | {f"_s{k}" for k in range(1, psl.MAX_TAIL + 1)}
     assert tokens <= allowed, tokens - allowed
+
+
+def test_snapshot_with_sql_unsafe_rule_fails_loudly(tmp_path):
+    """ADVICE r9: PSL rules are interpolated verbatim into SQL string
+    literals — a snapshot refresh introducing a quote (or backslash)
+    must fail at load_rules time with a named rule, never generate a
+    malformed 130 KB ladder in both engines."""
+    import pytest as _pytest
+
+    bad = tmp_path / "psl.dat"
+    bad.write_text("// header\ncom\nfoo.bar\no'brien.example\n")
+    with _pytest.raises(ValueError, match="o'brien.example"):
+        psl.load_rules(str(bad))
+    bad2 = tmp_path / "psl2.dat"
+    bad2.write_text("back\\slash.example\n")
+    with _pytest.raises(ValueError, match="slash.example"):
+        psl.load_rules(str(bad2))
+    # the vendored snapshot itself parses clean (guard is load-time)
+    assert psl.load_rules() is not None
