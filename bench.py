@@ -721,7 +721,13 @@ def main() -> None:
     )
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "bench_full.json"), "w") as f:
+        # the committed artifact is the sf0.1 one — verification runs
+        # at other SFs land in a suffixed file so they can never
+        # clobber it (it happened twice: r8 and r10)
+        name = (
+            "bench_full.json" if sf == 0.1 else f"bench_full_sf{sf}.json"
+        )
+        with open(os.path.join(here, name), "w") as f:
             json.dump(payload, f, indent=1)
     except OSError:
         pass  # read-only checkout: the printed line still carries all

@@ -16,10 +16,12 @@ exactly `urls.md5_bucket_sql(…, 6) % dim`, so SQL scoring in EITHER
 engine reproduces the Python featurizer bit-for-bit), x_b =
 count_b / n_tokens, plus an intercept.
 
-Scale shape: one corpus pass per GD iteration, map-only +
-one ≤(dim+1)-row exact aggregation — the model state (dim+1 floats)
-broadcasts in the closure; nothing corpus-sized ever collects on the
-distributed path.
+Scale shape: ONE text pass total (tokenize + md5-bucket, materialized
+as ≤dim ints per doc behind a localCheckpoint — far smaller than the
+text it replaces), then one featurized-corpus pass per GD iteration,
+map-only + one ≤(dim+1)-row exact aggregation — the model state
+(dim+1 floats) broadcasts in the closure; nothing corpus-sized ever
+collects on the distributed path.
 
 Driver ≡ distributed bit-identity (the unigram/r7b recipe): floats
 enter ONLY inside the per-document gradient (sigmoid — the same
@@ -98,9 +100,9 @@ def _grad_from_features(
 def _doc_grad_quantized(
     text: str, y: int, w: list[float], b: float, dim: int
 ) -> tuple[dict[int, int], int]:
-    """Featurize-then-gradient, for callers that hold raw text (the
-    distributed path re-featurizes inside its per-iteration corpus
-    pass — tokenization is part of that pass and stays distributed)."""
+    """Featurize-then-gradient for callers that hold raw text (kept
+    for tests/external callers; train_logreg's distributed path now
+    featurizes once up front and gradients from the stored arrays)."""
     counts, n = _doc_features(text, dim)
     return _grad_from_features(counts, n, y, w, b)
 
@@ -141,22 +143,46 @@ def train_logreg(
     use_dist = distributed == "always" or (
         distributed == "auto" and n > max_docs
     )
-    # driver path: featurize ONCE — tokenize + md5-bucket are
+    # BOTH paths featurize ONCE — tokenize + md5-bucket are
     # iteration-independent, and recomputing them per GD iteration
     # dominated the loop (measured 6.0 → 1.5 s for 12 iterations over
-    # 5000 sf0.1 docs, weights bit-identical: the counts dicts are the
-    # same objects _doc_features builds, so float sum order is
-    # unchanged).  The distributed path keeps re-featurizing inside
-    # its per-iteration corpus pass by design (one pass per iteration
-    # is its scale shape; tokenization stays distributed with it).
-    feats = (
-        None
-        if use_dist
-        else [
+    # 5000 sf0.1 docs on the driver path; weights bit-identical: the
+    # counts dicts are the same objects _doc_features builds, so float
+    # sum order is unchanged).  The distributed path materializes the
+    # featurized corpus (keys/counts arrays in _doc_features insertion
+    # order — Python dicts preserve it, so rebuilding dict(zip(ks, cs))
+    # per iteration feeds _grad_from_features the identical float sum
+    # order) behind a localCheckpoint: at 100 TB the featurized frame
+    # is ≤dim ints per doc — far smaller than the text it replaces —
+    # and every GD iteration after the first reads IT instead of
+    # re-tokenizing the corpus (iters× fewer text passes).
+    feats = None
+    feats_df = None
+    if use_dist:
+
+        def featurize(batches):
+            for pdf in batches:
+                rows = [
+                    (_doc_features(t, dim), int(y))
+                    for t, y in zip(pdf["text"], pdf["y"])
+                ]
+                yield pd.DataFrame(
+                    {
+                        "ks": [list(c) for (c, _n), _y in rows],
+                        "cs": [list(c.values()) for (c, _n), _y in rows],
+                        "nt": [n0 for (_c, n0), _y in rows],
+                        "y": [y for _f, y in rows],
+                    }
+                )
+
+        feats_df = base.mapInPandas(
+            featurize, "ks array<int>, cs array<int>, nt int, y int"
+        ).localCheckpoint(eager=True)
+    else:
+        feats = [
             (_doc_features(r["text"], dim), int(r["y"]))
             for r in base.collect()
         ]
-    )
     w = [0.0] * dim
     b = 0.0
 
@@ -176,9 +202,15 @@ def train_logreg(
         def gen(batches):
             for pdf in batches:
                 acc: dict[int, int] = {}
-                for text, y in zip(pdf["text"], pdf["y"]):
-                    gq, gb = _doc_grad_quantized(
-                        text, int(y), cw, cb, dim
+                for ks, cs, nt, y in zip(
+                    pdf["ks"], pdf["cs"], pdf["nt"], pdf["y"]
+                ):
+                    # Arrow hands back numpy int32s — rebuild pure
+                    # Python ints in the stored (insertion) order so
+                    # the float-op sequence is exactly the driver one
+                    counts = {int(k): int(c) for k, c in zip(ks, cs)}
+                    gq, gb = _grad_from_features(
+                        counts, int(nt), int(y), cw, cb
                     )
                     for k, q in gq.items():
                         acc[k] = acc.get(k, 0) + q
@@ -190,7 +222,7 @@ def train_logreg(
                     )
 
         out = (
-            base.mapInPandas(gen, "k int, q decimal(38,0)")
+            feats_df.mapInPandas(gen, "k int, q decimal(38,0)")
             .groupBy("k")
             .agg(F.sum("q").alias("q"))
             .collect()
