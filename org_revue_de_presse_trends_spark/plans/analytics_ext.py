@@ -660,8 +660,12 @@ def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever sees a source's whole stream), and the pair stage touches
     |sources| rows of k longs — broadcastable at any corpus size."""
     from ..operators.kmv import kmv_jaccard_pairs, kmv_sketches
+    from ..operators.skew import spread_for_cpu
 
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # spread: the shingle + per-shingle md5 fan runs in the scan stage
+    # before the distinct() exchange parallelizes anything — the
+    # md5-fan win shape (doc_bloom_contamination, dedup_simhash_md5)
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents")).filter(
         F.size(T.tokens(F.col("text"))) >= 3
     )
     sk = kmv_sketches(docs, "source", k=256)

@@ -271,8 +271,12 @@ def events_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction + cast + presence predicate (P4/P5/P7 —
-    the reference's ust_api_document handling)."""
-    ev = load_table(spark, sf_dir, "events")
+    the reference's ust_api_document handling).  `spread_for_cpu`: two
+    JSON parses per row run map-only in the scan stage, and the events
+    parquet arrives as ONE split (measured tasks=1)."""
+    from ..operators.skew import spread_for_cpu
+
+    ev = spread_for_cpu(load_table(spark, sf_dir, "events"))
     k_val = F.get_json_object("props", "$.k").cast("int")
     return (
         ev.select(

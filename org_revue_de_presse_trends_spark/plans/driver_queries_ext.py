@@ -166,8 +166,12 @@ def duplicate_line_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cube_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full cube (A6 companion to rollup_order_stats)."""
-    l = load_table(spark, sf_dir, "lineitem")
+    """Full cube (A6 companion to rollup_order_stats).
+    `spread_for_cpu`: Expand quadruples every row BEFORE the partial
+    aggregate, all inside the scan stage's few splits."""
+    from ..operators.skew import spread_for_cpu
+
+    l = spread_for_cpu(load_table(spark, sf_dir, "lineitem"))
     return l.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.expr("CAST(l_quantity AS DECIMAL(18,6))"))
@@ -693,7 +697,10 @@ def nation_pair_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: the five-way fact/dim join with revenue per
     (supplier nation, customer nation) pair.  supplier/customer/nation
     are broadcast; lineitem⋈orders is the only fact shuffle; revenue is
-    decimal-exact then rounded before the double cast."""
+    decimal-exact then rounded before the double cast.  Dead end (r10):
+    spread_for_cpu on the lineitem scan measured a WASH at sf0.1 (1.42
+    vs 1.35 interleaved best-of-4, within the ~5% noise floor) — the
+    per-row work here is two decimal ops, not the cube's 4x Expand."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")

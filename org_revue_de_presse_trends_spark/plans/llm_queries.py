@@ -430,6 +430,10 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fast path keeps xxhash64, the evidence path pays md5)."""
     from ..operators.urls import md5_bucket_sql
 
+    # no spread_for_cpu here: interleaved A/B at sf0.1 (r10) measured
+    # 1.34 vs 1.30 best-of-4 — a wash; the 60-sum groupBy shuffle
+    # already parallelizes the heavy part, unlike the pure-map winnow
+    # sibling where spread won 3.5x
     docs = load_table(spark, sf_dir, "documents")
     md5s = md5_bucket_sql("spark", "t", 15)
     tok = docs.select(
@@ -871,10 +875,16 @@ def doc_winnow_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-padded zip_with semantics).  Short docs (< k tokens) hash the
     whole rejoined token string in both engines.  500/500 rows
     bit-identical at sf0.01 (verified r9)."""
+    from ..operators.skew import spread_for_cpu
     from ..operators.urls import md5_bucket_sql
 
     k, w = _WINNOW_K, _WINNOW_W
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread: the whole query is ONE map stage (shingle fan + per-gram
+    # md5 + winnow mins, no exchange anywhere) and inherits the
+    # documents scan's single split — it measured as tasks=1
+    docs = spread_for_cpu(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     md5g = md5_bucket_sql("spark", "g", 15)
     md5whole = md5_bucket_sql("spark", "concat_ws(' ', __toks)", 15)
     win = f"greatest(size(__toks) - {k - 1}, 1)"

@@ -83,7 +83,10 @@ def doc_bm25_rarest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: query terms and their document frequencies are
     broadcast 3-row tables; tf is one semi-joined map-side-combinable
     aggregate; doc lengths ride a per-doc projection.  No windows over
-    the corpus, no self-joins."""
+    the corpus, no self-joins.  Dead end (r10): localCheckpoint-ing
+    the exploded token stream (it feeds both counts and hits) measured
+    a WASH at sf0.1 (0.764 vs 0.768 interleaved best-of-4) — the
+    re-tokenize is cheaper than the materialization; don't retry."""
     d = load_table(spark, sf_dir, "documents")
     ex = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
     counts = ex.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
