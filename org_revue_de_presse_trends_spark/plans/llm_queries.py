@@ -948,6 +948,9 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01."""
     from ..operators.packing import pack_sequences
 
+    # dead end (r10): spread_for_cpu on the scan LOST (0.64 vs 0.80
+    # interleaved best-of-4 at sf0.1) — the chunk fan is array slices,
+    # and the hash-bin groupBy already parallelizes the BFD stage
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "__toks", T.tokens(F.col("text"))
     )

@@ -182,7 +182,11 @@ def doc_nfc_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern of deriving non-trivial inputs as a pure function of the
     fixture.  n_raw_chars − n_nfc_chars = number of compositions.
 
-    Scale: map-only (one Arrow-batched UDF pass), no shuffle."""
+    Scale: map-only (one Arrow-batched UDF pass), no shuffle.
+    Dead end (r10): spread_for_cpu LOST here (0.44 vs 0.57 interleaved
+    best-of-4 at sf0.1 despite tasks=1) — unicodedata.normalize over
+    ~1 KB texts is too light to pay for the exchange + a second
+    python-worker wave; don't retry."""
     from ..functions.udf_escape import nfc_normalize_pandas
 
     d = load_table(spark, sf_dir, "documents")
