@@ -366,6 +366,20 @@ def _needs_slow_warmup(warm: float, cold: float) -> bool:
     )
 
 
+def _tail_errors(errors: dict, max_entries: int = 8, max_chars: int = 100) -> dict:
+    """Bounded error summary for the tail-archived zone: at most
+    ``max_entries`` messages of ``max_chars`` chars; overflow count
+    under ``__more__``.  Full detail rides in errors_detail (head) /
+    bench_full.json."""
+    out = {
+        k: str(v)[:max_chars]
+        for k, v in list(sorted(errors.items()))[:max_entries]
+    }
+    if len(errors) > max_entries:
+        out["__more__"] = f"{len(errors) - max_entries} more"
+    return out
+
+
 def _trimmed_median(samples) -> float | None:
     """Robust calibration anchor: drop the min and max sample when
     five or more exist, then take the median.  A single steal-burst-
@@ -414,12 +428,17 @@ def build_payload(
     warm_secondary = warm_secondary or {}
     total = round(sum(warm.values()), 3)
     calib_mean = (calib_before + calib_after) / 2 or 1.0
-    # mean of the AVAILABLE parallel samples — a one-sided call must
-    # use the single sample, never halve the divisor (review-caught);
-    # filter on `is not None` so a measured 0.0 (calibration FAILURE)
-    # stays distinguishable from 'not run' (ADVICE r9)
+    # mean of the VALID parallel samples — a one-sided call must use
+    # the single sample, never halve the divisor (review-caught, and
+    # review-caught AGAIN in r10: averaging a measured 0.0 into the
+    # mean halves the divisor exactly the same way).  A 0.0
+    # (calibration FAILURE) is excluded from every derived number but
+    # stays visible verbatim in par_calib_sec/_after (ADVICE r9's
+    # distinguishability lives there, not in the mean).
     par_samples = [
-        x for x in (par_calib_before, par_calib_after) if x is not None
+        x
+        for x in (par_calib_before, par_calib_after)
+        if x is not None and x > 0
     ]
     par_mean = sum(par_samples) / len(par_samples) if par_samples else 0.0
     # every parallel sample taken during the run: endpoints + the
@@ -435,6 +454,10 @@ def build_payload(
         "unit": "sec",
         "sf": sf,
         "warm_retries": warm_retries or {},
+        # full failure detail lives in the sacrificial HEAD zone (and
+        # thus bench_full.json); the tail-resident "errors" below is
+        # the bounded summary the driver archive always carries
+        "errors_detail": errors,
         "query_io": query_io,
         "queries_cold_first_run": cold,
         "cold_total": round(sum(cold.values()), 3),
@@ -455,9 +478,15 @@ def build_payload(
         "cpu_calib_series": calib_series or [],
         "queries_secondary": warm_secondary,
         "secondary_total": round(sum(warm_secondary.values()), 3),
-        "errors": errors,
-        "n_failed": len(errors),
         "queries": warm,
+        # errors AFTER the (potentially >2000-char) headline map: the
+        # driver's ~2000-char tail archive must always show failure
+        # state (review-caught r10 — at 79 headline queries the old
+        # errors-before-queries order pushed errors/n_failed out of
+        # the archived tail entirely).  Bounded: ≤8 entries, ≤100
+        # chars each, full detail in bench_full.json.
+        "errors": _tail_errors(errors),
+        "n_failed": len(errors),
         "value": total,
         "value_normalized": round(total / calib_mean, 3),
         # r8: the single-thread calib above INVERTS under a 32-way

@@ -56,10 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip the Gopher rule-set quality filter")
     p.add_argument("--classifier-model", default=None,
                    help="JSON model artifact {\"wq\": [ints], \"dim\": N,"
-                   " \"bq\": int} (operators/classifier.scaled_weights"
-                   " output; bq = round(intercept*1e9), optional) — "
-                   "adds a model-based quality filter after the rule "
-                   "gate (the CCNet/GPT-3 classifier step)")
+                   " \"bq\": int} — write it with json.dump("
+                   "operators/classifier.model_artifact(w, b, dim)) "
+                   "from train_logreg output (bq optional, defaults 0)"
+                   " — adds a model-based quality filter after the "
+                   "rule gate (the CCNet/GPT-3 classifier step)")
     p.add_argument("--classifier-min-score", type=float, default=0.0,
                    help="keep documents with rank-exact classifier "
                    "score >= this.  Score scale: 1e9 x the logistic-"

@@ -128,14 +128,15 @@ def train_logreg(
             f"distributed must be auto|never|always, got {distributed!r}"
         )
     # NULL label = unknown ground truth — dropped, never a negative
-    # (the evalmetrics convention; review-aligned r9)
-    base = (
-        docs.filter(label.isNotNull())
-        .select(
-            F.col(text_col).alias("text"),
-            F.when(label, 1).otherwise(0).alias("y"),
-        )
-        .localCheckpoint(eager=True)
+    # (the evalmetrics convention; review-aligned r9).  NOT
+    # checkpointed (review-caught r10): base is read exactly twice
+    # (count, then collect/featurize) on either path, so a checkpoint
+    # saves nothing while pinning corpus-sized TEXT blocks in executor
+    # storage for the whole GD loop — the featurized frame below is
+    # the only thing iterations re-read, and it is ≤dim ints per doc.
+    base = docs.filter(label.isNotNull()).select(
+        F.col(text_col).alias("text"),
+        F.when(label, 1).otherwise(0).alias("y"),
     )
     n = base.count()
     if n == 0:
@@ -245,6 +246,23 @@ def scaled_weights(w: list[float]) -> list[int]:
     return [round(x * G_SCALE) for x in w]
 
 
+def model_artifact(w: list[float], b: float, dim: int) -> dict:
+    """The ``prepare-corpus --classifier-model`` JSON artifact —
+    ``{"wq", "bq", "dim"}`` — from ``train_logreg`` output.  Both
+    quantizations use the same ``round(x·G_SCALE)`` that defines the
+    model (scaled_weights); hand-rolling bq invites the half-even /
+    half-up rounding traps this helper exists to remove
+    (review-caught r10: the CLI help documented an artifact shape no
+    repo function actually emitted)."""
+    if len(w) != dim:
+        raise ValueError(f"need {dim} weights, got {len(w)}")
+    return {
+        "wq": scaled_weights(w),
+        "bq": round(b * G_SCALE),
+        "dim": dim,
+    }
+
+
 def with_classifier_score(
     df: DataFrame,
     wq: list[int],
@@ -255,9 +273,11 @@ def with_classifier_score(
     bq: int = 0,
 ) -> DataFrame:
     """``df`` plus the rank-exact integer-arithmetic classifier score
-    (the DataFrame form of ``score_scaled_sql`` — same expressions, so
-    values are identical): ``Σ count_b·wq_b / n_tokens + bq`` per
-    document.  With ``bq = round(b·G_SCALE)`` (the trained intercept,
+    ``Σ count_b·wq_b / n_tokens + bq`` per document.  At the default
+    ``bq=0`` this is exactly the DataFrame form of ``score_scaled_sql``
+    (same expressions, identical values); with ``bq≠0`` it adds the
+    constant intercept term that ``score_scaled_sql`` deliberately
+    omits (rank-equal, value-shifted by bq).  With ``bq = round(b·G_SCALE)`` (the trained intercept,
     scaled) the score is exactly ``G_SCALE × logit``, so a sigmoid-
     probability cut p maps to threshold ``G_SCALE·ln(p/(1-p))``; with
     the default ``bq=0`` the scale is G_SCALE × logit-without-intercept

@@ -68,15 +68,18 @@ def test_timed_collect_with_collector_returns_metrics(spark):
 
 def test_payload_tail_carries_critical_fields():
     """The driver archives only the LAST ~2000 chars of the printed
-    line: errors, the warm map, value, value_normalized must sit
-    inside that window even with 60 queries of cold/io head weight."""
+    line.  At 79+ headline queries the warm map alone exceeds that
+    window, so the contract (re-cut in r10, review-caught: the old
+    errors-BEFORE-queries order silently pushed errors/n_failed out
+    of the archive, and this test had been shrunk to n=57 to stay
+    green) is now: the critical SCALAR section — errors summary,
+    n_failed, value, every normalized total — always fits, even with
+    100 headline queries AND a multi-error round; the warm map sits
+    immediately before it so its suffix fills whatever window
+    remains."""
     import json
 
-    # 57 synthetic headline entries: the 2000-char tail must hold the
-    # whole critical section (errors onward) at this size — the three
-    # r10 trailing scalars (par_calib_median/calib_burst/_robust) cost
-    # ~100 chars of window, hence 57 not 60
-    n = 57
+    n = 100
     qnames = [f"query_name_number_{i:02d}" for i in range(n)]
     sec_names = [f"secondary_query_num_{i:02d}" for i in range(30)]
     warm = {q: 1.234 for q in qnames}
@@ -89,31 +92,42 @@ def test_payload_tail_carries_critical_fields():
     }
     series = [["query_name_number_20", 0.5, 2.1],
               ["query_name_number_40", 0.5, 2.05]]
+    many_errors = {
+        f"failing_query_{i:02d}": "Boom: " + "x" * 500 for i in range(12)
+    }
     line = json.dumps(
-        build_payload(0.1, io, cold, warm, {"bad_query": "Boom: x"},
+        build_payload(0.1, io, cold, warm, many_errors,
                       0.5, 0.52, warm_sec, None, series,
                       par_calib_before=2.0, par_calib_after=2.2)
     )
     tail = line[-2000:]
     assert '"errors"' in tail and '"n_failed"' in tail
-    assert '"queries"' in tail and '"value"' in tail
+    assert '"n_failed": 12' in tail
+    assert '"value"' in tail
     assert '"value_normalized"' in tail
     assert '"value_normalized_par"' in tail
     assert '"value_normalized_robust"' in tail
     assert '"calib_burst"' in tail
-    # every HEADLINE warm timing must be individually recoverable from
-    # the tail — the secondary map is sacrificial head weight and must
-    # NOT displace them
-    for q in qnames:
-        assert tail.count(f'"{q}": 1.234') == 1
-    # order pin: the critical keys are the LAST keys, and the
-    # secondary section sits in the head, before errors
-    keys = list(json.loads(line).keys())
+    # the tail errors summary is bounded (≤8 entries, ≤100 chars each,
+    # overflow counted) while the full detail rides in the head zone
+    payload = json.loads(line)
+    assert len(payload["errors"]) == 9 and payload["errors"]["__more__"]
+    assert all(len(v) <= 100 for v in payload["errors"].values())
+    assert payload["errors_detail"]["failing_query_00"].endswith("x")
+    assert len(payload["errors_detail"]) == 12
+    # a long warm-map suffix is recoverable from the tail
+    assert tail.count('"query_name_number_99": 1.234') == 1
+    # order pin: the critical keys are the LAST keys; the warm map
+    # sits immediately before them; secondary is sacrificial head
+    keys = list(payload.keys())
     assert keys[-9:] == [
-        "errors", "n_failed", "queries", "value", "value_normalized",
+        "queries", "errors", "n_failed", "value", "value_normalized",
         "value_normalized_par", "par_calib_median", "calib_burst",
         "value_normalized_robust",
     ]
+    # the critical scalar section itself always fits: from "errors"
+    # (after the warm map) to line end is well under the 2000 window
+    assert len(line) - line.rindex('"errors"') < 1800
     payload = json.loads(line)
     assert payload["value_normalized_par"] == round(
         payload["value"] / 2.1, 3

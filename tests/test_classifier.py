@@ -173,6 +173,25 @@ def test_guards(spark):
         C.score_scaled_sql("spark", [1, 2], 64, "SELECT 1")
 
 
+def test_model_artifact_matches_hand_rolled_quantization(spark):
+    """model_artifact is THE documented way to write the CLI's
+    --classifier-model JSON: same round(x*G_SCALE) quantization the
+    model definition (scaled_weights / the committed literals) uses,
+    so it must equal the hand-rolled form the tests pinned before it
+    existed, and reject a dim mismatch."""
+    docs = _planted(spark, 30)
+    w, b = C.train_logreg(docs, F.col("y"), iters=3)
+    art = C.model_artifact(w, b, dim=64)
+    assert art["wq"] == C.scaled_weights(w)
+    assert art["bq"] == round(b * C.G_SCALE)
+    assert art["dim"] == 64
+    import json
+
+    assert json.loads(json.dumps(art)) == art  # JSON-serializable
+    with pytest.raises(ValueError, match="weights"):
+        C.model_artifact(w, b, dim=32)
+
+
 def test_auto_switch_past_max_docs_is_identical(spark):
     docs = _planted(spark, 200)
     a = C.train_logreg(docs, F.col("y"), iters=3, max_docs=50,
