@@ -202,6 +202,7 @@ SECONDARY = [
     "doc_unigram_token_stats",
     "doc_lang_classifier_weights",
     "doc_lang_classifier_auc",
+    "doc_shard_manifest",
 ]
 
 

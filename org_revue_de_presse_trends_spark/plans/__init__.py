@@ -18,5 +18,6 @@ from . import (  # noqa: F401  (register on import)
     analytics_tpch3,  # also past the window
     eval_ext,  # also past the window
     classifier_ext,  # also past the window
+    export_ext,  # also past the window
     tokenizer_ext,  # registers LAST: rows-only, past the window
 )

@@ -269,6 +269,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "event_value_threshold_metrics", "doc_rule_agreement_kappa",
         "qty_price_spearman", "event_type_value_mi",
         "event_type_value_chi2", "doc_length_lang_auc_by_source",
+        "doc_shard_manifest",
     ], f"unexpected overflow oracled set: {overflow}"
 
 
