@@ -87,13 +87,15 @@ def shard_id_sql(engine: str, id_col: str, n_shards: int) -> str:
     )
 
 
-def _check_payload_types(df: DataFrame, payload_cols: list[str]) -> None:
+def _check_payload_types(
+    df: DataFrame, id_col: str, payload_cols: list[str]
+) -> None:
     types = dict(df.dtypes)
-    for c in payload_cols:
+    for c in [id_col, *payload_cols]:
         t = types.get(c, "?")
         if t != "string" and t not in _INTISH:
             raise ValueError(
-                f"payload column {c!r} has type {t}: only string/integer "
+                f"column {c!r} has type {t}: only string/integer "
                 "columns checksum identically across engines (float "
                 "formatting differs)"
             )
@@ -115,7 +117,7 @@ def shard_manifest(
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    _check_payload_types(df, payload_cols)
+    _check_payload_types(df, id_col, payload_cols)
     canon = _canonical_expr("spark", id_col, payload_cols)
     return (
         df.selectExpr(
@@ -161,6 +163,46 @@ def manifest_oracle_sql(
     )
     GROUP BY shard_id
     """
+
+
+def verify_export(
+    spark,
+    path: str,
+    manifest: DataFrame,
+    n_shards: int,
+    id_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Reader-side integrity check: recompute the manifest from the
+    files at ``path`` and FULL-OUTER-join it against the expected one
+    — returns only mismatched shards (empty = export verified), with
+    both sides' counts/checksums so a corrupt, truncated, or missing
+    shard names itself.  The outer join (not inner) is the totality
+    rule: a shard absent on either side must surface, not vanish."""
+    got = shard_manifest(
+        spark.read.parquet(path).select(id_col, *payload_cols),
+        n_shards,
+        id_col,
+        payload_cols,
+    ).select(
+        F.col("shard_id"),
+        F.col("n_rows").alias("got_rows"),
+        F.col("total_chars").alias("got_chars"),
+        F.col("checksum").alias("got_checksum"),
+    )
+    want = manifest.select(
+        F.col("shard_id"),
+        F.col("n_rows").alias("want_rows"),
+        F.col("total_chars").alias("want_chars"),
+        F.col("checksum").alias("want_checksum"),
+    )
+    return want.join(got, "shard_id", "full_outer").filter(
+        ~(
+            F.col("got_rows").eqNullSafe(F.col("want_rows"))
+            & F.col("got_chars").eqNullSafe(F.col("want_chars"))
+            & F.col("got_checksum").eqNullSafe(F.col("want_checksum"))
+        )
+    )
 
 
 def write_shards(

@@ -101,6 +101,47 @@ def test_write_shards_round_trip_reproduces_manifest(spark, tmp_path):
     assert m1 == m2
 
 
+def test_verify_export_flags_only_corrupt_shards(spark, tmp_path):
+    """The reader-side check: clean export verifies empty; a corrupted
+    shard (and only it) names itself, with a missing shard surfacing
+    through the FULL outer join."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    path = str(tmp_path / "shards")
+    manifest = X.write_shards(docs, path, 4, "doc_id", ["text"])
+    assert (
+        X.verify_export(spark, path, manifest, 4, "doc_id", ["text"]).count()
+        == 0
+    )
+    # corrupt: rewrite with one doc's text flipped — exactly one shard
+    # must flag, with both sides' checksums present
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 7, F.lit("corrupted")).otherwise(
+            F.col("text")
+        ),
+    )
+    X.write_shards(mutated, path, 4, "doc_id", ["text"])
+    bad = X.verify_export(
+        spark, path, manifest, 4, "doc_id", ["text"]
+    ).collect()
+    assert len(bad) == 1
+    assert bad[0]["got_checksum"] != bad[0]["want_checksum"]
+    # a manifest expecting a shard the files lack must surface it
+    extra = manifest.unionByName(
+        spark.createDataFrame(
+            [(99, 1, 1, 1)],
+            "shard_id long, n_rows long, total_chars long, checksum long",
+        )
+    )
+    flagged = {
+        r["shard_id"]
+        for r in X.verify_export(
+            spark, path, extra, 4, "doc_id", ["text"]
+        ).collect()
+    }
+    assert 99 in flagged
+
+
 def test_guards(spark):
     docs = load_table(spark, SF, "documents")
     with pytest.raises(ValueError, match="n_shards"):
@@ -109,4 +150,10 @@ def test_guards(spark):
     with pytest.raises(ValueError, match="string/integer"):
         X.shard_manifest(
             emb.withColumn("f", F.lit(1.5)), 2, "vec_id", ["f"]
+        )
+    # the ID column is checksummed via CAST(...AS STRING) too — a
+    # float id hits the same cross-engine formatting trap
+    with pytest.raises(ValueError, match="string/integer"):
+        X.shard_manifest(
+            docs.withColumn("fid", F.lit(1.5)), 2, "fid", ["text"]
         )
