@@ -142,6 +142,42 @@ def test_verify_export_flags_only_corrupt_shards(spark, tmp_path):
     assert 99 in flagged
 
 
+def test_manifest_cross_engine_on_adversarial_strings(spark, duck, tmp_path):
+    """The contract gate pins the oracle on fixture ASCII; this pins
+    the SAME bit-for-bit cross-engine manifest on the strings the
+    canonicalization actually has to survive: unicode (multi-byte,
+    astral-plane — char-count AND md5-over-UTF-8 must agree), the
+    separator control char inside a payload, empty vs NULL, and a long
+    repetitive string."""
+    rows = [
+        (1, "plain ascii"),
+        (2, "accentué déjà vu"),
+        (3, "汉字 и кириллица"),
+        (4, "astral \U0001f600\U0001f680 plane"),
+        (5, "embedded \x1f separator"),
+        (6, ""),
+        (7, None),
+        (8, "x" * 5000),
+        (9, "trailing space "),
+        (10, "quote ' and \" chars"),
+    ]
+    p = str(tmp_path / "adv.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(p)
+    sdf = X.shard_manifest(
+        spark.read.parquet(p), 3, "doc_id", ["text"]
+    )
+    got = sorted(map(tuple, sdf.collect()))
+    oracle = X.manifest_oracle_sql(
+        "duckdb", 3, "doc_id", ["text"],
+        f"SELECT doc_id, text FROM '{p}/*.parquet'",
+    )
+    want = sorted(map(tuple, duck.execute(oracle).fetchall()))
+    assert got == want
+    assert sum(r[1] for r in got) == len(rows)
+
+
 def test_guards(spark):
     docs = load_table(spark, SF, "documents")
     with pytest.raises(ValueError, match="n_shards"):
