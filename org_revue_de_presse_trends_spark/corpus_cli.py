@@ -28,7 +28,8 @@ Usage::
     python -m org_revue_de_presse_trends_spark.corpus_cli \
         --source-dir /root/testdata/sf0.001 --out-dir /tmp/corpus \
         [--benchmark-parquet eval.parquet --decontaminate-mode spans] \
-        [--lsh-threshold 0.5] [--no-gopher] [--pack-budget 512]
+        [--lsh-threshold 0.5] [--no-gopher] [--pack-budget 512] \
+        [--shards 8]
 """
 
 from __future__ import annotations
@@ -87,6 +88,14 @@ def build_parser() -> argparse.ArgumentParser:
                    "(0 disables chunk+pack)")
     p.add_argument("--chunk-size", type=int, default=50)
     p.add_argument("--chunk-overlap", type=int, default=10)
+    p.add_argument("--shards", type=int, default=0,
+                   help="also partition the curated documents into N "
+                   "deterministic hash shards per split (layout-"
+                   "independent md5 assignment) and write "
+                   "manifest.json with per-(split, shard) row counts "
+                   "and order-independent content checksums "
+                   "(operators/export.py) — the sidecar a downstream "
+                   "reader verifies the export against (0 disables)")
     p.add_argument("--quality-gate", action="store_true",
                    help="run the declarative constraint suite "
                    "(operators/checks.py) on the INPUT before any "
@@ -271,9 +280,48 @@ def main(argv: list[str] | None = None,
         )
         os.makedirs(args.out_dir, exist_ok=True)
         docs_out = os.path.join(args.out_dir, "documents")
-        curated.write.mode("overwrite").partitionBy("split").parquet(
-            docs_out
-        )
+        if args.shards > 0:
+            from .operators.export import shard_id_sql, shard_manifest
+
+            # deterministic hash shards nested under the split dirs,
+            # plus the order-independent checksum manifest a reader
+            # verifies the export against (operators/export.py)
+            manifest = shard_manifest(
+                curated.select("split", "doc_id", "text"),
+                args.shards,
+                "doc_id",
+                ["text"],
+                extra_group_cols=["split"],
+            ).collect()
+            (
+                curated.selectExpr(
+                    "*",
+                    f"{shard_id_sql('spark', 'doc_id', args.shards)}"
+                    " AS shard_id",
+                )
+                .repartition(args.shards, F.col("shard_id"))
+                .write.mode("overwrite")
+                .partitionBy("split", "shard_id")
+                .parquet(docs_out)
+            )
+            with open(
+                os.path.join(args.out_dir, "manifest.json"), "w"
+            ) as f:
+                json.dump(
+                    {
+                        "n_shards": args.shards,
+                        "id_col": "doc_id",
+                        "payload_cols": ["text"],
+                        "shards": [r.asDict() for r in manifest],
+                    },
+                    f,
+                    indent=1,
+                )
+            funnel["manifest_shards"] = len(manifest)
+        else:
+            curated.write.mode("overwrite").partitionBy("split").parquet(
+                docs_out
+            )
         if args.pack_budget > 0:
             staged = curated.withColumn("__toks", T.tokens(F.col("text")))
             chunks = staged.select(

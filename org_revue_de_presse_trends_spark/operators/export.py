@@ -106,9 +106,13 @@ def shard_manifest(
     n_shards: int,
     id_col: str,
     payload_cols: list[str],
+    extra_group_cols: list[str] | None = None,
 ) -> DataFrame:
     """(shard_id, n_rows, total_chars, checksum) per shard — the
     sidecar a reader uses to verify an export without sorting it.
+    ``extra_group_cols`` (e.g. the train/val/test split) prepend to
+    the grouping so a split-partitioned export gets one manifest row
+    per (split, shard).
 
     checksum = SUM(60-bit row digest) accumulated exactly in
     decimal(38,0), reduced mod 2^61-1, cast BIGINT; total_chars =
@@ -118,14 +122,16 @@ def shard_manifest(
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     _check_payload_types(df, id_col, payload_cols)
+    extra = list(extra_group_cols or [])
     canon = _canonical_expr("spark", id_col, payload_cols)
     return (
         df.selectExpr(
+            *extra,
             f"{shard_id_sql('spark', id_col, n_shards)} AS shard_id",
             f"{row_checksum_sql('spark', id_col, payload_cols)} AS __ck",
             f"length({canon}) AS __len",
         )
-        .groupBy("shard_id")
+        .groupBy(*extra, "shard_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.sum(F.col("__len").cast("long")).alias("total_chars"),

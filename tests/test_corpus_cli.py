@@ -110,6 +110,51 @@ def test_prepare_corpus_classifier_stage(spark, tmp_path):
     assert funnel["output"] == funnel["exact_dedup"]
 
 
+def test_prepare_corpus_sharded_export_verifies(spark, tmp_path):
+    """--shards: the written (split, shard) layout must reproduce the
+    manifest.json sidecar when recomputed from the files, and a rerun
+    is manifest-identical — the export-integrity loop the operator
+    promises, driven through the CLI surface."""
+    from org_revue_de_presse_trends_spark.operators.export import (
+        shard_manifest,
+    )
+
+    out = str(tmp_path / "corpus")
+    args = ["--source-dir", SF, "--out-dir", out, "--shards", "4"]
+    assert main(args, spark=spark) == 0
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    assert man["n_shards"] == 4
+    docs = spark.read.parquet(os.path.join(out, "documents"))
+    got = sorted(
+        (r["split"], r["shard_id"], r["n_rows"], r["total_chars"],
+         r["checksum"])
+        for r in shard_manifest(
+            docs.select("split", "doc_id", "text"), 4, "doc_id",
+            ["text"], extra_group_cols=["split"],
+        ).collect()
+    )
+    want = sorted(
+        (s["split"], s["shard_id"], s["n_rows"], s["total_chars"],
+         s["checksum"])
+        for s in man["shards"]
+    )
+    assert got == want and len(want) > 0
+    # the physical shard dirs agree with the manifest membership
+    counts = {
+        (r["split"], r["shard_id"]): r["n"]
+        for r in docs.groupBy("split", "shard_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert counts == {(s, sh): n for s, sh, n, _c, _k in want}
+    funnel = json.load(open(os.path.join(out, "funnel.json")))
+    assert funnel["manifest_shards"] == len(want)
+    assert sum(n for _s, _sh, n, _c, _k in want) == funnel["output"]
+    # rerun: overwrite in place, manifest byte-identical
+    assert main(args, spark=spark) == 0
+    assert json.load(open(os.path.join(out, "manifest.json"))) == man
+
+
 def test_prepare_corpus_rerun_is_deterministic(spark, tmp_path):
     from org_revue_de_presse_trends_spark.catalog import load_table
 
