@@ -33,73 +33,38 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (emitted first); the previous rotation returns to registration
 #: order.  tests/test_driver_contract.py pins both resulting sets.
 #:
-#: r10 batch (r9 verdict item 1): ALL 47 oracled queries that had
-#: never carried driver evidence rotate in at once — the TPC-H q4-q22
-#: long tail (14), the four r9 oracles (md5 siblings + classifier
-#: AUC), the r7b source-stats family, and the doc-quality/decon long
-#: tail — plus three stable veterans to fill the 50-slot window.
-#: After CORRECTNESS_r10 this makes every oracled query driver-green
-#: cumulative (140/140).  The r9 batch (eval octet, URL family,
-#: q2/q11) went 15/15 driver-green in CORRECTNESS_r09 and returns to
-#: overflow.
+#: r11 batch (r10 verdict item 1): LEAD with doc_shard_manifest — the
+#: one oracled query registered past the window in r10, hence the only
+#: one with no driver evidence — then recycle OLDEST-verified first:
+#: the 14 r6-era veterans, the 14 r7-era, the 15 r8-era, and six of
+#: the r9 batch fill the window to 50 (order computed from the
+#: CORRECTNESS_r01..r10 archives: last-verified round ascending, then
+#: registration order).  The r10 batch (TPC-H tail, md5 siblings,
+#: source-stats, decon/doc-quality) went 50/50 driver-green in
+#: CORRECTNESS_r10 and returns to overflow.
 WINDOW_ROTATION = [
-    # TPC-H q4-q22 long tail — never driver-verified until now
-    "q4_priority_with_late_lines",
-    "q6_forecast_revenue_change",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q10_returned_item_customers",
-    "q12_priority_by_lateness",
-    "q14_promo_revenue_ratio",
-    "q15_top_suppliers",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_bracket_revenue",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    # the four r9 oracles
-    "dedup_minhash_md5",
-    "dedup_simhash_md5",
-    "doc_winnow_fingerprints_md5",
-    "doc_lang_classifier_auc",
-    # decontamination / span-dedup family
-    "doc_decontamination",
-    "doc_span_decontaminated",
-    "doc_span_dedup_keep_first",
-    "doc_duplicate_spans",
-    "doc_repetition_signals",
-    "doc_bloom_contamination",
-    "doc_overlap_pairs",
-    # r7b source-stats family
-    "source_zipf_slope",
-    "vocab_coverage_curve",
-    "source_js_divergence",
-    "source_data_card",
-    "source_ngram_overlap",
-    "token_bigram_pmi",
-    # doc-quality / curation long tail
-    "doc_gopher_rules",
-    "doc_pii_redaction",
-    "doc_dsir_importance",
-    "doc_weighted_sample",
-    "doc_split_counts",
-    "doc_unigram_surprisal",
-    "doc_token_entropy",
-    "doc_perplexity_buckets",
-    "doc_contrastive_negatives",
-    "doc_bm25_rarest_terms",
-    "doc_token_chunks",
-    "doc_nfc_normalization",
-    # remaining never-verified analytics
-    "orders_nearby_count",
-    "orders_profile",
-    "events_daily_dense",
-    "event_type_daily_bursts",
-    # three stable veterans filling the window to 50
-    "q1_pricing_summary",
-    "daily_top_events",
-    "events_daily_counts",
+    "doc_shard_manifest", "rolling_30d_customer_revenue",
+    "doc_token_stats", "doc_quality_scores", "doc_lang_id", "doc_chunks",
+    "vocab_top_tokens", "doc_top_tfidf_terms", "dedup_exact_docs",
+    "dedup_ngram_jaccard", "dedup_clusters", "embedding_near_dup",
+    "corpus_selection", "doc_embedding_join", "ann_cosine_topk",
+    "split_leakage_counts", "source_overlap_kmv", "events_zorder_keys",
+    "doc_boilerplate_removal", "dedup_edit_distance",
+    "dedup_edit_distance_bounded", "user_event_type_scd2",
+    "customer_state_merge", "orders_hll_distinct_custkeys",
+    "value_bootstrap_ci", "value_histogram_quantiles",
+    "embedding_pca_covariance", "event_type_pagerank",
+    "doc_centrality_pagerank", "customer_order_distribution",
+    "funnel_view_click_purchase", "user_retention_cohorts",
+    "event_type_transitions", "funnel_sliding_window",
+    "doc_exact_substring_dedup", "user_heavy_hitters_cms",
+    "doc_lm_stupid_backoff", "doc_lm_kneser_ney", "value_moments_by_type",
+    "value_drift_psi", "orders_quality_report",
+    "value_ks_click_vs_purchase", "customer_directory_fuzzy_link",
+    "doc_neardup_clustering", "q3_top_revenue_orders",
+    "q5_supplier_nation_revenue", "events_json_extract",
+    "orders_excluding_building_anti", "orders_of_building_semi",
+    "orders_left_join_big_lines",
 ]
 
 
