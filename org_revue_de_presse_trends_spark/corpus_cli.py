@@ -95,7 +95,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "manifest.json with per-(split, shard) row counts "
                    "and order-independent content checksums "
                    "(operators/export.py) — the sidecar a downstream "
-                   "reader verifies the export against (0 disables)")
+                   "reader verifies the export against: "
+                   "export.read_manifest_json + export.verify_export("
+                   "..., extra_group_cols=['split']).  checksum/"
+                   "total_chars are serialized as decimal STRINGS "
+                   "(values reach 2^61-1, past JS's 2^53 safe-integer "
+                   "range) (0 disables)")
     p.add_argument("--quality-gate", action="store_true",
                    help="run the declarative constraint suite "
                    "(operators/checks.py) on the INPUT before any "
@@ -281,11 +286,18 @@ def main(argv: list[str] | None = None,
         os.makedirs(args.out_dir, exist_ok=True)
         docs_out = os.path.join(args.out_dir, "documents")
         if args.shards > 0:
-            from .operators.export import shard_id_sql, shard_manifest
+            from .operators.export import (
+                manifest_to_json_dict,
+                repartition_for_shards,
+                shard_id_sql,
+                shard_manifest,
+            )
 
             # deterministic hash shards nested under the split dirs,
             # plus the order-independent checksum manifest a reader
-            # verifies the export against (operators/export.py)
+            # verifies the export against (operators/export.py:
+            # read_manifest_json + verify_export(extra_group_cols=
+            # ['split']))
             manifest = shard_manifest(
                 curated.select("split", "doc_id", "text"),
                 args.shards,
@@ -293,13 +305,13 @@ def main(argv: list[str] | None = None,
                 ["text"],
                 extra_group_cols=["split"],
             ).collect()
+            sharded = curated.selectExpr(
+                "*",
+                f"{shard_id_sql('spark', 'doc_id', args.shards)}"
+                " AS shard_id",
+            )
             (
-                curated.selectExpr(
-                    "*",
-                    f"{shard_id_sql('spark', 'doc_id', args.shards)}"
-                    " AS shard_id",
-                )
-                .repartition(args.shards, F.col("shard_id"))
+                repartition_for_shards(sharded, args.shards)
                 .write.mode("overwrite")
                 .partitionBy("split", "shard_id")
                 .parquet(docs_out)
@@ -308,12 +320,9 @@ def main(argv: list[str] | None = None,
                 os.path.join(args.out_dir, "manifest.json"), "w"
             ) as f:
                 json.dump(
-                    {
-                        "n_shards": args.shards,
-                        "id_col": "doc_id",
-                        "payload_cols": ["text"],
-                        "shards": [r.asDict() for r in manifest],
-                    },
+                    manifest_to_json_dict(
+                        manifest, args.shards, "doc_id", ["text"]
+                    ),
                     f,
                     indent=1,
                 )

@@ -56,13 +56,18 @@ _SEP = "\x1f"
 #: documented above)
 _NULL = "\x1fNULL"
 
-_INTISH = ("int", "bigint", "smallint", "tinyint", "long")
+_INTISH = ("int", "bigint", "smallint", "tinyint")
 
 
 def _canonical_expr(engine: str, id_col: str, payload_cols: list[str]) -> str:
-    """`id <US> col1 <US> col2 ...` with NULL sentinels, per engine."""
+    """`id <US> col1 <US> col2 ...` with NULL sentinels, per engine.
+
+    The id is NULL-guarded like the payloads: without the coalesce a
+    NULL id nulls the whole || chain in BOTH engines, so the row would
+    count in n_rows but silently vanish from checksum/total_chars —
+    payload corruption on NULL-id rows invisible to the manifest."""
     e_str = "STRING" if engine == "spark" else "VARCHAR"
-    parts = [f"CAST({id_col} AS {e_str})"]
+    parts = [f"coalesce(CAST({id_col} AS {e_str}), '{_NULL}')"]
     parts += [
         f"coalesce(CAST({c} AS {e_str}), '{_NULL}')" for c in payload_cols
     ]
@@ -79,11 +84,16 @@ def row_checksum_sql(engine: str, id_col: str, payload_cols: list[str]) -> str:
 
 
 def shard_id_sql(engine: str, id_col: str, n_shards: int) -> str:
-    """Layout-independent shard assignment: md5-bucket of the ID."""
+    """Layout-independent shard assignment: md5-bucket of the ID.
+
+    NULL ids take the sentinel bucket (same coalesce as the canonical
+    string) so every row gets a real shard — an un-guarded NULL would
+    land in the Hive default partition on write and desync from the
+    manifest, which DOES count the row."""
     e_str = "STRING" if engine == "spark" else "VARCHAR"
+    guarded = f"coalesce(CAST({id_col} AS {e_str}), '{_NULL}')"
     return (
-        f"({md5_bucket_sql(engine, f'CAST({id_col} AS {e_str})', 6)}"
-        f" % {int(n_shards)})"
+        f"({md5_bucket_sql(engine, guarded, 6)} % {int(n_shards)})"
     )
 
 
@@ -94,10 +104,17 @@ def _check_payload_types(
     for c in [id_col, *payload_cols]:
         t = types.get(c, "?")
         if t != "string" and t not in _INTISH:
+            kind = (
+                "float" if t in ("float", "double")
+                else "decimal" if t.startswith("decimal")
+                else "temporal" if t in ("date", "timestamp", "timestamp_ntz")
+                else "non-scalar/unsupported"
+            )
             raise ValueError(
-                f"column {c!r} has type {t}: only string/integer "
-                "columns checksum identically across engines (float "
-                "formatting differs)"
+                f"column {c!r} has type {t} ({kind}): only string/integer "
+                "columns checksum identically across engines (their "
+                "CAST-to-string rendering is engine-independent; "
+                f"{kind} formatting is not)"
             )
 
 
@@ -171,6 +188,26 @@ def manifest_oracle_sql(
     """
 
 
+def merge_manifest_groups(manifest: DataFrame) -> DataFrame:
+    """Re-aggregate a group-split manifest (e.g. the CLI's
+    per-(split, shard) rows) down to one row per shard_id.
+
+    Exact by construction: n_rows/total_chars sum plainly, and the
+    checksum is a sum mod 2^61-1, so adding the per-group residues and
+    re-reducing gives the same value the ungrouped manifest computes
+    (modular addition is associative; each residue < 2^61 and group
+    counts are tiny, so the decimal(38,0) re-accumulation never
+    overflows)."""
+    return manifest.groupBy("shard_id").agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("total_chars").cast("long").alias("total_chars"),
+        F.expr(
+            "CAST(SUM(CAST(checksum AS DECIMAL(38,0)))"
+            f" % {CHECKSUM_MOD} AS BIGINT)"
+        ).alias("checksum"),
+    )
+
+
 def verify_export(
     spark,
     path: str,
@@ -178,36 +215,116 @@ def verify_export(
     n_shards: int,
     id_col: str,
     payload_cols: list[str],
+    extra_group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Reader-side integrity check: recompute the manifest from the
     files at ``path`` and FULL-OUTER-join it against the expected one
     — returns only mismatched shards (empty = export verified), with
     both sides' counts/checksums so a corrupt, truncated, or missing
     shard names itself.  The outer join (not inner) is the totality
-    rule: a shard absent on either side must surface, not vanish."""
+    rule: a shard absent on either side must surface, not vanish.
+
+    ``extra_group_cols`` must match how ``manifest`` was grouped: a
+    split-grouped manifest (the CLI's manifest.json) verifies against
+    a split-partitioned export with ``extra_group_cols=["split"]`` —
+    joining a grouped manifest on shard_id alone would duplicate want
+    rows per shard and flag every shard as corrupt.  Alternatively
+    pre-merge with :func:`merge_manifest_groups` and verify per-shard
+    only."""
+    extra = list(extra_group_cols or [])
+    keys = [*extra, "shard_id"]
     got = shard_manifest(
-        spark.read.parquet(path).select(id_col, *payload_cols),
+        spark.read.parquet(path).select(id_col, *payload_cols, *extra),
         n_shards,
         id_col,
         payload_cols,
+        extra_group_cols=extra,
     ).select(
-        F.col("shard_id"),
+        *keys,
         F.col("n_rows").alias("got_rows"),
         F.col("total_chars").alias("got_chars"),
         F.col("checksum").alias("got_checksum"),
     )
     want = manifest.select(
-        F.col("shard_id"),
+        *keys,
         F.col("n_rows").alias("want_rows"),
         F.col("total_chars").alias("want_chars"),
         F.col("checksum").alias("want_checksum"),
     )
-    return want.join(got, "shard_id", "full_outer").filter(
+    return want.join(got, keys, "full_outer").filter(
         ~(
             F.col("got_rows").eqNullSafe(F.col("want_rows"))
             & F.col("got_chars").eqNullSafe(F.col("want_chars"))
             & F.col("got_checksum").eqNullSafe(F.col("want_checksum"))
         )
+    )
+
+
+def _bijective_partition_keys(spark, n: int) -> list[int]:
+    """For each bucket b in [0, n), a BIGINT k with
+    ``pmod(hash(k), n) == b`` — computed BY Spark (one tiny job over a
+    range, bounded by n, never by data) so the probe hash can never
+    drift from the Murmur3 the exchange actually uses."""
+    found: dict[int, int] = {}
+    start = 0
+    while len(found) < n:
+        rows = (
+            spark.range(start, start + 64 * n)
+            .select(
+                "id", F.pmod(F.hash(F.col("id")), F.lit(n)).alias("b")
+            )
+            .groupBy("b")
+            .agg(F.min("id").alias("k"))
+            .collect()
+        )
+        for r in rows:
+            found.setdefault(r["b"], r["k"])
+        start += 64 * n
+    return [found[b] for b in range(n)]
+
+
+def repartition_for_shards(
+    df: DataFrame,
+    n_shards: int,
+    files_per_shard: int = 1,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Exactly-one-task-per-(shard, file-slot) repartition for the
+    write stage.  ``df`` must carry a ``shard_id`` column.
+
+    A plain ``repartition(n_shards, shard_id)`` hash-partitions the
+    n_shards distinct values into n_shards buckets — NOT a bijection:
+    ~1/e of tasks end up empty and some tasks write 2-3 whole shards'
+    bytes (parallelism silently ~63% of nominal; at 100 TB a
+    doubled-up task is the write-stage straggler).  Instead we map
+    each (shard_id, slot) to a pre-searched key whose Murmur3 lands in
+    its own partition, so the exchange is exactly balanced: task i
+    writes shard i//files_per_shard, slot i%files_per_shard, nothing
+    else.  ``files_per_shard > 1`` splits each shard across that many
+    tasks (slot = md5 of the row id, layout-independent; pass
+    ``id_col``) when one shard's bytes exceed a healthy task output."""
+    if files_per_shard < 1:
+        raise ValueError("files_per_shard must be >= 1")
+    n = int(n_shards) * int(files_per_shard)
+    keys = _bijective_partition_keys(df.sparkSession, n)
+    arr = "array(" + ",".join(f"CAST({k} AS BIGINT)" for k in keys) + ")"
+    if files_per_shard == 1:
+        bucket = "CAST(shard_id AS INT)"
+    else:
+        if id_col is None:
+            raise ValueError("files_per_shard > 1 requires id_col")
+        guarded = (
+            f"coalesce(CAST({id_col} AS STRING), '{_NULL}')"
+        )
+        slot = md5_bucket_sql("spark", f"'slot' || {guarded}", 6)
+        bucket = (
+            f"CAST(shard_id AS INT) * {int(files_per_shard)}"
+            f" + CAST({slot} % {int(files_per_shard)} AS INT)"
+        )
+    return (
+        df.withColumn("__pk", F.expr(f"element_at({arr}, ({bucket}) + 1)"))
+        .repartition(n, F.col("__pk"))
+        .drop("__pk")
     )
 
 
@@ -218,20 +335,76 @@ def write_shards(
     id_col: str,
     payload_cols: list[str],
     mode: str = "overwrite",
+    files_per_shard: int = 1,
 ) -> DataFrame:
     """Write `df` as `path/shard_id=K/` parquet shards plus return the
     manifest (computed from the INPUT frame; a reader recomputing it
     from the written files must reproduce it — that round-trip is the
-    export-integrity test).  One hash repartition co-locates each
-    shard into one task's output files."""
+    export-integrity test).  The repartition is an exact bijection
+    onto write tasks (see :func:`repartition_for_shards`), so every
+    shard directory is written by exactly ``files_per_shard`` tasks."""
     manifest = shard_manifest(df, n_shards, id_col, payload_cols)
     out = df.selectExpr(
         "*", f"{shard_id_sql('spark', id_col, n_shards)} AS shard_id"
     )
     (
-        out.repartition(n_shards, F.col("shard_id"))
+        repartition_for_shards(out, n_shards, files_per_shard, id_col)
         .write.mode(mode)
         .partitionBy("shard_id")
         .parquet(path)
     )
     return manifest
+
+
+def manifest_to_json_dict(
+    manifest_rows, n_shards: int, id_col: str, payload_cols: list[str]
+) -> dict:
+    """The manifest.json sidecar payload.  checksum and total_chars
+    are serialized as DECIMAL STRINGS: checksums range up to 2^61-1,
+    above JavaScript's 2^53 safe-integer limit, so a JSON.parse-based
+    downstream reader would silently round a raw integer and every
+    shard would then fail verification."""
+    return {
+        "n_shards": int(n_shards),
+        "id_col": id_col,
+        "payload_cols": list(payload_cols),
+        "shards": [
+            {
+                k: (str(v) if k in ("checksum", "total_chars") else v)
+                for k, v in r.asDict().items()
+            }
+            for r in manifest_rows
+        ],
+    }
+
+
+def read_manifest_json(spark, path: str) -> DataFrame:
+    """Load a manifest.json sidecar back into the DataFrame shape
+    :func:`verify_export` expects (string-serialized counters are
+    restored to BIGINT; any extra group columns, e.g. ``split``, are
+    preserved ahead of shard_id)."""
+    import json as _json
+
+    with open(path) as f:
+        doc = _json.load(f)
+    shards = doc["shards"]
+    if not shards:
+        raise ValueError(f"manifest at {path} lists no shards")
+    extra = [
+        k
+        for k in shards[0]
+        if k not in ("shard_id", "n_rows", "total_chars", "checksum")
+    ]
+    rows = [
+        tuple(
+            [*(s[k] for k in extra), int(s["shard_id"]), int(s["n_rows"]),
+             int(s["total_chars"]), int(s["checksum"])]
+        )
+        for s in shards
+    ]
+    schema = ", ".join(
+        [*(f"{k} string" for k in extra),
+         "shard_id long", "n_rows long", "total_chars long",
+         "checksum long"]
+    )
+    return spark.createDataFrame(rows, schema)

@@ -116,7 +116,9 @@ def test_prepare_corpus_sharded_export_verifies(spark, tmp_path):
     is manifest-identical — the export-integrity loop the operator
     promises, driven through the CLI surface."""
     from org_revue_de_presse_trends_spark.operators.export import (
+        read_manifest_json,
         shard_manifest,
+        verify_export,
     )
 
     out = str(tmp_path / "corpus")
@@ -124,6 +126,12 @@ def test_prepare_corpus_sharded_export_verifies(spark, tmp_path):
     assert main(args, spark=spark) == 0
     man = json.load(open(os.path.join(out, "manifest.json")))
     assert man["n_shards"] == 4
+    # checksum/total_chars are decimal STRINGS in the sidecar (values
+    # reach 2^61-1, past JS's 2^53 safe-integer range)
+    assert all(
+        isinstance(s["checksum"], str) and isinstance(s["total_chars"], str)
+        for s in man["shards"]
+    )
     docs = spark.read.parquet(os.path.join(out, "documents"))
     got = sorted(
         (r["split"], r["shard_id"], r["n_rows"], r["total_chars"],
@@ -134,8 +142,8 @@ def test_prepare_corpus_sharded_export_verifies(spark, tmp_path):
         ).collect()
     )
     want = sorted(
-        (s["split"], s["shard_id"], s["n_rows"], s["total_chars"],
-         s["checksum"])
+        (s["split"], s["shard_id"], s["n_rows"], int(s["total_chars"]),
+         int(s["checksum"]))
         for s in man["shards"]
     )
     assert got == want and len(want) > 0
@@ -150,6 +158,17 @@ def test_prepare_corpus_sharded_export_verifies(spark, tmp_path):
     funnel = json.load(open(os.path.join(out, "funnel.json")))
     assert funnel["manifest_shards"] == len(want)
     assert sum(n for _s, _sh, n, _c, _k in want) == funnel["output"]
+    # the DOCUMENTED reader-side loop composes end-to-end: load the
+    # split-grouped sidecar and verify the split-partitioned export
+    # (r10 advice: joining it on shard_id alone flagged every shard)
+    loaded = read_manifest_json(spark, os.path.join(out, "manifest.json"))
+    assert (
+        verify_export(
+            spark, os.path.join(out, "documents"), loaded, 4,
+            "doc_id", ["text"], extra_group_cols=["split"],
+        ).count()
+        == 0
+    )
     # rerun: overwrite in place, manifest byte-identical
     assert main(args, spark=spark) == 0
     assert json.load(open(os.path.join(out, "manifest.json"))) == man

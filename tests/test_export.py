@@ -160,6 +160,7 @@ def test_manifest_cross_engine_on_adversarial_strings(spark, duck, tmp_path):
         (8, "x" * 5000),
         (9, "trailing space "),
         (10, "quote ' and \" chars"),
+        (None, "null id row"),
     ]
     p = str(tmp_path / "adv.parquet")
     spark.createDataFrame(rows, "doc_id long, text string").coalesce(
@@ -176,6 +177,145 @@ def test_manifest_cross_engine_on_adversarial_strings(spark, duck, tmp_path):
     want = sorted(map(tuple, duck.execute(oracle).fetchall()))
     assert got == want
     assert sum(r[1] for r in got) == len(rows)
+
+
+def test_null_id_rows_are_fully_manifested(spark):
+    """r10 advice: a NULL id must not null the canonical chain — the
+    row has to land in a REAL shard and move the checksum, or payload
+    corruption on NULL-id rows is invisible to the manifest."""
+    a = spark.createDataFrame(
+        [(None, "payload A"), (1, "x")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(None, "payload B"), (1, "x")], "doc_id long, text string"
+    )
+    ma = _manifest_rows(a, n_shards=4)
+    mb = _manifest_rows(b, n_shards=4)
+    assert ma != mb  # NULL-id payload change moves a checksum
+    assert all(r[0] is not None for r in ma)  # real shard, never NULL
+    assert sum(r[1] for r in ma) == 2  # and it is counted
+
+
+def test_merge_manifest_groups_equals_ungrouped(spark):
+    """The CLI's per-(split, shard) manifest re-aggregates EXACTLY to
+    the per-shard one — modular addition of the residues commutes with
+    the grouping."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    docs = docs.withColumn("split", F.expr("CASE WHEN doc_id % 3 = 0 THEN 'a' WHEN doc_id % 3 = 1 THEN 'b' ELSE 'c' END"))
+    grouped = X.shard_manifest(
+        docs, 4, "doc_id", ["text"], extra_group_cols=["split"]
+    )
+    assert grouped.count() > 4  # actually split-grouped
+    merged = sorted(map(tuple, X.merge_manifest_groups(grouped).collect()))
+    plain = _manifest_rows(docs.select("doc_id", "text"))
+    assert merged == plain
+
+
+def test_verify_export_with_extra_group_cols(spark, tmp_path):
+    """End-to-end on a split-partitioned layout: a split-grouped
+    manifest verifies clean with extra_group_cols=['split'] (the r10
+    advice bug: joined on shard_id alone, every clean shard flagged),
+    and a corrupt row flags exactly its (split, shard) cell."""
+    docs = (
+        load_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .withColumn(
+            "split", F.expr("CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'val' END")
+        )
+    )
+    path = str(tmp_path / "split_shards")
+    manifest = X.shard_manifest(
+        docs, 4, "doc_id", ["text"], extra_group_cols=["split"]
+    ).localCheckpoint()
+    sharded = docs.selectExpr(
+        "*", f"{X.shard_id_sql('spark', 'doc_id', 4)} AS shard_id"
+    )
+    (
+        X.repartition_for_shards(sharded, 4)
+        .write.mode("overwrite")
+        .partitionBy("split", "shard_id")
+        .parquet(path)
+    )
+    assert (
+        X.verify_export(
+            spark, path, manifest, 4, "doc_id", ["text"],
+            extra_group_cols=["split"],
+        ).count()
+        == 0
+    )
+    # corrupt one row -> exactly one (split, shard) cell flags
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 7, F.lit("corrupted")).otherwise(
+            F.col("text")
+        ),
+    )
+    sharded2 = mutated.selectExpr(
+        "*", f"{X.shard_id_sql('spark', 'doc_id', 4)} AS shard_id"
+    )
+    (
+        X.repartition_for_shards(sharded2, 4)
+        .write.mode("overwrite")
+        .partitionBy("split", "shard_id")
+        .parquet(path)
+    )
+    bad = X.verify_export(
+        spark, path, manifest, 4, "doc_id", ["text"],
+        extra_group_cols=["split"],
+    ).collect()
+    assert len(bad) == 1
+    assert bad[0]["got_checksum"] != bad[0]["want_checksum"]
+
+
+def test_manifest_json_round_trip(spark, tmp_path):
+    """manifest_to_json_dict serializes the >2^53 counters as decimal
+    strings; read_manifest_json restores them to exact BIGINTs —
+    including a checksum above JS's safe-integer range."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    rows = X.shard_manifest(docs, 3, "doc_id", ["text"]).collect()
+    doc = X.manifest_to_json_dict(rows, 3, "doc_id", ["text"])
+    assert all(isinstance(s["checksum"], str) for s in doc["shards"])
+    import json as _json
+
+    p = str(tmp_path / "manifest.json")
+    with open(p, "w") as f:
+        _json.dump(doc, f)
+    back = {
+        r["shard_id"]: (r["n_rows"], r["total_chars"], r["checksum"])
+        for r in X.read_manifest_json(spark, p).collect()
+    }
+    assert back == {
+        r["shard_id"]: (r["n_rows"], r["total_chars"], r["checksum"])
+        for r in rows
+    }
+    # at least one fixture checksum actually exceeds 2^53 (the trap is
+    # live, not hypothetical)
+    assert any(ck > (1 << 53) for (_n, _c, ck) in back.values())
+
+
+def test_write_tasks_bijective_onto_shards(spark, tmp_path):
+    """r10 verdict: repartition(n, shard_id) is not a bijection (~1/e
+    of tasks empty, some writing 2-3 shards).  The pre-searched-key
+    repartition gives every shard directory exactly files_per_shard
+    part files — one task per (shard, slot), no stragglers."""
+    import glob as _glob
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    path = str(tmp_path / "bij")
+    X.write_shards(docs, path, 8, "doc_id", ["text"])
+    for s in range(8):
+        files = _glob.glob(f"{path}/shard_id={s}/part-*.parquet")
+        assert len(files) == 1, f"shard {s}: {len(files)} part files"
+    # files_per_shard=2 splits each shard across exactly two tasks
+    path2 = str(tmp_path / "bij2")
+    X.write_shards(docs, path2, 4, "doc_id", ["text"], files_per_shard=2)
+    for s in range(4):
+        files = _glob.glob(f"{path2}/shard_id={s}/part-*.parquet")
+        assert len(files) == 2, f"shard {s}: {len(files)} part files"
+    # and the content is unchanged by the slot split
+    a = _manifest_rows(spark.read.parquet(path).select("doc_id", "text"), 8)
+    b = _manifest_rows(docs, 8)
+    assert a == b
 
 
 def test_guards(spark):
