@@ -25,6 +25,11 @@ the same *semantics* with late-data tolerance:
   (distinct counts by replay-safe max-merge; quantiles and exact
   tie-corrected AUC by per-batch-delta sum-merge), state bounded by
   the sketch size forever.
+- ``foreach_batch_shard_manifest`` — continuous shard export with a
+  live order-independent content manifest: the mod-2^61-1 checksums
+  of ``operators/export.py`` are sum-mergeable by construction, so
+  per-batch partial manifests fold exactly into the one-shot batch
+  manifest.
 """
 
 from __future__ import annotations
@@ -472,6 +477,101 @@ def foreach_batch_burst_detect(
                         f"compact rename failed: {tmp} -> {dst}"
                     )
             # (5) GC superseded dirs — reader already ignores them
+            for k, p in deltas.items():
+                if k <= batch_id:
+                    fs.delete(hpath(p), True)
+            for k, p in compacts.items():
+                fs.delete(hpath(p), True)
+
+    return run
+
+
+def foreach_batch_shard_manifest(
+    spark,
+    data_path: str,
+    manifest_path: str,
+    n_shards: int,
+    id_col: str,
+    payload_cols: list[str],
+    compact_every: int = 8,
+) -> Callable[[DataFrame, int], None]:
+    """Continuous shard export: append-only document ingest into
+    deterministic md5 shards WITH a live order-independent content
+    manifest (`operators/export.py` extended to streams — the
+    checksums are sum-mergeable mod 2^61-1 by construction, so a
+    stream of per-batch partial manifests folds EXACTLY into the
+    manifest a one-shot batch export would compute).
+
+    IDEMPOTENT under foreachBatch's at-least-once replay (the
+    ``foreach_batch_burst_detect`` delta + compaction-marker
+    discipline):
+
+    - data: each batch writes its rows to ``<data>/batch_id=N/
+      shard_id=K/`` (overwrite — a replayed batch rewrites identical
+      content, never appends twice).  The corpus is the union of batch
+      dirs; a row's shard is a pure function of its id, so shard K's
+      bytes are ``<data>/batch_id=*/shard_id=K`` regardless of
+      arrival order.
+    - manifest: the batch's per-shard partial manifest goes to
+      ``<manifest>/delta/batch_id=N``; the CURRENT manifest
+      (``<manifest>/current``) is recomputed every batch as the exact
+      modular merge (`merge_manifest_groups`) of the max compaction
+      marker + live deltas — derived state, regenerated on replay.
+    - compaction: > ``compact_every`` live deltas fold into
+      ``<manifest>/compact/upto=N+1`` via temp-write + atomic rename;
+      readers take the MAX marker and ignore older dirs, so GC is safe
+      at any time.
+
+    A reader verifies the running export with ``verify_export(spark,
+    data_path, read current manifest, ...)`` — the same sidecar loop
+    as the batch CLI."""
+    from ..operators.export import (
+        merge_manifest_groups,
+        shard_id_sql,
+        shard_manifest,
+    )
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        hpath = spark._jvm.org.apache.hadoop.fs.Path
+        fs = hpath(manifest_path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        delta_root = f"{manifest_path}/delta"
+        compact_root = f"{manifest_path}/compact"
+        # (1) idempotent per-batch data dir, sharded like the batch CLI
+        (
+            batch_df.selectExpr(
+                "*",
+                f"{shard_id_sql('spark', id_col, n_shards)} AS shard_id",
+            )
+            .write.mode("overwrite")
+            .partitionBy("shard_id")
+            .parquet(f"{data_path}/batch_id={batch_id}")
+        )
+        # (2) idempotent per-batch partial manifest (already-reduced
+        # residues; modular addition makes them exactly mergeable)
+        shard_manifest(
+            batch_df.select(id_col, *payload_cols),
+            n_shards,
+            id_col,
+            payload_cols,
+        ).write.mode("overwrite").parquet(f"{delta_root}/batch_id={batch_id}")
+        # (3) current manifest = exact merge of marker + live deltas
+        compacts = _numbered_subdirs(fs, hpath, compact_root, "upto=")
+        upto = max(compacts) if compacts else 0
+        deltas = _numbered_subdirs(fs, hpath, delta_root, "batch_id=")
+        live = [p for k, p in deltas.items() if k >= upto]
+        paths = ([compacts[upto]] if compacts else []) + live
+        merged = merge_manifest_groups(spark.read.parquet(*paths))
+        merged.write.mode("overwrite").parquet(f"{manifest_path}/current")
+        # (4) compaction + GC (reader already ignores superseded dirs)
+        if len(live) > compact_every:
+            dst = hpath(f"{compact_root}/upto={batch_id + 1}")
+            if not fs.exists(dst):
+                tmp = f"{compact_root}/_tmp_upto={batch_id + 1}"
+                merged.write.mode("overwrite").parquet(tmp)
+                if not fs.rename(hpath(tmp), dst):
+                    raise IOError(f"compact rename failed: {tmp} -> {dst}")
             for k, p in deltas.items():
                 if k <= batch_id:
                     fs.delete(hpath(p), True)
