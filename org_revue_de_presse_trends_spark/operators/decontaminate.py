@@ -395,6 +395,16 @@ def remove_duplicate_spans(
     shorter than ``n`` tokens participate via their whole-text
     fingerprint, so exact-duplicate short docs are cut whole.
     """
+    # Dead end (r11), closing the variant the r8b note left
+    # unmeasured: localCheckpoint(ends_all) + map-side-combined
+    # groupBy(h) + AQE-broadcast semi join — interleaved best-of-5 at
+    # sf0.1 with a doc_overlap_pairs anchor measured 1.81 → 2.04 s min
+    # (anchor-normalized still a loss): the fingerprint-stream
+    # materialization costs more than the sort the window pays, and
+    # the window's single exchange already map-side-aggregates
+    # nothing it doesn't need.  Both join-shaped variants are now
+    # measured losses (r8b: un-checkpointed semi 1.4× slower; r11:
+    # checkpointed semi ~1.15× slower).  The window stays.
     ends_all = _ngram_hash_ends(
         docs, doc_id_col, doc_text_col, n, "id", block_tokens
     )

@@ -64,9 +64,11 @@ def _pagerank_driver(
             Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
         )
 
-    out_w = {}
+    # rows are the RAW (src, dst, w) edges; out-weights are exact
+    # Python-int sums, identical to Spark's integer SUM
+    out_w: dict = {}
     for r in rows:
-        out_w[r["src"]] = r["out_w"]  # pre-joined, identical per src
+        out_w[r["src"]] = out_w.get(r["src"], 0) + r["w"]
     nodes = sorted(
         {r["src"] for r in rows} | {r["dst"] for r in rows}
     )
@@ -76,7 +78,7 @@ def _pagerank_driver(
         mass = {n: 0 for n in nodes}
         for r in rows:
             c = damping * float(rank[r["src"]]) * float(r["w"]) / float(
-                r["out_w"]
+                out_w[r["src"]]
             )
             mass[r["dst"]] += _round_half_up(c)
         rank = {n: base + mass[n] for n in nodes}
@@ -133,19 +135,31 @@ def weighted_pagerank(
         F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("long").alias("w"),
     ).where(F.col("w") > 0)
+    if small_graph_max:
+        # gate on the RAW edge list: the driver path computes out_w
+        # itself (exact Python-int sums == Spark's SUM), so the small
+        # graph never pays the out_w groupBy + join + the wider joined
+        # materialization.  r11 interleaved best-of-5 at sf0.1
+        # (doc_overlap_pairs anchor, anchor-normalized):
+        # event_type_pagerank 1.24 → 1.08 s median on a ~7%-slower
+        # host (clear win), doc_centrality_pagerank ~6% (its cost is
+        # the pair join, not the rank tail); bit-identical goldens.
+        e = e.localCheckpoint()
+        if e.count() <= small_graph_max:
+            return _pagerank_driver(
+                edges.sparkSession,
+                e.collect(),
+                iterations,
+                damping,
+                scale,
+                e.schema["src"].dataType,
+            )
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     # one materialization: the edge lineage (often a candidate-pair
-    # join) must not re-execute every round
+    # join) must not re-execute every round (with the gate on, both
+    # join sides read the raw checkpoint, so the pair lineage still
+    # runs once)
     e = e.join(out_w, "src").localCheckpoint()
-    if small_graph_max and e.count() <= small_graph_max:
-        return _pagerank_driver(
-            edges.sparkSession,
-            e.collect(),
-            iterations,
-            damping,
-            scale,
-            e.schema["src"].dataType,
-        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
