@@ -356,6 +356,136 @@ def write_shards(
     return manifest
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Content diff between two corpus versions: one row per id whose
+    CONTENT differs — ``status`` in ``added`` (id only in new),
+    ``removed`` (only in old), ``changed`` (both, different canonical
+    digest).  Unchanged rows are absent (the overwhelmingly common
+    case in a re-crawl, so the output is |delta|-sized, never
+    |corpus|-sized).
+
+    Mechanics: each side reduces to (id, 60-bit row digest, canonical
+    length) — one narrow map over the scan — then a single full-outer
+    hash join on id classifies.  Totality: the outer join surfaces
+    ids missing on either side (the verify_export rule).  Equality is
+    digest equality (collision probability 2⁻⁶⁰ per row — the
+    doc_duplicate_spans discipline); length is carried as the cheap
+    secondary invariant.  NULL ids ride the same sentinel coalesce as
+    the manifest, so two NULL-id rows compare as one id."""
+    _check_payload_types(old, id_col, payload_cols)
+    _check_payload_types(new, id_col, payload_cols)
+    ck = row_checksum_sql("spark", id_col, payload_cols)
+    canon = _canonical_expr("spark", id_col, payload_cols)
+    key = f"coalesce(CAST({id_col} AS STRING), '{_NULL}')"
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.selectExpr(
+            f"{key} AS __key",
+            f"{id_col} AS {tag}_id",
+            f"{ck} AS {tag}_ck",
+            f"length({canon}) AS {tag}_len",
+        )
+
+    o = side(old, "old")
+    nw = side(new, "new")
+    return (
+        o.join(nw, "__key", "full_outer")
+        .withColumn(
+            "status",
+            F.expr(
+                "CASE WHEN old_ck IS NULL THEN 'added' "
+                "WHEN new_ck IS NULL THEN 'removed' "
+                "WHEN old_ck = new_ck AND old_len = new_len THEN NULL "
+                "ELSE 'changed' END"
+            ),
+        )
+        .filter(F.col("status").isNotNull())
+        .selectExpr(
+            f"coalesce(new_id, old_id) AS {id_col}",
+            "status",
+        )
+    )
+
+
+def manifest_diff(want: DataFrame, got: DataFrame) -> DataFrame:
+    """Shard-level diff of two manifests: shards whose
+    (n_rows, total_chars, checksum) triple moved, with both sides'
+    values (NULL on the absent side).  |shards|-sized — safe to
+    collect; :func:`corpus_diff_pruned` uses it to skip unchanged
+    shards entirely."""
+    w = want.select(
+        "shard_id",
+        F.col("n_rows").alias("want_rows"),
+        F.col("total_chars").alias("want_chars"),
+        F.col("checksum").alias("want_checksum"),
+    )
+    g = got.select(
+        "shard_id",
+        F.col("n_rows").alias("got_rows"),
+        F.col("total_chars").alias("got_chars"),
+        F.col("checksum").alias("got_checksum"),
+    )
+    return w.join(g, "shard_id", "full_outer").filter(
+        ~(
+            F.col("got_rows").eqNullSafe(F.col("want_rows"))
+            & F.col("got_chars").eqNullSafe(F.col("want_chars"))
+            & F.col("got_checksum").eqNullSafe(F.col("want_checksum"))
+        )
+    )
+
+
+def corpus_diff_pruned(
+    spark,
+    old_path: str,
+    new_path: str,
+    old_manifest: DataFrame,
+    new_manifest: DataFrame,
+    id_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """:func:`corpus_diff` between two ``write_shards`` exports,
+    reading ONLY the shards whose manifest row moved.
+
+    The 100 TB story: shard assignment is a pure function of the id
+    and checksums are order-independent, so a shard whose
+    (n_rows, total_chars, checksum) is identical in both manifests
+    provably contains no added/removed/changed row (any content
+    change moves the checksum up to the 2⁻⁶⁰ digest-collision bound,
+    and any membership change moves n_rows or the checksum).  A daily
+    re-crawl diff therefore scans only the moved shards: the shard_id
+    IN (...) filter lands on the Hive partition column, so partition
+    pruning skips unchanged shards at file-listing time — zero bytes
+    read from them.  The changed-shard list is |shards|-sized
+    (manifest algebra, one tiny collect), never corpus-sized."""
+    moved = [
+        r["shard_id"]
+        for r in manifest_diff(old_manifest, new_manifest)
+        .select("shard_id")
+        .collect()
+    ]
+    if not moved:
+        from pyspark.sql import types as T
+
+        id_field = spark.read.parquet(new_path).select(id_col).schema[0]
+        schema = T.StructType(
+            [id_field, T.StructField("status", T.StringType())]
+        )
+        return spark.createDataFrame([], schema)
+    o = spark.read.parquet(old_path).filter(F.col("shard_id").isin(moved))
+    n = spark.read.parquet(new_path).filter(F.col("shard_id").isin(moved))
+    return corpus_diff(
+        o.select(id_col, *payload_cols),
+        n.select(id_col, *payload_cols),
+        id_col,
+        payload_cols,
+    )
+
+
 def manifest_to_json_dict(
     manifest_rows, n_shards: int, id_col: str, payload_cols: list[str]
 ) -> dict:

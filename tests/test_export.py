@@ -318,6 +318,75 @@ def test_write_tasks_bijective_onto_shards(spark, tmp_path):
     assert a == b
 
 
+def _recrawl_for_diff(docs):
+    """A small planted delta: drop 7, change 11's text, add 9001."""
+    kept = docs.filter(F.col("doc_id") != 7)
+    changed = kept.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 11, F.concat(F.col("text"), F.lit("!")))
+        .otherwise(F.col("text")),
+    )
+    spark = docs.sparkSession
+    added = spark.createDataFrame(
+        [(9001, "brand new doc")], "doc_id long, text string"
+    )
+    return changed.unionByName(added)
+
+
+def test_corpus_diff_statuses(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    new = _recrawl_for_diff(docs)
+    got = {
+        r["doc_id"]: r["status"]
+        for r in X.corpus_diff(docs, new, "doc_id", ["text"]).collect()
+    }
+    assert got == {7: "removed", 11: "changed", 9001: "added"}
+    # identical corpora diff empty — even reordered/repartitioned
+    assert (
+        X.corpus_diff(
+            docs, docs.repartition(13, F.col("text")), "doc_id", ["text"]
+        ).count()
+        == 0
+    )
+
+
+def test_corpus_diff_pruned_equals_full_and_prunes(spark, tmp_path):
+    """The 100 TB path: the manifest-pruned diff must (a) equal the
+    full diff exactly, and (b) actually SKIP unchanged shards — pinned
+    by inputFiles(): only moved shard directories are listed."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    new = _recrawl_for_diff(docs)
+    p_old = str(tmp_path / "v1")
+    p_new = str(tmp_path / "v2")
+    m_old = X.write_shards(docs, p_old, 8, "doc_id", ["text"]).localCheckpoint()
+    m_new = X.write_shards(new, p_new, 8, "doc_id", ["text"]).localCheckpoint()
+    full = sorted(
+        map(tuple, X.corpus_diff(docs, new, "doc_id", ["text"]).collect())
+    )
+    pruned_df = X.corpus_diff_pruned(
+        spark, p_old, p_new, m_old, m_new, "doc_id", ["text"]
+    )
+    assert sorted(map(tuple, pruned_df.collect())) == full
+    # at most 3 shards moved (the 3 planted ids); every listed input
+    # file must belong to a moved shard directory
+    moved = {
+        r["shard_id"] for r in X.manifest_diff(m_old, m_new).collect()
+    }
+    assert 1 <= len(moved) <= 3
+    o = spark.read.parquet(p_old).filter(F.col("shard_id").isin(list(moved)))
+    files = [
+        r[0] for r in o.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files and all(
+        any(f"shard_id={s}/" in f for s in moved) for f in files
+    )
+    # identical manifests -> zero-row result WITHOUT reading any data
+    empty = X.corpus_diff_pruned(
+        spark, p_old, p_old, m_old, m_old, "doc_id", ["text"]
+    )
+    assert empty.count() == 0 and empty.columns == ["doc_id", "status"]
+
+
 def test_guards(spark):
     docs = load_table(spark, SF, "documents")
     with pytest.raises(ValueError, match="n_shards"):
