@@ -266,7 +266,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "doc_rule_agreement_kappa", "qty_price_spearman",
         "event_type_value_mi", "event_type_value_chi2",
         "doc_length_lang_auc_by_source", "doc_lang_classifier_auc",
-        "doc_corpus_diff",
+        "doc_corpus_diff", "doc_eval_carve",
     ], f"unexpected overflow oracled set: {overflow}"
 
 
