@@ -203,6 +203,8 @@ SECONDARY = [
     "doc_lang_classifier_weights",
     "doc_lang_classifier_auc",
     "doc_shard_manifest",
+    "doc_corpus_diff",
+    "doc_eval_carve",
 ]
 
 
