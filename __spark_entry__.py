@@ -42,6 +42,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: registration order).  The r10 batch (TPC-H tail, md5 siblings,
 #: source-stats, decon/doc-quality) went 50/50 driver-green in
 #: CORRECTNESS_r10 and returns to overflow.
+#:
+#: Late-r11 amendment: doc_corpus_diff + doc_eval_carve (registered
+#: AFTER this round's rotation commit, so otherwise driver-unverified
+#: until r12) displace the two youngest fills (orders_of_building_semi,
+#: orders_left_join_big_lines — both r9-verified): never-verified
+#: oracles always outrank recycling a veteran.
 WINDOW_ROTATION = [
     "doc_shard_manifest", "rolling_30d_customer_revenue",
     "doc_token_stats", "doc_quality_scores", "doc_lang_id", "doc_chunks",
@@ -63,8 +69,8 @@ WINDOW_ROTATION = [
     "value_ks_click_vs_purchase", "customer_directory_fuzzy_link",
     "doc_neardup_clustering", "q3_top_revenue_orders",
     "q5_supplier_nation_revenue", "events_json_extract",
-    "orders_excluding_building_anti", "orders_of_building_semi",
-    "orders_left_join_big_lines",
+    "orders_excluding_building_anti", "doc_corpus_diff",
+    "doc_eval_carve",
 ]
 
 

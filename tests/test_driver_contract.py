@@ -178,7 +178,9 @@ DRIVER_WINDOW = 50
 #: The r10 batch went 50/50 driver-green in CORRECTNESS_r10 and
 #: returned to the overflow set below, still gated by this file's
 #: per-query oracle test.  Changing the window is an explicit edit
-#: here, never a side effect of registering a new query.
+#: here, never a side effect of registering a new query.  Late-r11
+#: amendment: doc_corpus_diff + doc_eval_carve (registered after the
+#: rotation commit) displace the two youngest r9-verified fills.
 WINDOW_QUERIES = [
     "doc_shard_manifest", "rolling_30d_customer_revenue",
     "doc_token_stats", "doc_quality_scores", "doc_lang_id", "doc_chunks",
@@ -200,8 +202,8 @@ WINDOW_QUERIES = [
     "value_ks_click_vs_purchase", "customer_directory_fuzzy_link",
     "doc_neardup_clustering", "q3_top_revenue_orders",
     "q5_supplier_nation_revenue", "events_json_extract",
-    "orders_excluding_building_anti", "orders_of_building_semi",
-    "orders_left_join_big_lines",
+    "orders_excluding_building_anti", "doc_corpus_diff",
+    "doc_eval_carve",
 ]
 
 
@@ -226,6 +228,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
     overflow = [n for n in oracles if n not in window]
     assert overflow == [
         "q1_pricing_summary", "daily_top_events", "events_daily_counts",
+        "orders_of_building_semi", "orders_left_join_big_lines",
         "argmax_event_per_user", "asof_click_before_purchase",
         "topk_orders_paginated", "disjunctive_join_nation_customer",
         "rollup_order_stats", "union_order_variants",
@@ -266,7 +269,6 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "doc_rule_agreement_kappa", "qty_price_spearman",
         "event_type_value_mi", "event_type_value_chi2",
         "doc_length_lang_auc_by_source", "doc_lang_classifier_auc",
-        "doc_corpus_diff", "doc_eval_carve",
     ], f"unexpected overflow oracled set: {overflow}"
 
 
