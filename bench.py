@@ -205,6 +205,9 @@ SECONDARY = [
     "doc_shard_manifest",
     "doc_corpus_diff",
     "doc_eval_carve",
+    "doc_html_extract",
+    "doc_line_dedup",
+    "doc_c4_line_filter",
 ]
 
 

@@ -20,5 +20,6 @@ from . import (  # noqa: F401  (register on import)
     classifier_ext,  # also past the window
     export_ext,  # also past the window
     sampling_ext,  # also past the window
+    webtext_ext,  # also past the window
     tokenizer_ext,  # registers LAST: rows-only, past the window
 )

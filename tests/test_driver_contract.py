@@ -269,6 +269,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "doc_rule_agreement_kappa", "qty_price_spearman",
         "event_type_value_mi", "event_type_value_chi2",
         "doc_length_lang_auc_by_source", "doc_lang_classifier_auc",
+        "doc_html_extract", "doc_line_dedup", "doc_c4_line_filter",
     ], f"unexpected overflow oracled set: {overflow}"
 
 
