@@ -393,6 +393,81 @@ def foreach_batch_near_dup_index(
     return run
 
 
+def foreach_batch_line_dedup(
+    index_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 10,
+):
+    """foreachBatch body for CONTINUOUS C4-style line dedup: each
+    micro-batch of documents is line-deduped against the normalized-
+    line index accumulated from every earlier batch
+    (operators/linededup.remove_duplicate_lines_incremental), the
+    batch's deduped documents append to ``out_path`` and the batch's
+    newly-seen norms append to ``index_path``.
+
+    Chunked ingestion in doc_id order equals the one-shot batch
+    operator on the concatenated corpus (pinned in
+    tests/test_streaming.py).  Replay is BIT-IDENTICAL, not merely
+    at-least-once: index rows are stamped with their batch_id and the
+    anti-join reads only rows with ``batch_id < current``, so a
+    replayed batch — whether the crash hit before or after the index
+    append — sees exactly the pre-batch index and re-emits the same
+    deduped documents (downstream dedups exact duplicate rows on
+    (doc_id, batch_id)).  Duplicate index rows from a post-append
+    replay are absorbed by the anti-join's distinct.
+
+    Growth shape: per batch only the batch's text is split; history
+    contributes one anti-join against a single-column index.
+    """
+    from ..operators.linededup import (
+        line_index,
+        remove_duplicate_lines_incremental,
+    )
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            index = spark.read.parquet(index_path).where(
+                F.col("batch_id") < batch_id
+            )
+            have_index = index.limit(1).count() > 0
+        except Exception:  # first batch: no index yet
+            have_index = False
+        if have_index:
+            deduped, new_index = remove_duplicate_lines_incremental(
+                batch_df,
+                index,
+                id_col=id_col,
+                text_col=text_col,
+                min_chars=min_chars,
+            )
+        else:
+            from ..operators.linededup import remove_duplicate_lines
+
+            deduped = remove_duplicate_lines(
+                batch_df,
+                id_col=id_col,
+                text_col=text_col,
+                min_chars=min_chars,
+            )
+            new_index = line_index(
+                batch_df,
+                id_col=id_col,
+                text_col=text_col,
+                min_chars=min_chars,
+            )
+        deduped.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_path)
+        new_index.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(index_path)
+
+    return run
+
+
 def foreach_batch_burst_detect(
     spark,
     counts_path: str,

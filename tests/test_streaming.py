@@ -1100,3 +1100,67 @@ def test_streaming_shard_manifest_matches_batch_export(spark, tmp_path):
 
     assert _glob.glob(f"{manifest_path}/compact/upto=*")
     assert not _glob.glob(f"{manifest_path}/delta/batch_id=0")
+
+
+def test_streaming_line_dedup_matches_batch(spark, tmp_path):
+    """Continuous C4-style line dedup: documents arrive in contiguous
+    doc_id chunks (the keep-first total order), each batch dedups
+    against the norm index from earlier batches.  The accumulated
+    deduped documents must equal the one-shot batch operator on the
+    full corpus, and replays — both re-running a committed batch and
+    re-running after its index append — must be BIT-identical, never
+    over-dropped."""
+    from org_revue_de_presse_trends_spark.operators.linededup import (
+        remove_duplicate_lines,
+    )
+    from org_revue_de_presse_trends_spark.streaming.incremental import (
+        foreach_batch_line_dedup,
+    )
+
+    docs = (
+        load_table(spark, SF, "documents")
+        .selectExpr(
+            "doc_id",
+            "regexp_replace(text, '((?:\\\\S+ ){6})', '$1\n')"
+            " || CASE WHEN doc_id % 4 = 0 THEN '\nShared boilerplate"
+            " line here' ELSE '' END AS text",
+        )
+    )
+    n = docs.count()
+    cut1, cut2 = n // 3, 2 * n // 3
+    chunks = [
+        docs.where(F.col("doc_id") < cut1),
+        docs.where((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2)),
+        docs.where(F.col("doc_id") >= cut2),
+    ]
+    index_path = str(tmp_path / "line_index")
+    out_path = str(tmp_path / "docs_out")
+    run = foreach_batch_line_dedup(index_path, out_path, min_chars=10)
+    run(chunks[0], 0)
+    run(chunks[0], 0)  # replay AFTER batch 0's index append
+    run(chunks[1], 1)
+    run(chunks[1], 1)  # replay of a committed later batch
+    run(chunks[2], 2)
+
+    got_rows = spark.read.parquet(out_path).collect()
+    # replays emit EXACT duplicates: one distinct row per (doc, batch)
+    per_key = {}
+    for r in got_rows:
+        key = (r["doc_id"], r["batch_id"])
+        val = (r["text_line_deduped"], r["n_lines"], r["n_kept"], r["n_dropped"])
+        assert per_key.setdefault(key, val) == val, f"replay drift at {key}"
+    got = {
+        k[0]: v for k, v in per_key.items()
+    }
+    want = {
+        r["doc_id"]: (
+            r["text_line_deduped"], r["n_lines"], r["n_kept"], r["n_dropped"]
+        )
+        for r in remove_duplicate_lines(docs, min_chars=10).collect()
+    }
+    assert got == want
+    # index holds each eligible norm exactly once per (norm, batch) —
+    # replay duplicates collapse under distinct
+    idx = spark.read.parquet(index_path)
+    n_norms = idx.select("line_norm").distinct().count()
+    assert idx.select("line_norm", "batch_id").distinct().count() == n_norms
