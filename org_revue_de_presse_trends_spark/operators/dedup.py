@@ -55,6 +55,7 @@ def shingle_pair_counts(
     block_cols: list[str] | None = None,
     k: int = 3,
     max_shingle_df: int | None = 1000,
+    pair_mode: str = "join",
 ) -> DataFrame:
     """Shared candidate-pair machinery for the exact set-similarity
     family: (id_a, id_b, n_a, n_b, n_inter) with id_a < id_b over the
@@ -106,18 +107,52 @@ def shingle_pair_counts(
     # id-window before the join would re-partition the exploded rows by
     # id and force both join sides to recompute everything.  Shingles
     # are distinct per doc, so a row count is the set size.
-    a, b = ex.alias("a"), ex.alias("b")
-    join_cond = F.col("a.shingle") == F.col("b.shingle")
-    for c in block_cols:
-        join_cond = join_cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = (
-        a.join(b, join_cond & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+    if pair_mode == "group":
+        # Alternative formulation: aggregate each shingle's id list and
+        # expand C(df,2) ordered pairs with a HOF instead of the
+        # exploded self-join — one hash aggregate replaces the
+        # sort-merge join (both sort the exploded stream by the same
+        # key; the aggregate skips one side's sort + the join operator).
+        # MEASURED r11 (sf0.1, doc_neardup_clustering's pair stage,
+        # warm interleaved best-of-8, three sessions): group med
+        # 1.34-1.46 s vs join med 1.54-1.69 s — a consistent but
+        # marginal 5-7% win.  NOT the default: a df-capped shingle
+        # expands to C(cap,2) structs in ONE array value (~500k
+        # structs at cap=1000) where the join STREAMS the same rows —
+        # the local win does not justify the per-row memory spike at
+        # the cap boundary at 100 TB.  Kept as a measured alternative;
+        # output bit-identical (exact integer counts, pinned in
+        # tests/test_operators.py).
+        grouped = ex.groupBy("shingle", *block_cols).agg(
+            F.array_sort(F.collect_list("id")).alias("ids")
         )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+        pairs = grouped.where(F.size("ids") >= 2).select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        inter = (
+            pairs.select("p.id_a", "p.id_b")
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        a, b = ex.alias("a"), ex.alias("b")
+        join_cond = F.col("a.shingle") == F.col("b.shingle")
+        for c in block_cols:
+            join_cond = join_cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        inter = (
+            a.join(b, join_cond & (F.col("a.id") < F.col("b.id")))
+            .groupBy(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     return (
         inter.join(sizes.select(F.col("id").alias("id_a"),
