@@ -1,0 +1,315 @@
+"""WARC / WET ingestion — the Common Crawl front door (ISO 28500,
+public spec; the format every web-scale corpus build starts from:
+C4 and FineWeb read WET, RefinedWeb reads WARC).
+
+Format recap (what the parser implements):
+
+- a WARC file is a concatenation of records; each record is a version
+  line (``WARC/1.0`` or ``WARC/1.1``), header lines (``Name: value``)
+  up to a blank line, exactly ``Content-Length`` payload bytes, then a
+  blank-line record separator.
+- ``.warc.gz`` files are MULTI-MEMBER gzip — one member per record by
+  convention — decompressed with a stdlib ``zlib`` member loop.
+- ``response`` records carry an HTTP message as payload (status line,
+  headers, blank line, body); ``conversion`` records (WET) carry
+  already-extracted plain text.
+
+Spark shape: WARC is NOT arbitrarily splittable (record boundaries
+are only discoverable by walking lengths from the file start), so the
+unit of parallelism is the FILE — exactly how Common Crawl ships
+(~1 GB segment files, tens of thousands per crawl; one task per file
+saturates any cluster).  ``spark.read.format("binaryFile")`` loads
+each file as one row and an Arrow-batched ``mapInPandas`` walks its
+records; a 100 TB crawl is ~10⁵ such tasks with zero shuffle.  For
+many-small-file layouts apply ``operators.skew.spread_for_cpu``
+upstream as usual.
+
+Malformed-input contract (the jsonl-quarantine / container-mp4
+precedent): a damaged file yields its successfully-parsed prefix of
+records plus ONE error row naming the file and the parse failure —
+never a crashed job, never silent loss; truncated payloads are
+detected against Content-Length.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: output schema of read_warc
+WARC_SCHEMA = (
+    "path STRING, warc_type STRING, record_id STRING, target_uri STRING, "
+    "warc_date STRING, content_type STRING, http_status INT, "
+    "payload BINARY, payload_text STRING, parse_error STRING"
+)
+
+
+def gunzip_members(data: bytes) -> bytes:
+    """Decompress multi-member gzip (the .warc.gz convention) with a
+    stdlib decompressobj loop; raises ValueError on damage."""
+    out = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out.append(d.decompress(data[pos:]))
+            out.append(d.flush())
+        except zlib.error as exc:
+            raise ValueError(f"bad gzip member at offset {pos}: {exc}")
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at offset {pos}")
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:  # defensive: no progress means no termination
+            raise ValueError(f"empty gzip member at offset {pos}")
+        pos += consumed
+    return b"".join(out)
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    """Case-insensitive header map from CRLF (or LF — lenient, the
+    spec says CRLF) separated ``Name: value`` lines."""
+    headers: dict[str, str] = {}
+    for line in block.split(b"\n"):
+        line = line.rstrip(b"\r")
+        if not line:
+            continue
+        name, sep, value = line.partition(b":")
+        if not sep:
+            raise ValueError(f"malformed header line: {line[:80]!r}")
+        headers[name.strip().lower().decode("latin-1")] = (
+            value.strip().decode("latin-1")
+        )
+    return headers
+
+
+def iter_warc_records(data: bytes):
+    """Yield ``(headers: dict, payload: bytes)`` per record.  Accepts
+    plain or multi-member-gzip bytes.  Raises ValueError (only) on
+    structural damage; records already yielded stay yielded."""
+    if data[:2] == b"\x1f\x8b":
+        data = gunzip_members(data)
+    pos = 0
+    n = len(data)
+    while True:
+        # skip inter-record separator newlines
+        while pos < n and data[pos] in (0x0D, 0x0A):
+            pos += 1
+        if pos >= n:
+            return
+        eol = data.find(b"\n", pos)
+        if eol < 0:
+            raise ValueError("truncated version line")
+        version = data[pos:eol].rstrip(b"\r")
+        if not version.startswith(b"WARC/"):
+            raise ValueError(f"expected WARC version line, got "
+                             f"{version[:40]!r} at offset {pos}")
+        # header block ends at the first blank line
+        hdr_end = data.find(b"\r\n\r\n", eol)
+        lf_end = data.find(b"\n\n", eol)
+        if hdr_end < 0 or (0 <= lf_end < hdr_end):
+            hdr_end, skip = lf_end, 2
+        else:
+            skip = 4
+        if hdr_end < 0:
+            raise ValueError("truncated header block")
+        headers = _parse_headers(data[eol + 1 : hdr_end])
+        try:
+            length = int(headers["content-length"])
+        except KeyError:
+            raise ValueError("record without Content-Length")
+        except ValueError:
+            raise ValueError(
+                f"bad Content-Length: {headers['content-length']!r}"
+            )
+        body_start = hdr_end + skip
+        if body_start + length > n:
+            raise ValueError(
+                f"truncated payload: need {length} bytes at offset "
+                f"{body_start}, have {n - body_start}"
+            )
+        yield headers, data[body_start : body_start + length]
+        pos = body_start + length
+
+
+def parse_http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
+    """(status, headers, body) of an HTTP message payload."""
+    head_end = payload.find(b"\r\n\r\n")
+    skip = 4
+    lf = payload.find(b"\n\n")
+    if head_end < 0 or (0 <= lf < head_end):
+        head_end, skip = lf, 2
+    if head_end < 0:
+        raise ValueError("no HTTP header terminator")
+    head = payload[:head_end]
+    status_line, _, rest = head.partition(b"\n")
+    parts = status_line.rstrip(b"\r").split(None, 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        raise ValueError(f"bad HTTP status line: {status_line[:60]!r}")
+    try:
+        status = int(parts[1])
+    except ValueError:
+        raise ValueError(f"bad HTTP status code: {parts[1]!r}")
+    return status, _parse_headers(rest), payload[head_end + skip :]
+
+
+def _record_rows(path: str, content: bytes) -> list[dict]:
+    """All rows for one file: parsed records + at most one trailing
+    error row."""
+    rows: list[dict] = []
+
+    def row(**kw):
+        base = {
+            "path": path, "warc_type": None, "record_id": None,
+            "target_uri": None, "warc_date": None, "content_type": None,
+            "http_status": None, "payload": None, "payload_text": None,
+            "parse_error": None,
+        }
+        base.update(kw)
+        return base
+
+    try:
+        for headers, payload in iter_warc_records(content):
+            rtype = headers.get("warc-type")
+            ctype = headers.get("content-type")
+            status = None
+            body = payload
+            text = None
+            if rtype == "response" and payload[:5] == b"HTTP/":
+                try:
+                    status, http_headers, body = parse_http_response(payload)
+                    ctype = http_headers.get("content-type", ctype)
+                except ValueError:
+                    # keep the raw payload; the record itself is intact
+                    status, body = None, payload
+            if ctype is not None and ctype.split(";")[0].strip() in (
+                "text/plain", "text/html"
+            ):
+                text = body.decode("utf-8", errors="replace")
+            rows.append(
+                row(
+                    warc_type=rtype,
+                    record_id=headers.get("warc-record-id"),
+                    target_uri=headers.get("warc-target-uri"),
+                    warc_date=headers.get("warc-date"),
+                    content_type=ctype,
+                    http_status=status,
+                    payload=bytes(body),
+                    payload_text=text,
+                )
+            )
+    except ValueError as exc:
+        rows.append(row(parse_error=str(exc)))
+    return rows
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """One row per WARC record under ``path`` (glob / directory /
+    file; plain or .gz), schema :data:`WARC_SCHEMA`.  ``payload`` is
+    the record body (HTTP headers already stripped for response
+    records, with the HTTP Content-Type promoted), ``payload_text``
+    its UTF-8 decode for text/plain and text/html content,
+    ``http_status`` the response status.  Damaged files keep their
+    parsed prefix and add one ``parse_error`` row."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for path_, raw in zip(pdf["path"], pdf["content"]):
+                out.extend(_record_rows(str(path_), bytes(raw)))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "path", "warc_type", "record_id", "target_uri",
+                    "warc_date", "content_type", "http_status",
+                    "payload", "payload_text", "parse_error",
+                ],
+            )
+
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+    return files.mapInPandas(run, WARC_SCHEMA)
+
+
+def wet_documents(records: DataFrame) -> DataFrame:
+    """WET convenience: conversion records as (target_uri, warc_date,
+    text) — the plain-text corpus C4-style pipelines start from."""
+    return (
+        records.where(
+            (records.warc_type == "conversion")
+            & records.payload_text.isNotNull()
+        )
+        .select(
+            "target_uri",
+            "warc_date",
+            records.payload_text.alias("text"),
+        )
+    )
+
+
+def warc_html_documents(records: DataFrame) -> DataFrame:
+    """WARC response convenience: successful text/html responses with
+    the plain text extracted by ``functions/htmltext.py`` — chains the
+    two front-door stages into (target_uri, warc_date, text)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.htmltext import html_text_col
+
+    html = records.where(
+        (records.warc_type == "response")
+        & (records.http_status == 200)
+        & records.payload_text.isNotNull()
+    ).select("target_uri", "warc_date",
+             records.payload_text.alias("html"))
+    return html.select(
+        "target_uri",
+        "warc_date",
+        html_text_col("html").alias("text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# writer (tests + fixture builder; also a valid minimal WARC muxer)
+# ---------------------------------------------------------------------------
+
+
+def build_warc(
+    records: list[tuple[dict, bytes]],
+    gzip_members: bool = False,
+) -> bytes:
+    """Serialize ``(headers, payload)`` records to spec-valid WARC
+    bytes (CRLF discipline, Content-Length computed here); with
+    ``gzip_members`` each record becomes its own gzip member (the
+    .warc.gz convention)."""
+    out = []
+    for headers, payload in records:
+        lines = [b"WARC/1.0\r\n"]
+        for k, v in headers.items():
+            if k.lower() == "content-length":
+                continue
+            lines.append(f"{k}: {v}\r\n".encode("latin-1"))
+        lines.append(f"Content-Length: {len(payload)}\r\n".encode())
+        lines.append(b"\r\n")
+        rec = b"".join(lines) + payload + b"\r\n\r\n"
+        if gzip_members:
+            c = zlib.compressobj(wbits=31)
+            rec = c.compress(rec) + c.flush()
+        out.append(rec)
+    return b"".join(out)
+
+
+def build_http_response(
+    status: int,
+    headers: dict[str, str],
+    body: bytes,
+) -> bytes:
+    """Serialize an HTTP response payload for a WARC response record."""
+    head = [f"HTTP/1.1 {status} X\r\n".encode()]
+    for k, v in headers.items():
+        head.append(f"{k}: {v}\r\n".encode("latin-1"))
+    head.append(b"\r\n")
+    return b"".join(head) + body

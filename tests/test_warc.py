@@ -1,0 +1,143 @@
+"""WARC/WET ingestion (sources/warc.py): round-trip through the
+spec-valid writer, multi-member gzip, HTTP response splitting,
+damage quarantine, and the Spark end-to-end including the chained
+HTML-extraction convenience."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from org_revue_de_presse_trends_spark.sources import warc as W
+
+
+def _rec(i: int, rtype: str = "resource", payload: bytes = b"hello") -> tuple:
+    return (
+        {
+            "WARC-Type": rtype,
+            "WARC-Record-ID": f"<urn:uuid:{i}>",
+            "WARC-Target-URI": f"http://ex.org/{i}",
+            "WARC-Date": "2025-01-01T00:00:00Z",
+            "Content-Type": "text/plain",
+        },
+        payload,
+    )
+
+
+def test_roundtrip_plain_and_gzip():
+    recs = [_rec(i, payload=f"payload {i}".encode()) for i in range(4)]
+    for gz in (False, True):
+        data = W.build_warc(recs, gzip_members=gz)
+        got = list(W.iter_warc_records(data))
+        assert len(got) == 4
+        for i, (h, p) in enumerate(got):
+            assert h["warc-record-id"] == f"<urn:uuid:{i}>"
+            assert p == f"payload {i}".encode()
+
+
+def test_external_gzip_whole_file():
+    # a .warc.gz compressed as ONE member (tools do this too) and by
+    # a foreign gzip implementation
+    data = gzip.compress(W.build_warc([_rec(1), _rec(2)]))
+    assert len(list(W.iter_warc_records(data))) == 2
+
+
+def test_http_response_split():
+    body = "<html><body><p>Sentence one.</p></body></html>".encode()
+    payload = W.build_http_response(
+        200, {"Content-Type": "text/html; charset=utf-8"}, body
+    )
+    status, headers, got = W.parse_http_response(payload)
+    assert status == 200 and got == body
+    assert headers["content-type"].startswith("text/html")
+
+
+@pytest.mark.parametrize(
+    "mutate,err",
+    [
+        (lambda d: d[: len(d) - 20], "truncated payload"),
+        (lambda d: b"GARBAGE\r\n" + d, "expected WARC version"),
+        (lambda d: d.replace(b"Content-Length", b"X-Nope"), "Content-Length"),
+    ],
+)
+def test_damage_raises_value_error_only(mutate, err):
+    data = mutate(W.build_warc([_rec(1, payload=b"x" * 50)]))
+    with pytest.raises(ValueError, match=err):
+        list(W.iter_warc_records(data))
+
+
+def test_damaged_file_keeps_parsed_prefix():
+    good = W.build_warc([_rec(1), _rec(2)])
+    rows = W._record_rows("f.warc", good + b"WARC/1.0\r\ntrunc")
+    assert [r["parse_error"] is None for r in rows] == [True, True, False]
+    assert rows[0]["target_uri"] == "http://ex.org/1"
+
+
+def test_spark_end_to_end(spark, tmp_path):
+    html_body = (
+        "<html><head><title>T</title></head>"
+        "<body><p>Alpha beta.</p><p>Gamma delta!</p></body></html>"
+    ).encode()
+    wet_text = "already extracted text\nsecond line"
+    f1 = [
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Record-ID": "<urn:uuid:a>",
+                "WARC-Target-URI": "http://ex.org/a",
+                "WARC-Date": "2025-01-01T00:00:00Z",
+                "Content-Type": "application/http; msgtype=response",
+            },
+            W.build_http_response(
+                200, {"Content-Type": "text/html"}, html_body
+            ),
+        ),
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Record-ID": "<urn:uuid:b>",
+                "WARC-Target-URI": "http://ex.org/b",
+                "WARC-Date": "2025-01-01T00:00:00Z",
+                "Content-Type": "application/http; msgtype=response",
+            },
+            W.build_http_response(404, {"Content-Type": "text/html"}, b"gone"),
+        ),
+    ]
+    f2 = [
+        (
+            {
+                "WARC-Type": "conversion",
+                "WARC-Record-ID": "<urn:uuid:c>",
+                "WARC-Target-URI": "http://ex.org/c",
+                "WARC-Date": "2025-01-02T00:00:00Z",
+                "Content-Type": "text/plain",
+            },
+            wet_text.encode(),
+        ),
+    ]
+    (tmp_path / "a.warc").write_bytes(W.build_warc(f1))
+    (tmp_path / "b.warc.gz").write_bytes(W.build_warc(f2, gzip_members=True))
+    (tmp_path / "c.warc").write_bytes(b"not a warc at all")
+
+    records = W.read_warc(spark, str(tmp_path))
+    rows = {r["record_id"]: r for r in records.collect() if r["record_id"]}
+    assert set(rows) == {"<urn:uuid:a>", "<urn:uuid:b>", "<urn:uuid:c>"}
+    a = rows["<urn:uuid:a>"]
+    assert a["http_status"] == 200
+    assert a["content_type"] == "text/html"
+    assert bytes(a["payload"]) == html_body
+    assert a["payload_text"] == html_body.decode()
+    assert rows["<urn:uuid:b>"]["http_status"] == 404
+    errs = [r for r in records.collect() if r["parse_error"]]
+    assert len(errs) == 1 and errs[0]["path"].endswith("c.warc")
+
+    wet = {r["target_uri"]: r["text"] for r in W.wet_documents(records).collect()}
+    assert wet == {"http://ex.org/c": wet_text}
+
+    docs = {
+        r["target_uri"]: r["text"]
+        for r in W.warc_html_documents(records).collect()
+    }
+    # 404 excluded; html extracted through functions/htmltext.py
+    assert docs == {"http://ex.org/a": "T\nAlpha beta.\nGamma delta!"}
