@@ -154,6 +154,42 @@ def parse_http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
     return status, _parse_headers(rest), payload[head_end + skip :]
 
 
+def decode_text(body: bytes, content_type: str | None) -> str:
+    """Charset-aware text decode for crawled payloads — deterministic
+    fallback ladder, never raises:
+
+    1. a BOM wins (UTF-8 / UTF-16 LE/BE),
+    2. a ``charset=`` parameter on the Content-Type is honored when
+       Python knows the codec (``errors='replace'`` — the page said so),
+    3. strict UTF-8 (the overwhelming majority of modern crawl),
+    4. strict cp1252 (the de-facto meaning of undeclared 8-bit web
+       text; latin-1's C1 range is almost always cp1252 punctuation),
+    5. latin-1 (total — every byte string decodes).
+    """
+    if body.startswith(b"\xef\xbb\xbf"):
+        return body[3:].decode("utf-8", errors="replace")
+    if body.startswith(b"\xff\xfe"):
+        return body[2:].decode("utf-16-le", errors="replace")
+    if body.startswith(b"\xfe\xff"):
+        return body[2:].decode("utf-16-be", errors="replace")
+    if content_type:
+        for part in content_type.split(";")[1:]:
+            k, _, v = part.partition("=")
+            if k.strip().lower() == "charset":
+                try:
+                    return body.decode(
+                        v.strip().strip('"').strip("'"), errors="replace"
+                    )
+                except LookupError:
+                    break  # unknown codec name: fall through
+    for codec in ("utf-8", "cp1252"):
+        try:
+            return body.decode(codec)
+        except UnicodeDecodeError:
+            continue
+    return body.decode("latin-1")
+
+
 def _record_rows(path: str, content: bytes) -> list[dict]:
     """All rows for one file: parsed records + at most one trailing
     error row."""
@@ -186,7 +222,7 @@ def _record_rows(path: str, content: bytes) -> list[dict]:
             if ctype is not None and ctype.split(";")[0].strip() in (
                 "text/plain", "text/html"
             ):
-                text = body.decode("utf-8", errors="replace")
+                text = decode_text(body, ctype)
             rows.append(
                 row(
                     warc_type=rtype,

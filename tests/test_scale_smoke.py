@@ -1462,3 +1462,47 @@ def test_spearman_scales_with_fixed_state_10x(spark):
     # rank tables are <= 500 rows each; only the rank re-attach joins
     # move row-proportional bytes (two skinny long columns)
     assert s_ratio < 15, f"shuffle grew {s_ratio:.1f}x for 10x rows"
+
+
+def test_line_dedup_scales_linearly_10x(spark):
+    """remove_duplicate_lines: 10x docs (every doc carries one of 40
+    shared boilerplate lines + unique body lines) must grow runtime
+    and shuffle ~linearly — the keep-first aggregate's map-side
+    combine absorbs the boilerplate skew (one norm, n/40 occurrences),
+    and the kept-count per shared line stays 1 at any scale."""
+    from org_revue_de_presse_trends_spark.operators.linededup import (
+        remove_duplicate_lines,
+    )
+
+    mc = MetricsCollector(spark)
+    results = {}
+    for n in (500, 5_000):
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                "concat_ws('\n', "
+                "concat('unique body line ', id, ' alpha beta'), "
+                "concat('shared boilerplate line number ', id % 40), "
+                "concat('unique tail line ', id, ' gamma delta'))"
+            ).alias("text"),
+        )
+        out = remove_duplicate_lines(docs, min_chars=10)
+        t0 = _time.perf_counter()
+        rows, qm = mc.measure(
+            f"linededup_{n}", out,
+            action=lambda d: d.agg(F.sum("n_kept"), F.sum("n_dropped"))
+            .collect(),
+        )
+        results[n] = (
+            _time.perf_counter() - t0, qm.shuffle_bytes_written,
+            rows[0],
+        )
+    for n in (500, 5_000):
+        kept, dropped = results[n][2][0], results[n][2][1]
+        # closed form: 2n unique lines + 40 kept boilerplate occurrences
+        assert kept == 2 * n + 40, (n, kept)
+        assert dropped == n - 40, (n, dropped)
+    t_ratio = results[5_000][0] / results[500][0]
+    s_ratio = results[5_000][1] / max(results[500][1], 1)
+    assert t_ratio < 30, f"runtime grew {t_ratio:.1f}x for 10x docs"
+    assert s_ratio < 30, f"shuffle grew {s_ratio:.1f}x for 10x docs"

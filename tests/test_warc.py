@@ -141,3 +141,24 @@ def test_spark_end_to_end(spark, tmp_path):
     }
     # 404 excluded; html extracted through functions/htmltext.py
     assert docs == {"http://ex.org/a": "T\nAlpha beta.\nGamma delta!"}
+
+
+@pytest.mark.parametrize(
+    "body,ctype,want",
+    [
+        ("café".encode("utf-8"), "text/html", "café"),
+        ("café".encode("latin-1"), "text/html; charset=ISO-8859-1", "café"),
+        # undeclared cp1252 smart quotes (latin-1 would give C1 controls)
+        (b"\x93quoted\x94", "text/html", "“quoted”"),
+        ("bom".encode("utf-16"), "text/plain", "bom"),  # BOM-prefixed
+        (b"\xef\xbb\xbfplain", "text/plain", "plain"),
+        # unknown charset name falls through to the ladder
+        ("ok".encode(), 'text/html; charset="x-not-a-codec"', "ok"),
+        # truly arbitrary bytes still decode (latin-1 total fallback)
+        (bytes(range(256)), "text/plain", bytes(range(256)).decode("latin-1")),
+    ],
+)
+def test_decode_text_ladder(body, ctype, want):
+    got = W.decode_text(body, ctype)
+    if want is not None:
+        assert got == want
