@@ -208,6 +208,7 @@ SECONDARY = [
     "doc_html_extract",
     "doc_line_dedup",
     "doc_c4_line_filter",
+    "doc_warc_roundtrip_extract",
 ]
 
 

@@ -271,3 +271,103 @@ def doc_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept_lines",
         "page_kept",
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC round-trip pipeline (driver-visible evidence for sources/warc.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_warc_roundtrip_extract",
+    f"""
+    WITH _html AS (
+        SELECT doc_id, {_synth_html_sql('duckdb')} AS html FROM documents
+    )
+    SELECT doc_id, 200 AS http_status,
+           CAST('text/html; charset=utf-8' AS VARCHAR) AS content_type,
+           md5(txt) AS txt_md5, CAST(length(txt) AS BIGINT) AS txt_len
+    FROM (SELECT doc_id, {H.html_to_text_sql('duckdb', 'html')} AS txt
+          FROM _html)
+    """,
+)
+def doc_warc_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WARC pipeline end-to-end, driver-visible (the
+    video_real_webm_frames precedent): each document's synthesized
+    HTML page is wrapped in an HTTP/1.1 response inside a spec-valid
+    WARC record (sources/warc.build_warc), the bytes are parsed back
+    by the record walker, the HTTP payload is split out and
+    charset-decoded, and the text is extracted by the HTML chain.
+
+    The ORACLE computes the fixed point directly — extraction over
+    the synthesized HTML with no framing — so the cross-engine hash
+    equality proves the entire WARC+HTTP framing, record walk, and
+    charset ladder are identity-preserving on every document, and the
+    extraction itself matches character-for-character.
+
+    Scale: the framing/parse is a per-row mapInPandas (µs per record;
+    at crawl scale the walker amortizes over ~1 GB files instead —
+    see sources/warc.py); extraction is the same zero-shuffle chain
+    as q:doc_html_extract."""
+    from ..sources import warc as W
+
+    d = spread_for_cpu(load_table(spark, sf_dir, "documents"))
+    html = d.selectExpr("doc_id", _synth_html_sql("spark") + " AS html")
+
+    def frame_and_parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, page in zip(pdf["doc_id"], pdf["html"]):
+                payload = W.build_http_response(
+                    200,
+                    {"Content-Type": "text/html; charset=utf-8"},
+                    str(page).encode("utf-8"),
+                )
+                data = W.build_warc(
+                    [(
+                        {
+                            "WARC-Type": "response",
+                            "WARC-Record-ID": f"<urn:doc:{int(doc_id)}>",
+                            "WARC-Target-URI": f"http://ex.org/{int(doc_id)}",
+                            "Content-Type":
+                                "application/http; msgtype=response",
+                        },
+                        payload,
+                    )],
+                    gzip_members=True,
+                )
+                rows = W._record_rows(f"mem://{int(doc_id)}", data)
+                assert len(rows) == 1 and rows[0]["parse_error"] is None
+                r = rows[0]
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "http_status": int(r["http_status"]),
+                        "content_type": r["content_type"],
+                        "html": r["payload_text"],
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "http_status", "content_type", "html"],
+            )
+
+    parsed = html.mapInPandas(
+        frame_and_parse,
+        "doc_id LONG, http_status INT, content_type STRING, html STRING",
+    )
+    staged = parsed.selectExpr(
+        "doc_id",
+        "http_status",
+        "content_type",
+        H.html_to_text_sql("spark", "html") + " AS txt",
+    )
+    return staged.selectExpr(
+        "doc_id",
+        "http_status",
+        "content_type",
+        "md5(txt) AS txt_md5",
+        "CAST(length(txt) AS BIGINT) AS txt_len",
+    )

@@ -270,6 +270,7 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "event_type_value_mi", "event_type_value_chi2",
         "doc_length_lang_auc_by_source", "doc_lang_classifier_auc",
         "doc_html_extract", "doc_line_dedup", "doc_c4_line_filter",
+        "doc_warc_roundtrip_extract",
     ], f"unexpected overflow oracled set: {overflow}"
 
 

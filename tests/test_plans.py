@@ -184,3 +184,38 @@ def test_q21_decorrelated_to_aggregates(spark):
     plan = plan_of(spark, "q21_waiting_suppliers")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_html_extract_is_zero_shuffle_map(spark):
+    """doc_html_extract claims a pure map stage: no exchange beyond
+    the spread_for_cpu round-robin repartition, no join, no
+    aggregate — the 16-stage regex chain fuses into the scan."""
+    plan = plan_of(spark, "doc_html_extract")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    # spread_for_cpu introduces exactly one round-robin exchange
+    assert plan.count("Exchange") <= 2  # plan node + detail block
+
+
+def test_c4_line_filter_is_zero_shuffle(spark):
+    """doc_c4_line_filter claims zero shuffle END TO END: the HOF
+    split/filter/reassembly never leaves the row."""
+    plan = plan_of(spark, "doc_c4_line_filter")
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode — HOFs only
+
+
+def test_line_dedup_two_aggregates_no_pair_join(spark):
+    """doc_line_dedup claims: kept set == the norm aggregate's output
+    (no join back to the exploded stream) — so the plan holds exactly
+    the two hash aggregates' exchanges plus the totality join on the
+    unique doc key, and no window over the line."""
+    plan = plan_of(spark, "doc_line_dedup")
+    assert "Window" not in plan
+    assert plan.count("SortMergeJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) + plan.count("ShuffledHashJoin") >= 1  # the totality join only
+    # exchanges: norm-agg, doc-agg (partial/final pairs share one
+    # exchange each) + the totality join's two sides
+    assert plan.count("Exchange") <= 10
