@@ -1,8 +1,10 @@
 """``prepare-corpus`` — the end-to-end training-corpus curation CLI.
 
-One command from a raw ``documents.parquet`` to curated, split,
-optionally packed training data, wired entirely from the tested
-operators:
+One command from a raw ``documents.parquet`` — or, with ``--warc-dir``,
+straight from raw WARC/WET crawl files (record walk → HTML→text
+extraction → optional C4 line rules → optional corpus-wide line
+dedup, the web front door) — to curated, split, optionally packed
+training data, wired entirely from the tested operators:
 
     quality rules (Gopher) → model-based quality filter (optional:
     a shipped hashed-BoW classifier artifact, rank-exact integer
@@ -48,8 +50,24 @@ def build_parser() -> argparse.ArgumentParser:
         prog="prepare-corpus",
         description="Curate a documents corpus into training data",
     )
-    p.add_argument("--source-dir", required=True,
-                   help="directory containing documents.parquet")
+    p.add_argument("--source-dir", default=None,
+                   help="directory containing documents.parquet "
+                   "(exactly one of --source-dir / --warc-dir)")
+    p.add_argument("--warc-dir", default=None,
+                   help="ingest raw WARC/WET files instead "
+                   "(sources/warc.py): response records go through "
+                   "HTML->text extraction (functions/htmltext.py), "
+                   "conversion (WET) records are taken as-is; doc_id "
+                   "is a deterministic content hash, source is the "
+                   "PSL registrable domain of the target URI")
+    p.add_argument("--web-c4-filter", action="store_true",
+                   help="with --warc-dir: apply the C4 line-level "
+                   "heuristics (functions/c4lines.py) — pages failing "
+                   "the page rules are dropped, surviving pages keep "
+                   "only their surviving lines")
+    p.add_argument("--web-line-dedup", action="store_true",
+                   help="with --warc-dir: corpus-wide keep-first line "
+                   "dedup (operators/linededup.py) before the funnel")
     p.add_argument("--out-dir", required=True,
                    help="output root (created; split-partitioned docs, "
                    "optional packed chunks, funnel.json)")
@@ -218,9 +236,93 @@ def curate(
     return cur, funnel
 
 
+def ingest_web(
+    spark: SparkSession,
+    warc_dir: str,
+    *,
+    c4_filter: bool = False,
+    line_dedup: bool = False,
+) -> tuple[DataFrame, dict[str, int]]:
+    """WARC/WET → curation-ready documents frame + web-stage funnel
+    counts.  Orchestration only — every stage is a tested operator:
+    sources/warc (record walk, HTTP split, charset ladder),
+    functions/htmltext (extraction), operators/urls+psl (registrable
+    domain as the ``source`` column), functions/c4lines,
+    operators/linededup.
+
+    doc_id is ``xxhash64(target_uri, warc_date, text)`` — a
+    deterministic content hash, so byte-identical re-fetches collapse
+    via the exact-duplicate drop here and near-identical ones are the
+    dedup funnel's job downstream."""
+    from .functions.c4lines import with_c4_lines
+    from .operators.linededup import remove_duplicate_lines
+    from .operators.urls import with_canonical_url
+    from .sources.warc import read_warc, warc_html_documents, wet_documents
+
+    records = read_warc(spark, warc_dir).localCheckpoint()
+    funnel: dict[str, int] = {
+        "warc_records": records.count(),
+        "warc_parse_errors": records.where(
+            F.col("parse_error").isNotNull()
+        ).count(),
+    }
+    web = warc_html_documents(records).unionByName(wet_documents(records))
+    docs = (
+        with_canonical_url(
+            web.withColumn("url", F.col("target_uri")), "url"
+        )
+        .select(
+            F.xxhash64("target_uri", "warc_date", "text").alias("doc_id"),
+            F.col("registrable_domain").alias("source"),
+            "target_uri",
+            "warc_date",
+            "text",
+        )
+        .dropDuplicates(["doc_id"])
+        .localCheckpoint()
+    )
+    funnel["web_documents"] = docs.count()
+    if c4_filter:
+        filtered = with_c4_lines(docs)
+        docs = (
+            filtered.where(F.col("page_kept"))
+            .select(
+                "doc_id", "source", "target_uri", "warc_date",
+                F.col("text_c4").alias("text"),
+            )
+            .localCheckpoint()
+        )
+        funnel["c4_pages_kept"] = docs.count()
+    if line_dedup:
+        ded = remove_duplicate_lines(docs, min_chars=10)
+        docs = (
+            docs.drop("text")
+            .join(
+                ded.select(
+                    "doc_id",
+                    F.col("text_line_deduped").alias("text"),
+                    "n_dropped",
+                ),
+                "doc_id",
+            )
+            .localCheckpoint()
+        )
+        funnel["line_dedup_lines_dropped"] = (
+            docs.agg(F.sum("n_dropped")).collect()[0][0] or 0
+        )
+        docs = docs.drop("n_dropped")
+    return docs, funnel
+
+
 def main(argv: list[str] | None = None,
          spark: SparkSession | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if bool(args.source_dir) == bool(args.warc_dir):
+        print(
+            "exactly one of --source-dir / --warc-dir is required",
+            file=sys.stderr,
+        )
+        return 2
     own_spark = spark is None
     if own_spark:
         from .session import get_spark
@@ -231,7 +333,16 @@ def main(argv: list[str] | None = None,
         from .functions import text as T
         from .operators.packing import pack_sequences
 
-        docs = load_table(spark, args.source_dir, "documents")
+        web_funnel: dict[str, int] = {}
+        if args.warc_dir:
+            docs, web_funnel = ingest_web(
+                spark,
+                args.warc_dir,
+                c4_filter=args.web_c4_filter,
+                line_dedup=args.web_line_dedup,
+            )
+        else:
+            docs = load_table(spark, args.source_dir, "documents")
         quality = None
         if args.quality_gate:
             from .operators.checks import (
@@ -283,6 +394,9 @@ def main(argv: list[str] | None = None,
             split_weights=_parse_weights(args.split_weights),
             split_seed=args.split_seed,
         )
+        if web_funnel:
+            # web ingest stages lead the report (they precede "input")
+            funnel = {**web_funnel, **funnel}
         os.makedirs(args.out_dir, exist_ok=True)
         docs_out = os.path.join(args.out_dir, "documents")
         if args.shards > 0:

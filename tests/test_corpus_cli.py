@@ -260,3 +260,125 @@ def test_quality_gate_aborts_on_violation(spark, tmp_path, capsys):
     ]
     assert any(r["constraint"].startswith("uniqueness") for r in failed)
     assert not os.path.exists(out)  # nothing written past the gate
+
+
+def test_prepare_corpus_from_warc(spark, tmp_path):
+    """--warc-dir: raw WARC files through extraction, C4 line filter,
+    corpus-wide line dedup and into the standard funnel — the full
+    web front door as one command."""
+    from org_revue_de_presse_trends_spark.sources import warc as W
+
+    boiler = "Subscribe to our newsletter for updates."
+
+    def page(host, slug, n=6, extra=""):
+        lines = "".join(
+            f"<p>Page {slug} body line {i} has plenty of words.</p>"
+            for i in range(n)
+        )
+        html = (
+            f"<html><head><title>{slug}</title></head><body>"
+            f"{lines}<p>{boiler}</p>{extra}</body></html>"
+        )
+        return (
+            {
+                "WARC-Type": "response",
+                "WARC-Record-ID": f"<urn:{slug}>",
+                "WARC-Target-URI": f"http://www.{host}/{slug}",
+                "WARC-Date": "2025-02-01T00:00:00Z",
+                "Content-Type": "application/http; msgtype=response",
+            },
+            W.build_http_response(
+                200, {"Content-Type": "text/html; charset=utf-8"},
+                html.encode(),
+            ),
+        )
+
+    recs = [page("alpha-site.com", f"a{i}") for i in range(3)]
+    recs += [page("beta-site.org", f"b{i}") for i in range(3)]
+    recs.append(page("alpha-site.com", "spam",
+                     extra="<p>Filler lorem ipsum text sits here.</p>"))
+    recs.append(
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Record-ID": "<urn:gone>",
+                "WARC-Target-URI": "http://www.alpha-site.com/gone",
+                "WARC-Date": "2025-02-01T00:00:00Z",
+                "Content-Type": "application/http; msgtype=response",
+            },
+            W.build_http_response(
+                404, {"Content-Type": "text/html"}, b"nope"
+            ),
+        )
+    )
+    recs.append(
+        (
+            {
+                "WARC-Type": "conversion",
+                "WARC-Record-ID": "<urn:wet>",
+                "WARC-Target-URI": "http://gamma-site.net/wet",
+                "WARC-Date": "2025-02-02T00:00:00Z",
+                "Content-Type": "text/plain",
+            },
+            "\n".join(
+                f"Wet text line {i} is here to stay." for i in range(6)
+            ).encode(),
+        )
+    )
+    warc_dir = tmp_path / "crawl"
+    warc_dir.mkdir()
+    (warc_dir / "seg0.warc").write_bytes(W.build_warc(recs[:5]))
+    (warc_dir / "seg1.warc.gz").write_bytes(
+        W.build_warc(recs[5:], gzip_members=True)
+    )
+
+    out = str(tmp_path / "corpus")
+    rc = main(
+        [
+            "--warc-dir", str(warc_dir),
+            "--web-c4-filter",
+            "--web-line-dedup",
+            "--out-dir", out,
+            "--no-gopher",
+            "--lsh-threshold", "0",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    funnel = json.load(open(os.path.join(out, "funnel.json")))
+    assert funnel["warc_records"] == 9
+    assert funnel["warc_parse_errors"] == 0
+    # 404 excluded; 7 html pages + 1 wet doc
+    assert funnel["web_documents"] == 8
+    # the lorem-ipsum page fails the C4 page rules
+    assert funnel["c4_pages_kept"] == 7
+    # the boilerplate line survives exactly once: dropped from the
+    # 5 other surviving html pages (the spam page died before dedup)
+    assert funnel["line_dedup_lines_dropped"] == 5
+    assert funnel["input"] == 7 and funnel["output"] == 7
+
+    docs = spark.read.parquet(os.path.join(out, "documents"))
+    rows = docs.collect()
+    assert len(rows) == 7
+    # registrable domains became the source column (www stripped)
+    assert {r["source"] for r in rows} == {
+        "alpha-site.com", "beta-site.org", "gamma-site.net"
+    }
+    all_text = "\n".join(r["text"] for r in rows)
+    assert all_text.count(boiler) == 1
+    assert "lorem" not in all_text
+    # titles are not terminal-punctuated: C4 dropped them
+    assert "a0\n" not in all_text
+
+
+def test_prepare_corpus_requires_exactly_one_input(spark, tmp_path, capsys):
+    out = str(tmp_path / "x")
+    assert main(["--out-dir", out], spark=spark) == 2
+    assert (
+        main(
+            ["--source-dir", SF, "--warc-dir", "/tmp/nope",
+             "--out-dir", out],
+            spark=spark,
+        )
+        == 2
+    )
