@@ -732,3 +732,96 @@ def test_fuzzy_join_matches_bruteforce_fuzz(spark, ls, rs, tau):
         if lev(a, b) <= tau
     }
     assert got == want
+
+
+#: adversarial HTML alphabet: tag/entity machinery, quotes, newlines,
+#: fragments of the special tag names, plus non-ASCII
+_HTML_CHARS = sorted(set(
+    "<>&;/\\\"'!=- \n\tabcdefghipqrstyle0123éπ#"
+))
+
+
+@settings(max_examples=5, deadline=None, derandomize=True, database=None)
+@given(
+    st.lists(
+        st.text(alphabet=_HTML_CHARS, min_size=0, max_size=120),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_html_extraction_cross_engine_fuzz(spark, htmls):
+    """The HTML→text chain (functions/htmltext.py) is rendered from
+    ONE template for both engines — fuzz over adversarial tag/entity
+    soup must produce byte-identical extractions and titles in Spark
+    and DuckDB (Java regex ∩ RE2 portability is the claim under
+    test)."""
+    import duckdb
+
+    from org_revue_de_presse_trends_spark.functions import htmltext as H
+
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(htmls)], "i long, html string"
+    )
+    got = {
+        r["i"]: (r["t"], r["ti"])
+        for r in df.selectExpr(
+            "i",
+            H.html_to_text_sql("spark", "html") + " AS t",
+            H.html_title_sql("spark", "html") + " AS ti",
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, h in enumerate(htmls):
+        t, ti = con.execute(
+            "SELECT " + H.html_to_text_sql("duckdb", "html") + ", "
+            + H.html_title_sql("duckdb", "html")
+            + " FROM (SELECT ? AS html)",
+            [h],
+        ).fetchone()
+        assert got[i] == (t, ti), (h,)
+
+
+@settings(max_examples=5, deadline=None, derandomize=True, database=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=sorted(set(" \n\t.!?\"abcdj{pv lorem ipsum")),
+            min_size=0,
+            max_size=150,
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_c4_line_filter_cross_engine_fuzz(spark, texts):
+    """C4 line rules (functions/c4lines.py): the HOF lambda rendered
+    for Spark and the list_filter rendered for DuckDB must agree on
+    arbitrary punctuation/whitespace/blocker soup."""
+    import duckdb
+
+    from org_revue_de_presse_trends_spark.functions import c4lines as C4
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["text_c4"], r["n_lines"], r["n_kept_lines"], r["page_kept"]
+        )
+        for r in C4.with_c4_lines(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO d VALUES (?, ?)", list(enumerate(texts))
+    )
+    import hashlib
+
+    for doc_id, md5, nl, nk, pk in con.execute(
+        C4.c4_oracle_select("duckdb", "SELECT doc_id, text FROM d")
+    ).fetchall():
+        s = got[doc_id]
+        assert hashlib.md5(s[0].encode()).hexdigest() == md5, (
+            texts[doc_id],
+        )
+        assert (s[1], s[2], s[3]) == (nl, nk, pk), (texts[doc_id],)
