@@ -119,6 +119,14 @@ def build_parser() -> argparse.ArgumentParser:
                    "total_chars are serialized as decimal STRINGS "
                    "(values reach 2^61-1, past JS's 2^53 safe-integer "
                    "range) (0 disables)")
+    p.add_argument("--wet-shards", type=int, default=0,
+                   help="also export the curated documents as N "
+                   "deterministic sharded .warc.gz WET files under "
+                   "out-dir/wet + wet_manifest.json (sources/warc."
+                   "write_wet: byte-deterministic across layouts; "
+                   "target URIs synthesized as urn:doc:{id} when the "
+                   "corpus has none) — the interchange format another "
+                   "pipeline re-ingests with --warc-dir (0 disables)")
     p.add_argument("--quality-gate", action="store_true",
                    help="run the declarative constraint suite "
                    "(operators/checks.py) on the INPUT before any "
@@ -491,6 +499,29 @@ def main(argv: list[str] | None = None,
                 os.path.join(args.out_dir, "packed_chunks")
             )
             funnel["packed_chunks"] = out.count()
+        if args.wet_shards > 0:
+            from .sources.warc import write_wet
+
+            wet_base = curated
+            if "target_uri" not in wet_base.columns:
+                wet_base = wet_base.withColumn(
+                    "target_uri",
+                    F.concat(F.lit("urn:doc:"), F.col("doc_id")),
+                )
+            if "warc_date" not in wet_base.columns:
+                wet_base = wet_base.withColumn("warc_date", F.lit(""))
+            wet_manifest = write_wet(
+                wet_base.select(
+                    "doc_id", "target_uri", "warc_date", "text"
+                ),
+                os.path.join(args.out_dir, "wet"),
+                n_shards=args.wet_shards,
+            )
+            with open(
+                os.path.join(args.out_dir, "wet_manifest.json"), "w"
+            ) as f:
+                json.dump(wet_manifest, f, indent=1)
+            funnel["wet_shards"] = len(wet_manifest)
         if quality is not None:
             funnel["quality_report"] = quality
         report = json.dumps(funnel)

@@ -349,3 +349,104 @@ def build_http_response(
         head.append(f"{k}: {v}\r\n".encode("latin-1"))
     head.append(b"\r\n")
     return b"".join(head) + body
+
+
+def write_wet(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    uri_col: str = "target_uri",
+    date_col: str = "warc_date",
+    text_col: str = "text",
+) -> list[dict]:
+    """Deterministic sharded WET export — the interchange twin of
+    :func:`read_warc`: a curated corpus goes back out as spec-valid
+    ``.warc.gz`` conversion records another pipeline (or this one) can
+    re-ingest.
+
+    Shard assignment is the export family's md5 coin
+    (``operators/export.shard_id_sql`` — layout-independent), records
+    are sorted by ``id_col`` within a shard, and zlib's gzip header
+    carries MTIME=0 — so the emitted FILES are byte-deterministic
+    across reruns and input layouts, the same replay-stability
+    contract as the parquet shard export.  Each shard group writes
+    ``wet-{shard:05d}.warc.gz`` via temp-file + atomic rename (the
+    foreach_batch delta discipline: a crashed task never leaves a
+    half-written visible file).
+
+    Returns the manifest: one dict per shard (shard_id, n_records,
+    n_bytes, path), computed from the written bytes.  ``out_dir``
+    must be storage every executor can reach (local/NFS here; object
+    storage via a mounted path at cluster scale)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.export import shard_id_sql
+
+    os.makedirs(out_dir, exist_ok=True)
+    sharded = df.selectExpr(
+        f"{id_col} AS _id",
+        f"{uri_col} AS _uri",
+        f"coalesce({date_col}, '') AS _date",
+        f"coalesce({text_col}, '') AS _text",
+    ).selectExpr("*", shard_id_sql("spark", "_id", n_shards) + " AS _shard")
+
+    def write_shard(key, pdf):
+        import pandas as pd
+
+        shard = int(key[0])
+        p = pdf.sort_values("_id").reset_index(drop=True)
+        recs = []
+        for _, r in p.iterrows():
+            payload = str(r["_text"]).encode("utf-8")
+            recs.append(
+                (
+                    {
+                        "WARC-Type": "conversion",
+                        "WARC-Record-ID": f"<urn:doc:{int(r['_id'])}>",
+                        "WARC-Target-URI": str(r["_uri"]),
+                        "WARC-Date": str(r["_date"]),
+                        "Content-Type": "text/plain",
+                    },
+                    payload,
+                )
+            )
+        data = build_warc(recs, gzip_members=True)
+        path = os.path.join(out_dir, f"wet-{shard:05d}.warc.gz")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            [
+                {
+                    "shard_id": shard,
+                    "n_records": len(recs),
+                    "n_bytes": len(data),
+                    "path": path,
+                }
+            ]
+        )
+
+    manifest_df = sharded.groupBy("_shard").applyInPandas(
+        write_shard,
+        "shard_id INT, n_records LONG, n_bytes LONG, path STRING",
+    )
+    manifest = {r["shard_id"]: r.asDict() for r in manifest_df.collect()}
+    # a shard with no documents still gets its (empty, valid) file so
+    # the emitted file SET is exactly n_shards for any input — readers
+    # enumerate shards, not directory listings
+    for shard in range(n_shards):
+        if shard not in manifest:
+            path = os.path.join(out_dir, f"wet-{shard:05d}.warc.gz")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                pass
+            os.replace(tmp, path)
+            manifest[shard] = {
+                "shard_id": shard, "n_records": 0, "n_bytes": 0,
+                "path": path,
+            }
+    return [manifest[s] for s in range(n_shards)]

@@ -341,6 +341,7 @@ def test_prepare_corpus_from_warc(spark, tmp_path):
             "--out-dir", out,
             "--no-gopher",
             "--lsh-threshold", "0",
+            "--wet-shards", "2",
         ],
         spark=spark,
     )
@@ -369,6 +370,19 @@ def test_prepare_corpus_from_warc(spark, tmp_path):
     assert "lorem" not in all_text
     # titles are not terminal-punctuated: C4 dropped them
     assert "a0\n" not in all_text
+    # WET re-export: the curated corpus round-trips through the reader
+    from org_revue_de_presse_trends_spark.sources.warc import (
+        read_warc,
+        wet_documents,
+    )
+
+    assert funnel["wet_shards"] == 2
+    wet_manifest = json.load(open(os.path.join(out, "wet_manifest.json")))
+    assert sum(m["n_records"] for m in wet_manifest) == 7
+    back = wet_documents(read_warc(spark, os.path.join(out, "wet")))
+    assert sorted(r["text"] for r in back.collect()) == sorted(
+        r["text"] for r in rows
+    )
 
 
 def test_prepare_corpus_requires_exactly_one_input(spark, tmp_path, capsys):
