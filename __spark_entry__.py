@@ -47,7 +47,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: AFTER this round's rotation commit, so otherwise driver-unverified
 #: until r12) displace the two youngest fills (orders_of_building_semi,
 #: orders_left_join_big_lines — both r9-verified): never-verified
-#: oracles always outrank recycling a veteran.
+#: oracles always outrank recycling a veteran.  Second amendment, same
+#: principle: the four web-text oracles (doc_html_extract,
+#: doc_line_dedup, doc_c4_line_filter, doc_warc_roundtrip_extract)
+#: displace four more r9-verified fills (q3, q5, events_json_extract,
+#: orders_excluding_building_anti).
 WINDOW_ROTATION = [
     "doc_shard_manifest", "rolling_30d_customer_revenue",
     "doc_token_stats", "doc_quality_scores", "doc_lang_id", "doc_chunks",
@@ -67,9 +71,9 @@ WINDOW_ROTATION = [
     "doc_lm_stupid_backoff", "doc_lm_kneser_ney", "value_moments_by_type",
     "value_drift_psi", "orders_quality_report",
     "value_ks_click_vs_purchase", "customer_directory_fuzzy_link",
-    "doc_neardup_clustering", "q3_top_revenue_orders",
-    "q5_supplier_nation_revenue", "events_json_extract",
-    "orders_excluding_building_anti", "doc_corpus_diff",
+    "doc_neardup_clustering", "doc_html_extract",
+    "doc_line_dedup", "doc_c4_line_filter",
+    "doc_warc_roundtrip_extract", "doc_corpus_diff",
     "doc_eval_carve",
 ]
 

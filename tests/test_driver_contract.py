@@ -179,8 +179,9 @@ DRIVER_WINDOW = 50
 #: returned to the overflow set below, still gated by this file's
 #: per-query oracle test.  Changing the window is an explicit edit
 #: here, never a side effect of registering a new query.  Late-r11
-#: amendment: doc_corpus_diff + doc_eval_carve (registered after the
-#: rotation commit) displace the two youngest r9-verified fills.
+#: amendments (never-verified oracles outrank recycling a veteran):
+#: doc_corpus_diff + doc_eval_carve, then the four web-text oracles,
+#: displace the six youngest r9-verified fills.
 WINDOW_QUERIES = [
     "doc_shard_manifest", "rolling_30d_customer_revenue",
     "doc_token_stats", "doc_quality_scores", "doc_lang_id", "doc_chunks",
@@ -200,9 +201,9 @@ WINDOW_QUERIES = [
     "doc_lm_stupid_backoff", "doc_lm_kneser_ney", "value_moments_by_type",
     "value_drift_psi", "orders_quality_report",
     "value_ks_click_vs_purchase", "customer_directory_fuzzy_link",
-    "doc_neardup_clustering", "q3_top_revenue_orders",
-    "q5_supplier_nation_revenue", "events_json_extract",
-    "orders_excluding_building_anti", "doc_corpus_diff",
+    "doc_neardup_clustering", "doc_html_extract",
+    "doc_line_dedup", "doc_c4_line_filter",
+    "doc_warc_roundtrip_extract", "doc_corpus_diff",
     "doc_eval_carve",
 ]
 
@@ -227,31 +228,37 @@ def test_driver_window_is_pinned_and_fully_oracled():
     # visible set — they get the in-repo gate only
     overflow = [n for n in oracles if n not in window]
     assert overflow == [
-        "q1_pricing_summary", "daily_top_events", "events_daily_counts",
-        "orders_of_building_semi", "orders_left_join_big_lines",
-        "argmax_event_per_user", "asof_click_before_purchase",
-        "topk_orders_paginated", "disjunctive_join_nation_customer",
-        "rollup_order_stats", "union_order_variants",
-        "running_total_per_customer", "sessionize_events",
-        "orders_above_customer_avg", "events_type_pivot",
-        "duplicate_line_keys", "cube_lineitem_stats", "orders_price_bands",
+        "q1_pricing_summary", "q3_top_revenue_orders",
+        "q5_supplier_nation_revenue", "daily_top_events",
+        "events_daily_counts", "events_json_extract",
+        "orders_excluding_building_anti", "orders_of_building_semi",
+        "orders_left_join_big_lines", "argmax_event_per_user",
+        "asof_click_before_purchase", "topk_orders_paginated",
+        "disjunctive_join_nation_customer", "rollup_order_stats",
+        "union_order_variants", "running_total_per_customer",
+        "sessionize_events", "orders_above_customer_avg",
+        "events_type_pivot", "duplicate_line_keys",
+        "cube_lineitem_stats", "orders_price_bands",
         "events_time_rollup", "order_rank_features",
         "large_volume_customers", "user_value_zscores",
         "value_percentiles_exact", "intersect_repeat_customers",
         "except_big_only_parts", "except_all_returned_not_finished",
         "grouping_sets_order_stats", "lateral_top2_orders_per_customer",
         "qty_price_correlation", "orders_with_late_lines",
-        "nation_pair_revenue", "dedup_simhash_md5", "dedup_minhash_md5",
-        "doc_winnow_fingerprints_md5", "doc_decontamination",
-        "doc_span_decontaminated", "doc_repetition_signals",
-        "orders_nearby_count", "doc_duplicate_spans", "token_bigram_pmi",
-        "events_daily_dense", "doc_weighted_sample", "doc_pii_redaction",
-        "source_ngram_overlap", "doc_unigram_surprisal",
-        "doc_split_counts", "doc_dsir_importance", "doc_gopher_rules",
+        "nation_pair_revenue", "dedup_simhash_md5",
+        "dedup_minhash_md5", "doc_winnow_fingerprints_md5",
+        "doc_decontamination", "doc_span_decontaminated",
+        "doc_repetition_signals", "orders_nearby_count",
+        "doc_duplicate_spans", "token_bigram_pmi",
+        "events_daily_dense", "doc_weighted_sample",
+        "doc_pii_redaction", "source_ngram_overlap",
+        "doc_unigram_surprisal", "doc_split_counts",
+        "doc_dsir_importance", "doc_gopher_rules",
         "q9_profit_by_nation_year", "q14_promo_revenue_ratio",
         "q16_supplier_part_counts", "q19_bracket_revenue",
-        "q22_idle_customers", "doc_overlap_pairs", "doc_token_entropy",
-        "q15_top_suppliers", "source_zipf_slope", "vocab_coverage_curve",
+        "q22_idle_customers", "doc_overlap_pairs",
+        "doc_token_entropy", "q15_top_suppliers",
+        "source_zipf_slope", "vocab_coverage_curve",
         "source_js_divergence", "doc_perplexity_buckets",
         "source_data_card", "doc_contrastive_negatives",
         "event_type_daily_bursts", "q4_priority_with_late_lines",
@@ -261,16 +268,15 @@ def test_driver_window_is_pinned_and_fully_oracled():
         "q10_returned_item_customers", "doc_span_dedup_keep_first",
         "doc_bloom_contamination", "orders_profile",
         "doc_bm25_rarest_terms", "doc_token_chunks",
-        "doc_nfc_normalization", "url_canonical_dedup", "domain_doc_caps",
-        "url_robots_audit", "domain_blocklist_audit",
-        "url_content_staleness", "q2_min_cost_supplier",
-        "q11_important_part_values", "event_value_auc",
-        "event_value_calibration", "event_value_threshold_metrics",
-        "doc_rule_agreement_kappa", "qty_price_spearman",
-        "event_type_value_mi", "event_type_value_chi2",
-        "doc_length_lang_auc_by_source", "doc_lang_classifier_auc",
-        "doc_html_extract", "doc_line_dedup", "doc_c4_line_filter",
-        "doc_warc_roundtrip_extract",
+        "doc_nfc_normalization", "url_canonical_dedup",
+        "domain_doc_caps", "url_robots_audit",
+        "domain_blocklist_audit", "url_content_staleness",
+        "q2_min_cost_supplier", "q11_important_part_values",
+        "event_value_auc", "event_value_calibration",
+        "event_value_threshold_metrics", "doc_rule_agreement_kappa",
+        "qty_price_spearman", "event_type_value_mi",
+        "event_type_value_chi2", "doc_length_lang_auc_by_source",
+        "doc_lang_classifier_auc",
     ], f"unexpected overflow oracled set: {overflow}"
 
 
