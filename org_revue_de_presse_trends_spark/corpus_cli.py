@@ -60,6 +60,14 @@ def build_parser() -> argparse.ArgumentParser:
                    "conversion (WET) records are taken as-is; doc_id "
                    "is a deterministic content hash, source is the "
                    "PSL registrable domain of the target URI")
+    p.add_argument("--web-robots-filter", action="store_true",
+                   help="with --warc-dir: parse the crawl's own "
+                   "/robots.txt responses (operators/robots.py, RFC "
+                   "9309 groups + longest-prefix verdicts) and drop "
+                   "pages a polite crawler for --web-robots-agent "
+                   "would not have fetched")
+    p.add_argument("--web-robots-agent", default="*",
+                   help="user-agent token for --web-robots-filter")
     p.add_argument("--web-c4-filter", action="store_true",
                    help="with --warc-dir: apply the C4 line-level "
                    "heuristics (functions/c4lines.py) — pages failing "
@@ -248,6 +256,8 @@ def ingest_web(
     spark: SparkSession,
     warc_dir: str,
     *,
+    robots_filter: bool = False,
+    robots_user_agent: str = "*",
     c4_filter: bool = False,
     line_dedup: bool = False,
 ) -> tuple[DataFrame, dict[str, int]]:
@@ -255,8 +265,9 @@ def ingest_web(
     counts.  Orchestration only — every stage is a tested operator:
     sources/warc (record walk, HTTP split, charset ladder),
     functions/htmltext (extraction), operators/urls+psl (registrable
-    domain as the ``source`` column), functions/c4lines,
-    operators/linededup.
+    domain as the ``source`` column), operators/robots (the crawl's
+    own /robots.txt responses → longest-prefix verdicts, when
+    ``robots_filter``), functions/c4lines, operators/linededup.
 
     doc_id is ``xxhash64(target_uri, warc_date, text)`` — a
     deterministic content hash, so byte-identical re-fetches collapse
@@ -281,7 +292,8 @@ def ingest_web(
         )
         .select(
             F.xxhash64("target_uri", "warc_date", "text").alias("doc_id"),
-            F.col("registrable_domain").alias("source"),
+            F.col("registrable_domain"),
+            "canonical_path",
             "target_uri",
             "warc_date",
             "text",
@@ -290,6 +302,23 @@ def ingest_web(
         .localCheckpoint()
     )
     funnel["web_documents"] = docs.count()
+    if robots_filter:
+        from .operators.robots import robots_rules_from_records
+        from .operators.urls import robots_verdicts
+
+        rules = robots_rules_from_records(
+            records, robots_user_agent
+        ).localCheckpoint()
+        allowed = robots_verdicts(docs, rules, ["doc_id"]).where(
+            F.col("allowed")
+        )
+        docs = docs.join(
+            allowed.select("doc_id"), "doc_id", "left_semi"
+        ).localCheckpoint()
+        funnel["robots_allowed"] = docs.count()
+    docs = docs.drop("canonical_path").withColumnRenamed(
+        "registrable_domain", "source"
+    )
     if c4_filter:
         filtered = with_c4_lines(docs)
         docs = (
@@ -346,6 +375,8 @@ def main(argv: list[str] | None = None,
             docs, web_funnel = ingest_web(
                 spark,
                 args.warc_dir,
+                robots_filter=args.web_robots_filter,
+                robots_user_agent=args.web_robots_agent,
                 c4_filter=args.web_c4_filter,
                 line_dedup=args.web_line_dedup,
             )

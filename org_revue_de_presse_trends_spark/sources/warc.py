@@ -299,6 +299,10 @@ def warc_html_documents(records: DataFrame) -> DataFrame:
         (records.warc_type == "response")
         & (records.http_status == 200)
         & records.payload_text.isNotNull()
+        # the promise is HTML responses: a text/plain 200 (robots.txt,
+        # ads.txt) is not a document — plain text enters via WET
+        # conversion records only
+        & F.split(records.content_type, ";")[0].startswith("text/html")
     ).select("target_uri", "warc_date",
              records.payload_text.alias("html"))
     return html.select(

@@ -293,7 +293,22 @@ def test_prepare_corpus_from_warc(spark, tmp_path):
             ),
         )
 
-    recs = [page("alpha-site.com", f"a{i}") for i in range(3)]
+    recs = [
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Record-ID": "<urn:robots-a>",
+                "WARC-Target-URI": "http://www.alpha-site.com/robots.txt",
+                "WARC-Date": "2025-02-01T00:00:00Z",
+                "Content-Type": "application/http; msgtype=response",
+            },
+            W.build_http_response(
+                200, {"Content-Type": "text/plain"},
+                b"User-agent: *\nDisallow: /a1\n",
+            ),
+        )
+    ]
+    recs += [page("alpha-site.com", f"a{i}") for i in range(3)]
     recs += [page("beta-site.org", f"b{i}") for i in range(3)]
     recs.append(page("alpha-site.com", "spam",
                      extra="<p>Filler lorem ipsum text sits here.</p>"))
@@ -336,6 +351,7 @@ def test_prepare_corpus_from_warc(spark, tmp_path):
     rc = main(
         [
             "--warc-dir", str(warc_dir),
+            "--web-robots-filter",
             "--web-c4-filter",
             "--web-line-dedup",
             "--out-dir", out,
@@ -347,20 +363,23 @@ def test_prepare_corpus_from_warc(spark, tmp_path):
     )
     assert rc == 0
     funnel = json.load(open(os.path.join(out, "funnel.json")))
-    assert funnel["warc_records"] == 9
+    assert funnel["warc_records"] == 10
     assert funnel["warc_parse_errors"] == 0
-    # 404 excluded; 7 html pages + 1 wet doc
+    # 404 and the text/plain robots.txt excluded; 7 html pages + 1 wet
     assert funnel["web_documents"] == 8
+    # /a1 is robots-disallowed on alpha-site.com
+    assert funnel["robots_allowed"] == 7
     # the lorem-ipsum page fails the C4 page rules
-    assert funnel["c4_pages_kept"] == 7
+    assert funnel["c4_pages_kept"] == 6
     # the boilerplate line survives exactly once: dropped from the
-    # 5 other surviving html pages (the spam page died before dedup)
-    assert funnel["line_dedup_lines_dropped"] == 5
-    assert funnel["input"] == 7 and funnel["output"] == 7
+    # 4 other surviving html pages (a1 robots-dropped, spam C4-dropped)
+    assert funnel["line_dedup_lines_dropped"] == 4
+    assert funnel["input"] == 6 and funnel["output"] == 6
 
     docs = spark.read.parquet(os.path.join(out, "documents"))
     rows = docs.collect()
-    assert len(rows) == 7
+    assert len(rows) == 6
+    assert not any("a1" in r["target_uri"] for r in rows)
     # registrable domains became the source column (www stripped)
     assert {r["source"] for r in rows} == {
         "alpha-site.com", "beta-site.org", "gamma-site.net"
@@ -378,7 +397,7 @@ def test_prepare_corpus_from_warc(spark, tmp_path):
 
     assert funnel["wet_shards"] == 2
     wet_manifest = json.load(open(os.path.join(out, "wet_manifest.json")))
-    assert sum(m["n_records"] for m in wet_manifest) == 7
+    assert sum(m["n_records"] for m in wet_manifest) == 6
     back = wet_documents(read_warc(spark, os.path.join(out, "wet")))
     assert sorted(r["text"] for r in back.collect()) == sorted(
         r["text"] for r in rows
