@@ -41,7 +41,8 @@ from pyspark.sql import DataFrame, SparkSession
 WARC_SCHEMA = (
     "path STRING, warc_type STRING, record_id STRING, target_uri STRING, "
     "warc_date STRING, content_type STRING, http_status INT, "
-    "payload BINARY, payload_text STRING, parse_error STRING"
+    "payload_digest STRING, payload BINARY, payload_text STRING, "
+    "parse_error STRING"
 )
 
 
@@ -199,8 +200,8 @@ def _record_rows(path: str, content: bytes) -> list[dict]:
         base = {
             "path": path, "warc_type": None, "record_id": None,
             "target_uri": None, "warc_date": None, "content_type": None,
-            "http_status": None, "payload": None, "payload_text": None,
-            "parse_error": None,
+            "http_status": None, "payload_digest": None, "payload": None,
+            "payload_text": None, "parse_error": None,
         }
         base.update(kw)
         return base
@@ -231,6 +232,10 @@ def _record_rows(path: str, content: bytes) -> list[dict]:
                     warc_date=headers.get("warc-date"),
                     content_type=ctype,
                     http_status=status,
+                    # Common Crawl stamps sha1:BASE32 of the HTTP
+                    # payload — exact dedup downstream can group on
+                    # this without ever decoding text
+                    payload_digest=headers.get("warc-payload-digest"),
                     payload=bytes(body),
                     payload_text=text,
                 )
@@ -261,7 +266,8 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 columns=[
                     "path", "warc_type", "record_id", "target_uri",
                     "warc_date", "content_type", "http_status",
-                    "payload", "payload_text", "parse_error",
+                    "payload_digest", "payload", "payload_text",
+                    "parse_error",
                 ],
             )
 
@@ -454,3 +460,69 @@ def write_wet(
                 "path": path,
             }
     return [manifest[s] for s in range(n_shards)]
+
+
+def digest_dedup(records: DataFrame) -> DataFrame:
+    """Exact-duplicate removal on ``payload_digest`` — the Common
+    Crawl workflow where sha1 digests ship in the WARC headers, so
+    byte-identical re-fetches drop WITHOUT ever decoding payloads.
+    Keep-first under (warc_date, record_id); rows with no digest are
+    exempt (kept) — absence of evidence is not a duplicate.
+
+    Scale: one map-side-combinable aggregate on the digest + a
+    semi-join back on the (digest, date, id) identity — the linededup
+    skew argument applies (a viral page's digest reduces per
+    partition before the exchange)."""
+    from pyspark.sql import functions as F
+
+    with_digest = records.where(F.col("payload_digest").isNotNull())
+    first = (
+        with_digest.groupBy("payload_digest")
+        .agg(F.min(F.struct("warc_date", "record_id")).alias("_f"))
+        .select(
+            "payload_digest",
+            F.col("_f.warc_date").alias("warc_date"),
+            F.col("_f.record_id").alias("record_id"),
+        )
+    )
+    kept = with_digest.join(
+        first, ["payload_digest", "warc_date", "record_id"], "left_semi"
+    )
+    return records.where(F.col("payload_digest").isNull()).unionByName(kept)
+
+
+def crawl_stats(records: DataFrame) -> DataFrame:
+    """Per-host crawl data card straight off the record frame (no
+    text decode): record/ok/html counts, payload bytes, distinct
+    content types, parse errors folded in by their file path.  The
+    inventory a curation run reads before deciding what to keep —
+    one hash aggregate over hosts."""
+    from pyspark.sql import functions as F
+
+    host = F.coalesce(
+        F.lower(
+            F.regexp_extract("target_uri", "^[a-zA-Z]+://([^/]+)", 1)
+        ),
+        F.lit(""),  # error rows have no URI: the '' bucket
+    )
+    ctype0 = F.split(F.coalesce(F.col("content_type"), F.lit("")), ";")[0]
+    return (
+        records.withColumn("host", host)
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum(
+                (F.col("http_status") == 200).cast("long")
+            ).alias("n_ok"),
+            F.sum(
+                ctype0.startswith("text/html").cast("long")
+            ).alias("n_html"),
+            F.sum(
+                F.coalesce(F.length("payload"), F.lit(0)).cast("long")
+            ).alias("payload_bytes"),
+            F.count_distinct(ctype0).alias("n_content_types"),
+            F.sum(
+                F.col("parse_error").isNotNull().cast("long")
+            ).alias("n_parse_errors"),
+        )
+    )

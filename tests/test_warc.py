@@ -200,3 +200,69 @@ def test_write_wet_roundtrip_and_determinism(spark, tmp_path):
         r["target_uri"]: r["text"] for r in docs.collect()
     }
     assert got == want
+
+
+def test_payload_digest_and_dedup(spark, tmp_path):
+    """WARC-Payload-Digest rides through the reader and digest_dedup
+    keeps exactly the first occurrence per digest, exempting
+    digest-less records."""
+
+    def rec(i, digest, date="2025-01-01T00:00:00Z"):
+        h = {
+            "WARC-Type": "resource",
+            "WARC-Record-ID": f"<urn:d{i}>",
+            "WARC-Target-URI": f"http://ex.org/{i}",
+            "WARC-Date": date,
+            "Content-Type": "text/plain",
+        }
+        if digest:
+            h["WARC-Payload-Digest"] = digest
+        return (h, f"body {i}".encode())
+
+    recs = [
+        rec(0, "sha1:AAA"),
+        rec(1, "sha1:AAA", date="2025-01-02T00:00:00Z"),  # later dup
+        rec(2, "sha1:BBB"),
+        rec(3, None),
+        rec(4, None),
+    ]
+    (tmp_path / "d.warc").write_bytes(W.build_warc(recs))
+    records = W.read_warc(spark, str(tmp_path))
+    by_id = {r["record_id"]: r for r in records.collect()}
+    assert by_id["<urn:d0>"]["payload_digest"] == "sha1:AAA"
+    assert by_id["<urn:d3>"]["payload_digest"] is None
+
+    kept = {r["record_id"] for r in W.digest_dedup(records).collect()}
+    assert kept == {"<urn:d0>", "<urn:d2>", "<urn:d3>", "<urn:d4>"}
+
+
+def test_crawl_stats_card(spark, tmp_path):
+    recs = [
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Record-ID": f"<urn:s{i}>",
+                "WARC-Target-URI": f"http://Site-A.com/p{i}",
+                "WARC-Date": "2025-01-01T00:00:00Z",
+                "Content-Type": "application/http; msgtype=response",
+            },
+            W.build_http_response(
+                200 if i < 2 else 404,
+                {"Content-Type": "text/html; charset=utf-8"},
+                b"x" * (10 * (i + 1)),
+            ),
+        )
+        for i in range(3)
+    ]
+    (tmp_path / "s.warc").write_bytes(W.build_warc(recs))
+    (tmp_path / "bad.warc").write_bytes(b"junk not warc")
+    stats = {
+        r["host"]: r for r in W.crawl_stats(
+            W.read_warc(spark, str(tmp_path))
+        ).collect()
+    }
+    a = stats["site-a.com"]
+    assert a["n_records"] == 3 and a["n_ok"] == 2 and a["n_html"] == 3
+    assert a["payload_bytes"] == 10 + 20 + 30
+    # the junk file's error row has no URI: empty host bucket
+    assert stats[""]["n_parse_errors"] == 1
