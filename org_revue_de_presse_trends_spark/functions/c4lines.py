@@ -44,18 +44,25 @@ def kept_lines_sql(
 ) -> str:
     """Array of surviving lines of ``text_expr`` under the per-LINE
     rules (terminal punctuation, word count, javascript)."""
+    # CRLF text leaves a trailing '\r' on every split line; trim()
+    # strips spaces only in BOTH engines, and a surviving '\r' splits
+    # them on the '$' anchor (Java regex matches before a final line
+    # terminator, RE2 does not — review-caught).  replace() strips it
+    # identically in both before any rule looks at the line.
     if engine == "spark":
         return (
             f"filter(split({text_expr}, '\n'), x -> "
-            f"trim(x) RLIKE '[.!?\"]$' "
-            f"AND size(split(trim(x), ' +')) >= {min_words} "
+            f"trim(replace(x, '\r', '')) RLIKE '[.!?\"]$' "
+            f"AND size(split(trim(replace(x, '\r', '')), ' +')) "
+            f">= {min_words} "
             f"AND NOT contains(lower(x), 'javascript'))"
         )
     if engine == "duckdb":
         return (
             f"list_filter(string_split({text_expr}, chr(10)), x -> "
-            f"regexp_matches(trim(x), '[.!?\"]$') "
-            f"AND len(string_split_regex(trim(x), ' +')) >= {min_words} "
+            f"regexp_matches(trim(replace(x, chr(13), '')), '[.!?\"]$') "
+            f"AND len(string_split_regex(trim(replace(x, chr(13), '')),"
+            f" ' +')) >= {min_words} "
             f"AND NOT contains(lower(x), 'javascript'))"
         )
     raise ValueError(f"unknown engine: {engine}")

@@ -70,8 +70,13 @@ HTML_ENTITIES: tuple[tuple[str, str], ...] = (
     ("&amp;", "&"),
 )
 
-#: whitespace normalization, applied last.
+#: whitespace normalization, applied last.  The cr stage first folds
+#: CRLF / lone CR into LF — real crawls are CRLF-encoded, and a
+#: surviving '\r' would both defeat line-level dedup downstream and
+#: split the engines on '$' anchors (Java regex treats a final '\r'
+#: as a line terminator, RE2 does not; review-caught).
 HTML_WS_STAGES: tuple[tuple[str, str, str], ...] = (
+    ("cr", r"\r\n?", "\n"),
     ("hspace", r"[ \t]+", " "),
     ("nl_hug", r" ?\n ?", "\n"),
     ("nl_runs", r"\n+", "\n"),

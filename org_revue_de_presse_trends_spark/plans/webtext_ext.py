@@ -61,22 +61,20 @@ def _synth_html_sql(engine: str) -> str:
     )
 
 
-def _html_oracle_select(engine: str) -> str:
-    """Final projection over the extracted text.  The extraction chain
-    lands behind its own projection (subquery / separate selectExpr)
-    because ``txt`` is referenced three times — without the boundary
-    both planners would inline the 16-stage regex chain per
-    reference."""
-    txt = H.html_to_text_sql(engine, "html")
-    title = H.html_title_sql(engine, "html")
-    n_lines = (
-        "CAST(size(split(txt, '\n')) AS BIGINT)"
-        if engine == "spark"
-        else "CAST(len(string_split(txt, chr(10))) AS BIGINT)"
-    )
+def _html_oracle_select() -> str:
+    """DuckDB-side final projection over the extracted text (the
+    Spark twin is the two chained selectExpr calls in the query body
+    — separate because the Spark side needs DataFrame projection
+    boundaries, not a subquery).  The extraction chain lands behind
+    its own projection because ``txt`` is referenced three times —
+    without the boundary the planner would inline the 17-stage regex
+    chain per reference."""
+    txt = H.html_to_text_sql("duckdb", "html")
+    title = H.html_title_sql("duckdb", "html")
     return (
         f"SELECT doc_id, title, md5(txt) AS txt_md5, "
-        f"CAST(length(txt) AS BIGINT) AS txt_len, {n_lines} AS n_lines "
+        f"CAST(length(txt) AS BIGINT) AS txt_len, "
+        f"CAST(len(string_split(txt, chr(10))) AS BIGINT) AS n_lines "
         f"FROM (SELECT doc_id, {txt} AS txt, {title} AS title FROM _html)"
     )
 
@@ -87,7 +85,7 @@ def _html_oracle_select(engine: str) -> str:
     WITH _html AS (
         SELECT doc_id, {_synth_html_sql('duckdb')} AS html FROM documents
     )
-    {_html_oracle_select('duckdb')}
+    {_html_oracle_select()}
     """,
 )
 def doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -339,7 +337,13 @@ def doc_warc_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     gzip_members=True,
                 )
                 rows = W._record_rows(f"mem://{int(doc_id)}", data)
-                assert len(rows) == 1 and rows[0]["parse_error"] is None
+                # explicit raise, not assert: an assert vanishes under
+                # python -O and fails opaquely in an executor
+                if len(rows) != 1 or rows[0]["parse_error"] is not None:
+                    raise ValueError(
+                        f"WARC round-trip failed for doc {int(doc_id)}: "
+                        f"{[r['parse_error'] for r in rows]}"
+                    )
                 r = rows[0]
                 out.append(
                     {

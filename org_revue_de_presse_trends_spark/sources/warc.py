@@ -55,7 +55,10 @@ def gunzip_members(data: bytes) -> bytes:
     while pos < n:
         d = zlib.decompressobj(wbits=31)
         try:
-            out.append(d.decompress(data[pos:]))
+            # memoryview slice: zero-copy — data[pos:] would memcpy
+            # the whole compressed tail once PER MEMBER (quadratic at
+            # the one-member-per-record convention; review-caught)
+            out.append(d.decompress(memoryview(data)[pos:]))
             out.append(d.flush())
         except zlib.error as exc:
             raise ValueError(f"bad gzip member at offset {pos}: {exc}")
@@ -220,7 +223,8 @@ def _record_rows(path: str, content: bytes) -> list[dict]:
                 except ValueError:
                     # keep the raw payload; the record itself is intact
                     status, body = None, payload
-            if ctype is not None and ctype.split(";")[0].strip() in (
+            # media types are case-insensitive (RFC 9110)
+            if ctype is not None and ctype.split(";")[0].strip().lower() in (
                 "text/plain", "text/html"
             ):
                 text = decode_text(body, ctype)
@@ -307,8 +311,11 @@ def warc_html_documents(records: DataFrame) -> DataFrame:
         & records.payload_text.isNotNull()
         # the promise is HTML responses: a text/plain 200 (robots.txt,
         # ads.txt) is not a document — plain text enters via WET
-        # conversion records only
-        & F.split(records.content_type, ";")[0].startswith("text/html")
+        # conversion records only.  lower(): media types are
+        # case-insensitive (RFC 9110)
+        & F.lower(F.split(records.content_type, ";")[0]).startswith(
+            "text/html"
+        )
     ).select("target_uri", "warc_date",
              records.payload_text.alias("html"))
     return html.select(
@@ -440,9 +447,17 @@ def write_wet(
             ]
         )
 
-    manifest_df = sharded.groupBy("_shard").applyInPandas(
-        write_shard,
-        "shard_id INT, n_records LONG, n_bytes LONG, path STRING",
+    # REPARTITION_BY_NUM before groupBy+applyInPandas: per-shard
+    # sort+gzip+write is CPU/IO-heavy while the rows are bytes-small,
+    # exactly the shape AQE coalescing folds into too few tasks (the
+    # r7 embedding_near_dup lesson; the groupBy reuses this exchange)
+    manifest_df = (
+        sharded.repartition(n_shards, F.col("_shard"))
+        .groupBy("_shard")
+        .applyInPandas(
+            write_shard,
+            "shard_id INT, n_records LONG, n_bytes LONG, path STRING",
+        )
     )
     manifest = {r["shard_id"]: r.asDict() for r in manifest_df.collect()}
     # a shard with no documents still gets its (empty, valid) file so
@@ -475,19 +490,27 @@ def digest_dedup(records: DataFrame) -> DataFrame:
     partition before the exchange)."""
     from pyspark.sql import functions as F
 
-    with_digest = records.where(F.col("payload_digest").isNotNull())
+    # tiebreak keys ride as NULL-coalesced sentinels: a record missing
+    # WARC-Date/Record-ID (real malformed crawl data) must still be
+    # keepable — an equi-join on a raw NULL key would silently drop
+    # the whole digest group (review-caught)
+    with_digest = (
+        records.where(F.col("payload_digest").isNotNull())
+        .withColumn("_date_k", F.coalesce(F.col("warc_date"), F.lit("")))
+        .withColumn("_rid_k", F.coalesce(F.col("record_id"), F.lit("")))
+    )
     first = (
         with_digest.groupBy("payload_digest")
-        .agg(F.min(F.struct("warc_date", "record_id")).alias("_f"))
+        .agg(F.min(F.struct("_date_k", "_rid_k")).alias("_f"))
         .select(
             "payload_digest",
-            F.col("_f.warc_date").alias("warc_date"),
-            F.col("_f.record_id").alias("record_id"),
+            F.col("_f._date_k").alias("_date_k"),
+            F.col("_f._rid_k").alias("_rid_k"),
         )
     )
     kept = with_digest.join(
-        first, ["payload_digest", "warc_date", "record_id"], "left_semi"
-    )
+        first, ["payload_digest", "_date_k", "_rid_k"], "left_semi"
+    ).drop("_date_k", "_rid_k")
     return records.where(F.col("payload_digest").isNull()).unionByName(kept)
 
 
@@ -505,14 +528,20 @@ def crawl_stats(records: DataFrame) -> DataFrame:
         ),
         F.lit(""),  # error rows have no URI: the '' bucket
     )
-    ctype0 = F.split(F.coalesce(F.col("content_type"), F.lit("")), ";")[0]
+    ctype0 = F.lower(
+        F.split(F.coalesce(F.col("content_type"), F.lit("")), ";")[0]
+    )
     return (
         records.withColumn("host", host)
         .groupBy("host")
         .agg(
             F.count(F.lit(1)).alias("n_records"),
+            # NULL http_status (WET conversion records, error rows)
+            # must count as 0, not make the SUM NULL (review-caught)
             F.sum(
-                (F.col("http_status") == 200).cast("long")
+                F.coalesce(
+                    (F.col("http_status") == 200).cast("long"), F.lit(0)
+                )
             ).alias("n_ok"),
             F.sum(
                 ctype0.startswith("text/html").cast("long")

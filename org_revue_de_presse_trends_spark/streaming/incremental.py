@@ -427,13 +427,22 @@ def foreach_batch_line_dedup(
     )
 
     def run(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         try:
             index = spark.read.parquet(index_path).where(
                 F.col("batch_id") < batch_id
             )
             have_index = index.limit(1).count() > 0
-        except Exception:  # first batch: no index yet
+        except AnalysisException as exc:
+            # ONLY a missing index path means "first batch"; any other
+            # read failure (corrupt footer, transient FS error) must
+            # propagate — swallowing it would silently dedup the batch
+            # against nothing and re-emit history (review-caught)
+            msg = str(exc)
+            if "PATH_NOT_FOUND" not in msg and "does not exist" not in msg:
+                raise
             have_index = False
         if have_index:
             deduped, new_index = remove_duplicate_lines_incremental(

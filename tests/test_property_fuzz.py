@@ -737,7 +737,7 @@ def test_fuzzy_join_matches_bruteforce_fuzz(spark, ls, rs, tau):
 #: adversarial HTML alphabet: tag/entity machinery, quotes, newlines,
 #: fragments of the special tag names, plus non-ASCII
 _HTML_CHARS = sorted(set(
-    "<>&;/\\\"'!=- \n\tabcdefghipqrstyle0123éπ#"
+    "<>&;/\\\"'!=- \r\n\tabcdefghipqrstyle0123éπ#"
 ))
 
 
@@ -785,7 +785,7 @@ def test_html_extraction_cross_engine_fuzz(spark, htmls):
 @given(
     st.lists(
         st.text(
-            alphabet=sorted(set(" \n\t.!?\"abcdj{pv lorem ipsum")),
+            alphabet=sorted(set(" \r\n\t.!?\"abcdj{pv lorem ipsum")),
             min_size=0,
             max_size=150,
         ),

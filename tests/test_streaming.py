@@ -1164,3 +1164,26 @@ def test_streaming_line_dedup_matches_batch(spark, tmp_path):
     idx = spark.read.parquet(index_path)
     n_norms = idx.select("line_norm").distinct().count()
     assert idx.select("line_norm", "batch_id").distinct().count() == n_norms
+
+
+def test_streaming_line_dedup_corrupt_index_propagates(spark, tmp_path):
+    """Review-caught: only a MISSING index path means first batch —
+    a corrupt index must raise, not silently dedup against nothing."""
+    import pytest as _pytest
+
+    from org_revue_de_presse_trends_spark.streaming.incremental import (
+        foreach_batch_line_dedup,
+    )
+
+    index_path = tmp_path / "line_index"
+    index_path.mkdir()
+    (index_path / "part-garbage.parquet").write_bytes(b"not parquet")
+    run = foreach_batch_line_dedup(
+        str(index_path), str(tmp_path / "out"), min_chars=5
+    )
+    df = spark.createDataFrame(
+        [(1, "some line of text here")], "doc_id long, text string"
+    )
+    with _pytest.raises(Exception) as exc_info:
+        run(df, 1)
+    assert "PATH_NOT_FOUND" not in str(exc_info.value)

@@ -236,6 +236,66 @@ def test_payload_digest_and_dedup(spark, tmp_path):
     assert kept == {"<urn:d0>", "<urn:d2>", "<urn:d3>", "<urn:d4>"}
 
 
+def test_digest_dedup_null_date_still_kept(spark, tmp_path):
+    """Review-caught: a digest group whose keeper has no WARC-Date
+    must still keep one occurrence (null-unsafe equi-join dropped the
+    whole group)."""
+    h = {
+        "WARC-Type": "resource",
+        "WARC-Record-ID": "<urn:nodate>",
+        "WARC-Target-URI": "http://ex.org/nd",
+        "WARC-Payload-Digest": "sha1:CCC",
+        "Content-Type": "text/plain",
+    }
+    (tmp_path / "nd.warc").write_bytes(W.build_warc([(h, b"x")]))
+    records = W.read_warc(spark, str(tmp_path))
+    assert records.collect()[0]["warc_date"] is None
+    kept = W.digest_dedup(records).collect()
+    assert len(kept) == 1 and kept[0]["record_id"] == "<urn:nodate>"
+
+
+def test_uppercase_content_type_promoted(spark, tmp_path):
+    """Media types are case-insensitive (RFC 9110): Text/HTML pages
+    must still decode and flow into warc_html_documents."""
+    recs = [(
+        {
+            "WARC-Type": "response",
+            "WARC-Record-ID": "<urn:up>",
+            "WARC-Target-URI": "http://ex.org/up",
+            "WARC-Date": "2025-01-01T00:00:00Z",
+            "Content-Type": "application/http; msgtype=response",
+        },
+        W.build_http_response(
+            200, {"Content-Type": "Text/HTML; Charset=UTF-8"},
+            b"<p>Upper case type.</p>",
+        ),
+    )]
+    (tmp_path / "u.warc").write_bytes(W.build_warc(recs))
+    records = W.read_warc(spark, str(tmp_path))
+    row = records.collect()[0]
+    assert row["payload_text"] == "<p>Upper case type.</p>"
+    docs = W.warc_html_documents(records).collect()
+    assert len(docs) == 1 and docs[0]["text"] == "Upper case type."
+
+
+def test_crawl_stats_wet_only_host_has_zero_ok(spark, tmp_path):
+    """Review-caught: an all-conversion (WET) host must report
+    n_ok = 0, not NULL."""
+    recs = [(
+        {
+            "WARC-Type": "conversion",
+            "WARC-Record-ID": "<urn:w>",
+            "WARC-Target-URI": "http://wet-host.net/x",
+            "WARC-Date": "2025-01-01T00:00:00Z",
+            "Content-Type": "text/plain",
+        },
+        b"plain text",
+    )]
+    (tmp_path / "w.warc").write_bytes(W.build_warc(recs))
+    row = W.crawl_stats(W.read_warc(spark, str(tmp_path))).collect()[0]
+    assert row["n_ok"] == 0 and row["n_records"] == 1
+
+
 def test_crawl_stats_card(spark, tmp_path):
     recs = [
         (

@@ -91,6 +91,10 @@ def test_plain_text_unharmed(spark):
         "&amp;lt;deep&amp;gt; &unknown; &#x2019;",
         "<SCRIPT>UPPER()</SCRIPT>ok<BR>two",
         "<!-- multi\nline\ncomment -->text",
+        # CRLF page: the cr stage folds \r\n before any '$' anchor
+        # can split the engines (review-caught)
+        "<p>crlf line one.</p>\r\n<p>crlf line two!</p>\r\n",
+        "bare\rcarriage\rreturns",
     ],
 )
 def test_cross_engine_parity(spark, html):
@@ -252,6 +256,14 @@ GOOD_PAGE = "\n".join(
 )
 
 
+def test_crlf_page_extracts_clean(spark):
+    out = _extract_one(
+        spark, "<html>\r\n<p>One fine line.</p>\r\n<p>Two.</p>\r\n</html>"
+    )
+    assert out == "One fine line.\nTwo."
+    assert "\r" not in out
+
+
 def test_c4_per_line_rules(spark):
     row = _c4_one(spark, GOOD_PAGE)
     assert row["page_kept"] is True
@@ -290,6 +302,9 @@ def test_c4_min_kept_lines_gate(spark):
         "one.\ntwo.\nthree.",
         "spaced   words   here   ok.\n" * 6,
         "Sample LOREM IPSUM mixed case.",
+        # CRLF lines: '\r' stripped before the terminal-punct anchor
+        # in BOTH engines (review-caught Java-vs-RE2 '$' divergence)
+        "crlf terminal line one.\r\ncrlf terminal line two!\r\n" * 3,
     ],
 )
 def test_c4_cross_engine_parity(spark, text):
