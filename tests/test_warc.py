@@ -326,3 +326,72 @@ def test_crawl_stats_card(spark, tmp_path):
     assert a["payload_bytes"] == 10 + 20 + 30
     # the junk file's error row has no URI: empty host bucket
     assert stats[""]["n_parse_errors"] == 1
+
+
+def test_roundtrip_fuzz_adversarial_payloads():
+    """Hypothesis-free seeded fuzz: payloads containing WARC version
+    lines, CRLF soup, gzip magic and arbitrary bytes must round-trip
+    exactly — Content-Length discipline means payload content can
+    never desync the walker."""
+    import random
+
+    rng = random.Random(1138)
+    for trial in range(50):
+        recs = []
+        for i in range(rng.randrange(1, 6)):
+            payload = bytes(
+                rng.randrange(256) for _ in range(rng.randrange(0, 120))
+            )
+            if rng.random() < 0.5:  # plant adversarial structure
+                payload += rng.choice(
+                    [b"\r\nWARC/1.0\r\n", b"\x1f\x8b", b"\r\n\r\n",
+                     b"Content-Length: 0\r\n"]
+                )
+            recs.append(
+                (
+                    {
+                        "WARC-Type": "resource",
+                        "WARC-Record-ID": f"<urn:f{trial}-{i}>",
+                        "WARC-Target-URI": f"http://f.org/{i}",
+                        "Content-Type": "application/octet-stream",
+                    },
+                    payload,
+                )
+            )
+        gz = rng.random() < 0.5
+        data = W.build_warc(recs, gzip_members=gz)
+        got = list(W.iter_warc_records(data))
+        assert len(got) == len(recs)
+        for (h, p), (_, want) in zip(got, recs):
+            assert p == want
+
+
+def test_mutation_fuzz_never_crashes():
+    """Seeded mutation fuzz over valid WARC bytes (plain and gzip):
+    truncations, bit flips and splices must yield rows (possibly with
+    parse_error), NEVER an uncaught exception — the quarantine
+    contract under arbitrary damage."""
+    import random
+
+    rng = random.Random(4079)
+    base_plain = W.build_warc([_rec(i, payload=b"pay" * 9) for i in range(3)])
+    base_gz = W.build_warc(
+        [_rec(i, payload=b"load" * 7) for i in range(3)], gzip_members=True
+    )
+    for base in (base_plain, base_gz):
+        for trial in range(120):
+            data = bytearray(base)
+            op = rng.randrange(3)
+            if op == 0 and len(data) > 1:  # truncate
+                data = data[: rng.randrange(1, len(data))]
+            elif op == 1:  # flip bytes
+                for _ in range(rng.randrange(1, 6)):
+                    data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+            else:  # splice a chunk elsewhere
+                a, b = sorted(rng.randrange(len(data)) for _ in range(2))
+                data = data[:a] + data[b:] + data[a:b]
+            rows = W._record_rows("fuzz.warc", bytes(data))
+            for r in rows:
+                assert r["parse_error"] is None or isinstance(
+                    r["parse_error"], str
+                )
