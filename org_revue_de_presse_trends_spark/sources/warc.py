@@ -555,3 +555,56 @@ def crawl_stats(records: DataFrame) -> DataFrame:
             ).alias("n_parse_errors"),
         )
     )
+
+
+def cdx_index(records: DataFrame) -> DataFrame:
+    """CDX-style capture index over a records frame — the sidecar
+    Common Crawl publishes (CDXJ) so consumers can locate captures
+    without walking WARC files.  One row per non-error record:
+
+    - ``urlkey``: the SURT form (Sort-friendly URI Reordering
+      Transform, the public convention) of the CANONICALIZED url —
+      reversed host labels comma-joined, then ``)/`` + path + sorted
+      query; canonicalization is ``operators/urls`` (www/port strip,
+      tracking-param removal, sorted params), so two crawls of the
+      same logical page share a key,
+    - ``ts``: the 14-digit compact form of WARC-Date,
+    - record id / type / http status / content type / payload digest /
+      payload length, straight off the frame.
+
+    Pure per-row projection (zero shuffle); sorting by urlkey for the
+    classic CDX file layout is the caller's ``orderBy`` (a range-
+    partitioned sort at scale)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.urls import with_canonical_url
+
+    base = with_canonical_url(
+        records.where(F.col("parse_error").isNull()).withColumn(
+            "url", F.col("target_uri")
+        ),
+        "url",
+    )
+    host = F.regexp_extract("canonical_url", "^[a-z]+://([^/?#]+)", 1)
+    tail = F.regexp_extract("canonical_url", "^[a-z]+://[^/?#]+(.*)$", 1)
+    urlkey = F.concat(
+        F.array_join(F.reverse(F.split(host, "\\.")), ","),
+        F.lit(")"),
+        F.when(tail == "", F.lit("/")).otherwise(F.lower(tail)),
+    )
+    ts = F.regexp_replace(
+        F.coalesce(F.col("warc_date"), F.lit("")), "[^0-9]", ""
+    ).substr(1, 14)
+    return base.select(
+        urlkey.alias("urlkey"),
+        ts.alias("ts"),
+        "record_id",
+        "warc_type",
+        "http_status",
+        "content_type",
+        "payload_digest",
+        F.coalesce(F.length("payload"), F.lit(0))
+        .cast("long")
+        .alias("payload_length"),
+        F.col("target_uri").alias("original_url"),
+    )

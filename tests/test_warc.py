@@ -395,3 +395,44 @@ def test_mutation_fuzz_never_crashes():
                 assert r["parse_error"] is None or isinstance(
                     r["parse_error"], str
                 )
+
+
+def test_cdx_index_surt_keys(spark, tmp_path):
+    """CDX index: SURT urlkeys off the CANONICALIZED url (www/port
+    strip, sorted query), compact timestamps, metadata passthrough —
+    two noisy crawls of one logical page share a key."""
+    def rec(i, uri):
+        return (
+            {
+                "WARC-Type": "response",
+                "WARC-Record-ID": f"<urn:c{i}>",
+                "WARC-Target-URI": uri,
+                "WARC-Date": "2025-03-04T05:06:07Z",
+                "WARC-Payload-Digest": f"sha1:D{i}",
+                "Content-Type": "application/http; msgtype=response",
+            },
+            W.build_http_response(
+                200, {"Content-Type": "text/html"}, b"<p>Indexed.</p>"
+            ),
+        )
+
+    recs = [
+        rec(0, "http://www.News.Example.com:80/World/Story?b=2&a=1"),
+        rec(1, "http://news.example.com/World/Story?a=1&b=2"),
+        rec(2, "http://other.org/"),
+    ]
+    (tmp_path / "c.warc").write_bytes(W.build_warc(recs))
+    idx = {
+        r["record_id"]: r
+        for r in W.cdx_index(W.read_warc(spark, str(tmp_path))).collect()
+    }
+    assert (
+        idx["<urn:c0>"]["urlkey"]
+        == idx["<urn:c1>"]["urlkey"]
+        == "com,example,news)/world/story?a=1&b=2"
+    )
+    assert idx["<urn:c2>"]["urlkey"] == "org,other)/"
+    assert idx["<urn:c0>"]["ts"] == "20250304050607"
+    assert idx["<urn:c0>"]["payload_digest"] == "sha1:D0"
+    assert idx["<urn:c0>"]["http_status"] == 200
+    assert idx["<urn:c0>"]["payload_length"] == len(b"<p>Indexed.</p>")
