@@ -101,22 +101,61 @@ _WHT_M = np.array([[1, 1, 1, 1],
 
 # orthonormal DCT-II basis; the spec's integer inverse approximates the
 # mathematical IDCT with gains folded into its fixed-point constants,
-# so the float forward below quantizes into the right lattice
-_DCT_C = np.array([[np.cos((2 * x + 1) * u * np.pi / 8)
-                    * (np.sqrt(0.25) if u == 0 else np.sqrt(0.5))
-                    for x in range(4)] for u in range(4)])
+# so the float forward below quantizes into the right lattice.
+#
+# HOST-FP DETERMINISM (the r11 video-golden root cause): the entries
+# are FROZEN double literals (repr of cos((2x+1)u*pi/8)*sqrt(1/4 or
+# 1/2)), never recomputed via np.cos/np.sqrt — elementwise libm
+# dispatch differs by CPU feature level, so a recomputed table can be
+# one ulp off between hosts.  Likewise the 4x4 matmuls below run
+# through _mm4 / _mm4t (a FIXED elementwise add/mul tree, no BLAS):
+# dgemm's reassociation/FMA choices differ per microarchitecture, and
+# the quantizer rounds coefficients that sit on EXACT .5 ties (133 of
+# 288 fixture blocks at qac 10..80) — the golden digest flipped
+# between two values purely with the round's sandbox host until r11
+# pinned this.  IEEE mul/add in a fixed tree is bit-identical on every
+# host; do not "simplify" these back to @.
+_DCT_C = np.array([
+    [0.5, 0.5, 0.5, 0.5],
+    [0.6532814824381883, 0.27059805007309845,
+     -0.27059805007309845, -0.6532814824381883],
+    [0.5, -0.5, -0.5, 0.5],
+    [0.27059805007309845, -0.6532814824381883,
+     0.6532814824381883, -0.27059805007309845],
+], dtype=np.float64)
+
+
+def _mm4(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """4x4 (a @ b) as a pinned expression tree: row_i = ((a[i,0]*b[0]
+    + a[i,1]*b[1]) + a[i,2]*b[2]) + a[i,3]*b[3] — elementwise IEEE
+    ops in fixed order, host-independent."""
+    return np.stack([
+        ((a[i, 0] * b[0] + a[i, 1] * b[1]) + a[i, 2] * b[2])
+        + a[i, 3] * b[3]
+        for i in range(4)
+    ])
+
+
+def _mm4t(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """4x4 (a @ b.T) with the same pinned tree (column-major form)."""
+    return np.stack([
+        ((a[:, 0] * b[j, 0] + a[:, 1] * b[j, 1]) + a[:, 2] * b[j, 2])
+        + a[:, 3] * b[j, 3]
+        for j in range(4)
+    ], axis=1)
 
 
 def _fdct4x4(block: np.ndarray) -> np.ndarray:
     # scaled so the RFC integer IDCT (which divides by 8 overall)
     # inverts it: IDCT(F) ~= block when F = 2 * C B C^T
-    return 2.0 * (_DCT_C @ block @ _DCT_C.T)
+    return 2.0 * _mm4t(_mm4(_DCT_C, block), _DCT_C)
 
 
 def _fwht4x4(dc: np.ndarray) -> np.ndarray:
     # inverse WHT computes (M X M^T + 3)>>3 with M M^T = 4I, so the
-    # exact forward is (M X M^T) / 2
-    return (_WHT_M @ dc @ _WHT_M.T) / 2.0
+    # exact forward is (M X M^T) / 2.  Inputs are fDCT DC floats, so
+    # the ±1 sums DO round — same pinned-tree discipline as _fdct4x4
+    return _mm4t(_mm4(_WHT_M, dc), _WHT_M) / 2.0
 
 
 # ---------------------------------------------------------------------------

@@ -119,3 +119,45 @@ def test_composes_with_webm_mux_demux():
         via_lib = _lw_decode_rgba(
             b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body)
         assert np.array_equal(ours, via_lib), ts
+
+
+def test_fdct_fwht_bit_pinned_across_hosts():
+    """The forward DCT/WHT are order-pinned IEEE expression trees over
+    a FROZEN literal basis (no BLAS, no libm at import) — the r11 fix
+    for the video golden flipping with the sandbox host's FP
+    microarchitecture (BLAS reassociation + np.cos SIMD dispatch, with
+    133/288 fixture coefficients on exact round-half quantizer ties).
+    These exact doubles must reproduce on EVERY host; a drift here
+    means someone reintroduced a reassociating kernel."""
+    from org_revue_de_presse_trends_spark.functions.codec_vp8_enc import (
+        _DCT_C, _fdct4x4, _fwht4x4,
+    )
+
+    assert _DCT_C[0, 0] == 0.5 and _DCT_C[2, 1] == -0.5
+    assert _DCT_C[1, 0] == 0.6532814824381883
+    assert _DCT_C[3, 0] == 0.27059805007309845
+    b = np.array([[7., -12., 31., 0.],
+                  [-3., 5., -8., 19.],
+                  [22., -7., 4., -11.],
+                  [1., 13., -2., 6.]])
+    f = _fdct4x4(b)
+    want_f = [
+        [32.5, 1.4571099697958907, 8.5, 20.50309319434318],
+        [6.579242109871001, -26.194173824159222,
+         -3.8732616091400187, 37.20889244992066],
+        [11.5, -13.997474844136647, -24.5, 17.163062022487765],
+        [-1.1016230116061507, 34.208892449920654,
+         -5.431191812775726, 62.194173824159215],
+    ]
+    assert f.tolist() == want_f
+    want_w = [
+        [78.3583704593403, -33.406397609654775,
+         108.18847012983537, -54.18520478299119],
+        [-1.6774681687088062, -14.590148169961374,
+         8.713083087802822, 64.91626349382167],
+        [74.47208415449677, 14.7047018120385,
+         -32.82763672987995, -29.710879479609623],
+        [-25.232580116850116, 43.19987751848307,
+         2.018049961336331, 57.059414440501],
+    ]
+    assert _fwht4x4(f).tolist() == want_w

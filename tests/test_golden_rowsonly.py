@@ -101,50 +101,27 @@ GOLDEN_SHA256 = {
     "doc_lang_classifier_weights": (
         65, "c3cd03c383b390a1e6c68716d3ca500324d061d8f4f9c5752478673ea13b27f9"
     ),
-    # PINNED PER FIXTURE STATE (r10): this digest has oscillated
-    # between exactly two values in sync with the driver's per-round
-    # fixture regeneration — 4fda326f (r8c) → 56e1dbf (r8d+r9, the
-    # state both 864-green judge runs saw) → 4fda326f again (r10) —
-    # on PROVABLY identical code (no media-path commit between the
-    # pins) and with every sibling text-dependent golden unchanged.
-    # Conclusion: the generator alternates the content of (at least)
-    # the 1-in-97 sampled docs between two states that the OTHER
-    # goldens' outputs are insensitive to.  The entry is therefore a
-    # map keyed by a fixture CANARY (md5 over the sampled docs'
-    # lower().strip() text md5s — exactly the fp the query derives
-    # frames from): same canary + different digest = a REAL code
-    # regression; unknown canary = the generator moved again, and the
-    # failure message names it instead of masquerading as code drift.
-    "video_real_webm_frames": {
-        # r10 fixture state (== the r8c one, digest matches r8c's pin)
-        "c60fa36a3a73a78f29b5a5e634a50c6a": (
-            22,
-            "4fda326f80c07a19fb687586514cbf5e4131d1a04ed44d7d5853e33358c0784a",
-        ),
-        # r8d/r9 fixture state (canary unrecorded then — digest kept so
-        # a flip back fails loudly asking for its canary to be added)
-        "__r8d_r9_unknown_canary__": (
-            22,
-            "56e1dbffa55564d960e4725639c245c4c10c0fdb57330ea89a87bb9b96cf6cb7",
-        ),
-    },
+    # ROOT CAUSE CLOSED (r11, superseding the r10 canary-map theory):
+    # the historical 4fda326f ↔ 56e1dbf oscillation was never the
+    # fixture generator — in the r11 optimization round the SAME
+    # fixture canary (c60fa36a, the pinned r10 state) produced the
+    # OTHER digest on identical code.  The true variable was the
+    # sandbox host's FP microarchitecture: codec_vp8_enc's forward DCT
+    # ran through BLAS (`_DCT_C @ block @ _DCT_C.T`) whose
+    # reassociation/FMA choices differ per CPU, its basis table
+    # through np.cos whose SIMD dispatch is CPU-dependent, and 133 of
+    # the 288 fixture coefficient blocks sit on EXACT round-half ties
+    # at the quantizer — one ulp decides the emitted level.  r11 froze
+    # the basis table to double literals and pinned both 4x4 matmuls
+    # to a fixed elementwise IEEE expression tree (_mm4/_mm4t), making
+    # the encode bit-identical on every host; this digest is the
+    # pinned-tree output and must now be stable across rounds AND
+    # hosts.  If it ever drifts again with this comment intact, it IS
+    # a code/fixture regression.
+    "video_real_webm_frames": (
+        22, "569b7c2e6ed86ac7ebc04a75afa31150f4802111a7c3cd56b3abf53b62dc92f4"
+    ),
 }
-
-
-def _video_sample_canary(sf_dir: str) -> str:
-    """md5 over the 1-in-97 sampled docs' text fingerprints — the
-    exact inputs video_real_webm_frames derives frames from."""
-    import duckdb
-
-    rows = duckdb.sql(
-        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
-        "WHERE doc_id % 97 = 0 ORDER BY doc_id"
-    ).fetchall()
-    parts = [
-        f"{i}:{hashlib.md5((t or '').lower().strip().encode()).hexdigest()}"
-        for i, t in rows
-    ]
-    return hashlib.md5("|".join(parts).encode()).hexdigest()
 
 
 @pytest.mark.parametrize("name", sorted(GOLDEN_SHA256))
@@ -153,18 +130,7 @@ def test_rows_only_query_matches_golden_hash(spark, name):
     rows = df.collect()
     c = canon([tuple(r) for r in rows], df.columns)
     digest = hashlib.sha256(repr(c).encode()).hexdigest()
-    pinned = GOLDEN_SHA256[name]
-    if isinstance(pinned, dict):  # fixture-state-keyed pin (see above)
-        canary = _video_sample_canary(SF)
-        assert canary in pinned, (
-            f"{name}: the FIXTURE GENERATOR moved again — sampled-doc "
-            f"canary {canary} is not a known state.  Verify the digest "
-            f"is layout/session-stable, then add "
-            f'"{canary}": ({len(rows)}, "{digest}") to the pin map.'
-        )
-        want_rows, want_hash = pinned[canary]
-    else:
-        want_rows, want_hash = pinned
+    want_rows, want_hash = GOLDEN_SHA256[name]
     assert len(rows) == want_rows, f"{name}: row count drifted"
     assert digest == want_hash, (
         f"{name}: result drifted from pinned golden (if the change is "
