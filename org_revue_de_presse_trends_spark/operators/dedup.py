@@ -1033,6 +1033,19 @@ def minhash_lsh_pairs_incremental(
     the new batch; the index contributes a 64-long array per doc read
     straight from the lake."""
     rows_per_band = num_perm // bands
+    # Dead end (r11 optimization round): moving the repartition(id)
+    # barrier from sig_new to the UNION (so all four sig_all
+    # references — both banded self-join sides + both re-attach joins
+    # — share one exchange) is a WASH despite the initial plan showing
+    # the index branch quadruplicated (24 parquet scans / 48 Exchange
+    # nodes / zero ReusedExchange pre-execution): AQE reuses the
+    # canonically-identical exchanges AT RUNTIME, so the duplicated
+    # subtrees never actually re-execute, and the union-level barrier
+    # just adds a shuffle of every index signature.  Measured
+    # best-of-5 interleaved at sf0.1: union-barrier min 2.94 / med
+    # 3.43 vs this form min 2.80 / med 3.32.  Don't retry; read
+    # initial-plan duplication through the AQE runtime-reuse lens
+    # first (the pre-execution explain undercounts reuse).
     sig_new = minhash_signatures(
         new_docs, text_col, id_col, k, num_perm
     ).repartition(F.col("id"))

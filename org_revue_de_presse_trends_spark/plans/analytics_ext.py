@@ -537,6 +537,21 @@ def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(T.tokens(F.col("text"))) >= 3
     )
     sh = T.with_shingles(d.select("source", "text"), "text", "sh", k=3)
+    # Dead end (r11 optimization round): replacing this window with a
+    # tiny groupBy(source).count() + broadcast join back looks like it
+    # removes the hashpartitioning(source) Exchange+Sort (and its
+    # ≤|sources|-task serialization) — but the window's exchange is
+    # LOAD-BEARING: it leaves the probe side clustered by source, so
+    # the final groupBy(src_a, src_b, n_a, n_b) runs WITHOUT an
+    # exchange (src_a == the partition key).  The join-back variant
+    # shuffles the whole shingle-match PAIR stream instead, the
+    # biggest intermediate in the query.  Measured interleaved
+    # best-of-5 at sf0.1: window min 3.51 / med 4.06 vs join-back min
+    # 7.65 / med 8.10 — 2x WORSE.  Same family as the r8b "don't
+    # collapse agg+window exchanges" lesson, from the other direction:
+    # here the window IS the aggregation pushdown.  At 100 TB the
+    # per-source window partition is the skew bound — shard sources
+    # first if one source dominates; don't retry the join-back.
     ex = (
         sh.select("source", F.explode("sh").alias("shingle"))
         .distinct()

@@ -240,7 +240,15 @@ def doc_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: zero shuffle — the split, per-line predicates and
     reassembly are higher-order functions over the split array; the
     whole query is one map stage over the corpus."""
-    d = load_table(spark, sf_dir, "documents")
+    # spread_for_cpu (r11 optimization): the whole regex re-lining +
+    # HOF rule chain is map-only per-row CPU, and a small corpus file
+    # arrives as ONE split — the doc_bloom_contamination shape.  A/B
+    # interleaved best-of-6 at sf0.1: med 0.597 -> 0.433 s (min 0.442
+    # -> 0.353, the spread variant timed on the COLDER JVM; one task
+    # before).  The operator chain itself still adds zero shuffle
+    # (test_plans pins ≤ the one guarded round-robin exchange, the
+    # html_extract precedent).
+    d = spread_for_cpu(load_table(spark, sf_dir, "documents"))
     # Python-side string: '\\\\S' renders the Spark SQL literal \\S
     docs = d.selectExpr(
         "doc_id",

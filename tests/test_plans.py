@@ -198,11 +198,15 @@ def test_html_extract_is_zero_shuffle_map(spark):
 
 
 def test_c4_line_filter_is_zero_shuffle(spark):
-    """doc_c4_line_filter claims zero shuffle END TO END: the HOF
-    split/filter/reassembly never leaves the row."""
+    """doc_c4_line_filter claims the OPERATOR CHAIN adds zero shuffle:
+    the HOF split/filter/reassembly never leaves the row — the only
+    exchange is spread_for_cpu's guarded round-robin repartition (r11:
+    the single-split scan serialized the whole regex+HOF chain into
+    one task; the html_extract precedent)."""
     plan = plan_of(spark, "doc_c4_line_filter")
     assert "Join" not in plan
-    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan
+    assert plan.count("Exchange") <= 2  # plan node + detail block
     assert "Generate" not in plan  # no explode — HOFs only
 
 
