@@ -41,6 +41,13 @@ def doc_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins the whole canonicalization + checksum arithmetic cross-engine
     (operators/export.py; write_shards' round-trip integrity is pinned
     in tests/test_export.py)."""
+    # Dead end (r11 optimization): spread_for_cpu on this scan LOSES
+    # (med 0.276 -> 0.351 s best-of-6 interleaved at sf0.1) — one md5
+    # per row over 5k docs is too little CPU to buy the extra
+    # exchange, unlike winnow_md5's 64-hash fan (r10b sweep).  Same
+    # result, worse, on doc_corpus_diff below (0.47 -> 0.94: the
+    # spread exchange feeds BOTH diff sides).  Don't retry on
+    # one-hash-per-row digest chains.
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return shard_manifest(docs, _N_SHARDS, "doc_id", ["text"])
 

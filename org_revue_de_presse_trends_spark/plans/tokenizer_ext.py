@@ -48,6 +48,11 @@ def doc_unigram_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.01."""
     from ..operators.unigram import train_unigram, unigram_encode
 
+    # Dead end (r11 optimization): spread_for_cpu on the encode input
+    # is a wash-to-loss here AND on doc_bpe_token_stats (med
+    # 0.89/0.86 -> 0.96/1.00 best-of-6 interleaved at sf0.1) — the
+    # driver-side training loop dominates both queries and the
+    # per-row Python encode of 5k docs is cheap; don't retry.
     docs = load_table(spark, sf_dir, "documents")
     vocab = train_unigram(docs, vocab_size=30, seed_size=200)
     enc = unigram_encode(docs, vocab)
