@@ -96,6 +96,14 @@ def importance_weights(
     # whole corpus (the self-join-sides lesson, CLAUDE.md).  Keying by
     # id_col pre-groups the final per-doc aggregate for free
     # (measured: 2.1 s → 1.4 s warm at sf0.1, values unchanged).
+    # Dead end (r11 optimization): replacing this raw barrier with a
+    # map-combined groupBy(id, _is_tgt, bucket).count() pre-aggregate
+    # (r8b's fact≫agg heuristic) is a wash-to-loss — med 1.63 → 1.71 s
+    # interleaved best-of-6 at sf0.1, values identical: at 1024
+    # buckets a doc's features hit ~70% distinct buckets, so the
+    # combine shrinks little and the second (per-doc) shuffle costs
+    # what the combine saves.  Don't retry below ~4x feature:bucket
+    # repetition.
     feats = feats.repartition(F.col(id_col))
     counts = feats.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("c_raw"),
