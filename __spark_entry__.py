@@ -53,28 +53,28 @@ def entry(spark: SparkSession) -> DataFrame:
 #: displace four more r9-verified fills (q3, q5, events_json_extract,
 #: orders_excluding_building_anti).
 WINDOW_ROTATION = [
-    "doc_shard_manifest", "rolling_30d_customer_revenue",
-    "doc_token_stats", "doc_quality_scores", "doc_lang_id", "doc_chunks",
-    "vocab_top_tokens", "doc_top_tfidf_terms", "dedup_exact_docs",
-    "dedup_ngram_jaccard", "dedup_clusters", "embedding_near_dup",
-    "corpus_selection", "doc_embedding_join", "ann_cosine_topk",
-    "split_leakage_counts", "source_overlap_kmv", "events_zorder_keys",
-    "doc_boilerplate_removal", "dedup_edit_distance",
-    "dedup_edit_distance_bounded", "user_event_type_scd2",
-    "customer_state_merge", "orders_hll_distinct_custkeys",
-    "value_bootstrap_ci", "value_histogram_quantiles",
-    "embedding_pca_covariance", "event_type_pagerank",
-    "doc_centrality_pagerank", "customer_order_distribution",
-    "funnel_view_click_purchase", "user_retention_cohorts",
-    "event_type_transitions", "funnel_sliding_window",
-    "doc_exact_substring_dedup", "user_heavy_hitters_cms",
-    "doc_lm_stupid_backoff", "doc_lm_kneser_ney", "value_moments_by_type",
-    "value_drift_psi", "orders_quality_report",
-    "value_ks_click_vs_purchase", "customer_directory_fuzzy_link",
-    "doc_neardup_clustering", "doc_html_extract",
-    "doc_line_dedup", "doc_c4_line_filter",
-    "doc_warc_roundtrip_extract", "doc_corpus_diff",
-    "doc_eval_carve",
+    "argmax_event_per_user", "asof_click_before_purchase",
+    "cube_lineitem_stats", "disjunctive_join_nation_customer",
+    "doc_length_lang_auc_by_source", "doc_rule_agreement_kappa",
+    "domain_blocklist_audit", "domain_doc_caps", "duplicate_line_keys",
+    "event_type_value_chi2", "event_type_value_mi", "event_value_auc",
+    "event_value_calibration", "event_value_threshold_metrics",
+    "events_json_extract", "events_time_rollup", "events_type_pivot",
+    "except_all_returned_not_finished", "except_big_only_parts",
+    "grouping_sets_order_stats", "intersect_repeat_customers",
+    "large_volume_customers", "lateral_top2_orders_per_customer",
+    "nation_pair_revenue", "order_rank_features",
+    "orders_above_customer_avg", "orders_excluding_building_anti",
+    "orders_left_join_big_lines", "orders_of_building_semi",
+    "orders_price_bands", "orders_with_late_lines",
+    "q11_important_part_values", "q2_min_cost_supplier",
+    "q3_top_revenue_orders", "q5_supplier_nation_revenue",
+    "qty_price_correlation", "qty_price_spearman", "rollup_order_stats",
+    "running_total_per_customer", "sessionize_events",
+    "topk_orders_paginated", "union_order_variants", "url_canonical_dedup",
+    "url_content_staleness", "url_robots_audit", "user_value_zscores",
+    "value_percentiles_exact", "daily_top_events", "dedup_minhash_md5",
+    "dedup_simhash_md5",
 ]
 
 

@@ -183,28 +183,28 @@ DRIVER_WINDOW = 50
 #: doc_corpus_diff + doc_eval_carve, then the four web-text oracles,
 #: displace the six youngest r9-verified fills.
 WINDOW_QUERIES = [
-    "doc_shard_manifest", "rolling_30d_customer_revenue",
-    "doc_token_stats", "doc_quality_scores", "doc_lang_id", "doc_chunks",
-    "vocab_top_tokens", "doc_top_tfidf_terms", "dedup_exact_docs",
-    "dedup_ngram_jaccard", "dedup_clusters", "embedding_near_dup",
-    "corpus_selection", "doc_embedding_join", "ann_cosine_topk",
-    "split_leakage_counts", "source_overlap_kmv", "events_zorder_keys",
-    "doc_boilerplate_removal", "dedup_edit_distance",
-    "dedup_edit_distance_bounded", "user_event_type_scd2",
-    "customer_state_merge", "orders_hll_distinct_custkeys",
-    "value_bootstrap_ci", "value_histogram_quantiles",
-    "embedding_pca_covariance", "event_type_pagerank",
-    "doc_centrality_pagerank", "customer_order_distribution",
-    "funnel_view_click_purchase", "user_retention_cohorts",
-    "event_type_transitions", "funnel_sliding_window",
-    "doc_exact_substring_dedup", "user_heavy_hitters_cms",
-    "doc_lm_stupid_backoff", "doc_lm_kneser_ney", "value_moments_by_type",
-    "value_drift_psi", "orders_quality_report",
-    "value_ks_click_vs_purchase", "customer_directory_fuzzy_link",
-    "doc_neardup_clustering", "doc_html_extract",
-    "doc_line_dedup", "doc_c4_line_filter",
-    "doc_warc_roundtrip_extract", "doc_corpus_diff",
-    "doc_eval_carve",
+    "argmax_event_per_user", "asof_click_before_purchase",
+    "cube_lineitem_stats", "disjunctive_join_nation_customer",
+    "doc_length_lang_auc_by_source", "doc_rule_agreement_kappa",
+    "domain_blocklist_audit", "domain_doc_caps", "duplicate_line_keys",
+    "event_type_value_chi2", "event_type_value_mi", "event_value_auc",
+    "event_value_calibration", "event_value_threshold_metrics",
+    "events_json_extract", "events_time_rollup", "events_type_pivot",
+    "except_all_returned_not_finished", "except_big_only_parts",
+    "grouping_sets_order_stats", "intersect_repeat_customers",
+    "large_volume_customers", "lateral_top2_orders_per_customer",
+    "nation_pair_revenue", "order_rank_features",
+    "orders_above_customer_avg", "orders_excluding_building_anti",
+    "orders_left_join_big_lines", "orders_of_building_semi",
+    "orders_price_bands", "orders_with_late_lines",
+    "q11_important_part_values", "q2_min_cost_supplier",
+    "q3_top_revenue_orders", "q5_supplier_nation_revenue",
+    "qty_price_correlation", "qty_price_spearman", "rollup_order_stats",
+    "running_total_per_customer", "sessionize_events",
+    "topk_orders_paginated", "union_order_variants", "url_canonical_dedup",
+    "url_content_staleness", "url_robots_audit", "user_value_zscores",
+    "value_percentiles_exact", "daily_top_events", "dedup_minhash_md5",
+    "dedup_simhash_md5",
 ]
 
 
@@ -228,55 +228,48 @@ def test_driver_window_is_pinned_and_fully_oracled():
     # visible set — they get the in-repo gate only
     overflow = [n for n in oracles if n not in window]
     assert overflow == [
-        "q1_pricing_summary", "q3_top_revenue_orders",
-        "q5_supplier_nation_revenue", "daily_top_events",
-        "events_daily_counts", "events_json_extract",
-        "orders_excluding_building_anti", "orders_of_building_semi",
-        "orders_left_join_big_lines", "argmax_event_per_user",
-        "asof_click_before_purchase", "topk_orders_paginated",
-        "disjunctive_join_nation_customer", "rollup_order_stats",
-        "union_order_variants", "running_total_per_customer",
-        "sessionize_events", "orders_above_customer_avg",
-        "events_type_pivot", "duplicate_line_keys",
-        "cube_lineitem_stats", "orders_price_bands",
-        "events_time_rollup", "order_rank_features",
-        "large_volume_customers", "user_value_zscores",
-        "value_percentiles_exact", "intersect_repeat_customers",
-        "except_big_only_parts", "except_all_returned_not_finished",
-        "grouping_sets_order_stats", "lateral_top2_orders_per_customer",
-        "qty_price_correlation", "orders_with_late_lines",
-        "nation_pair_revenue", "dedup_simhash_md5",
-        "dedup_minhash_md5", "doc_winnow_fingerprints_md5",
+        "q1_pricing_summary", "events_daily_counts",
+        "customer_order_distribution", "rolling_30d_customer_revenue",
+        "doc_token_stats", "doc_quality_scores", "doc_lang_id",
+        "doc_chunks", "vocab_top_tokens", "doc_top_tfidf_terms",
+        "dedup_exact_docs", "dedup_ngram_jaccard", "dedup_clusters",
+        "embedding_near_dup", "corpus_selection", "doc_embedding_join",
+        "ann_cosine_topk", "doc_winnow_fingerprints_md5",
         "doc_decontamination", "doc_span_decontaminated",
-        "doc_repetition_signals", "orders_nearby_count",
-        "doc_duplicate_spans", "token_bigram_pmi",
-        "events_daily_dense", "doc_weighted_sample",
-        "doc_pii_redaction", "source_ngram_overlap",
-        "doc_unigram_surprisal", "doc_split_counts",
-        "doc_dsir_importance", "doc_gopher_rules",
-        "q9_profit_by_nation_year", "q14_promo_revenue_ratio",
-        "q16_supplier_part_counts", "q19_bracket_revenue",
-        "q22_idle_customers", "doc_overlap_pairs",
-        "doc_token_entropy", "q15_top_suppliers",
-        "source_zipf_slope", "vocab_coverage_curve",
-        "source_js_divergence", "doc_perplexity_buckets",
-        "source_data_card", "doc_contrastive_negatives",
-        "event_type_daily_bursts", "q4_priority_with_late_lines",
-        "q6_forecast_revenue_change", "q8_market_share",
-        "q17_small_quantity_revenue", "q21_waiting_suppliers",
-        "q12_priority_by_lateness", "q20_excess_shippers",
-        "q10_returned_item_customers", "doc_span_dedup_keep_first",
-        "doc_bloom_contamination", "orders_profile",
-        "doc_bm25_rarest_terms", "doc_token_chunks",
-        "doc_nfc_normalization", "url_canonical_dedup",
-        "domain_doc_caps", "url_robots_audit",
-        "domain_blocklist_audit", "url_content_staleness",
-        "q2_min_cost_supplier", "q11_important_part_values",
-        "event_value_auc", "event_value_calibration",
-        "event_value_threshold_metrics", "doc_rule_agreement_kappa",
-        "qty_price_spearman", "event_type_value_mi",
-        "event_type_value_chi2", "doc_length_lang_auc_by_source",
-        "doc_lang_classifier_auc",
+        "doc_repetition_signals", "split_leakage_counts",
+        "orders_nearby_count", "doc_duplicate_spans", "token_bigram_pmi",
+        "events_daily_dense", "doc_weighted_sample", "doc_pii_redaction",
+        "source_ngram_overlap", "source_overlap_kmv",
+        "doc_unigram_surprisal", "doc_split_counts", "doc_dsir_importance",
+        "doc_gopher_rules", "q9_profit_by_nation_year",
+        "q14_promo_revenue_ratio", "q16_supplier_part_counts",
+        "q19_bracket_revenue", "q22_idle_customers", "doc_overlap_pairs",
+        "doc_token_entropy", "q15_top_suppliers", "source_zipf_slope",
+        "vocab_coverage_curve", "source_js_divergence",
+        "doc_perplexity_buckets", "source_data_card",
+        "doc_contrastive_negatives", "event_type_daily_bursts",
+        "funnel_view_click_purchase", "user_retention_cohorts",
+        "event_type_transitions", "funnel_sliding_window",
+        "q4_priority_with_late_lines", "q6_forecast_revenue_change",
+        "q8_market_share", "q17_small_quantity_revenue",
+        "q21_waiting_suppliers", "q12_priority_by_lateness",
+        "q20_excess_shippers", "q10_returned_item_customers",
+        "events_zorder_keys", "doc_boilerplate_removal",
+        "dedup_edit_distance", "dedup_edit_distance_bounded",
+        "doc_exact_substring_dedup", "doc_span_dedup_keep_first",
+        "user_event_type_scd2", "customer_state_merge",
+        "user_heavy_hitters_cms", "doc_lm_stupid_backoff",
+        "doc_bloom_contamination", "orders_hll_distinct_custkeys",
+        "value_bootstrap_ci", "value_histogram_quantiles",
+        "doc_lm_kneser_ney", "value_moments_by_type", "value_drift_psi",
+        "orders_quality_report", "value_ks_click_vs_purchase",
+        "orders_profile", "doc_bm25_rarest_terms", "doc_token_chunks",
+        "doc_nfc_normalization", "embedding_pca_covariance",
+        "event_type_pagerank", "doc_centrality_pagerank",
+        "customer_directory_fuzzy_link", "doc_neardup_clustering",
+        "doc_lang_classifier_auc", "doc_shard_manifest", "doc_corpus_diff",
+        "doc_eval_carve", "doc_html_extract", "doc_line_dedup",
+        "doc_c4_line_filter", "doc_warc_roundtrip_extract",
     ], f"unexpected overflow oracled set: {overflow}"
 
 
