@@ -382,20 +382,112 @@ def sample_video_frames(
 _DCT_BASIS_CACHE: dict = {}
 
 
+#: Frozen DCT-II basis for n=32 — the exact float64 bits of
+#: ``cos(pi*(2x+1)k/64)`` as produced once by numpy (zlib+base64 of the
+#: little-endian buffer), committed so every host decodes the SAME
+#: table: ``np.cos`` dispatches to SIMD libm variants whose last-ulp
+#: behavior differs per CPU microarchitecture — the exact host-FP
+#: failure class root-caused in codec_vp8_enc (r11) — and a pHash bit
+#: is a coefficient-vs-median comparison one ulp can flip.
+_DCT32_B64 = (
+    "eNrlmftTl0UYxbGLZFNmY2hmaHhJzSItRUJ0QVGgzKysGcfI1OyiecvKNMlLTTaZZdmU"
+    "2iiZgmHJRYQuoJuYQgIhCgpaCogoApJRaFNjTe3nvM2XfyF/2WHdfZ7d95zzXPbr5/fP"
+    "v5+N3/90fHXmgpNBLU2mc+JVix/Z0mSODHj/j1evbjKn3mi5IijonJmXF/7rwsYGM3xW"
+    "l1GvPV9vIpc3R1dm1JnU1Ok9TmSeNgkNbw96Nv6UCZlT9eeF606axr96rF0+r9LkPlbV"
+    "rkPcMfNT989fXPdumek2KeiV37sUm7DJ78zqkJ9repVfe35a92TT0Y02xM3bm9w6e8zt"
+    "sznOjsWuHez82E+cX7vNncNGuHPZYe6clnPbGncPy70s97Tc297au2TTyvImc/SOfY9G"
+    "Jpwz6TuXnN8e2mAiOwfMWJJzxhwObNe7eUyNGd7SNjSu/3FzZUJZcNsPDprQHf1ykjp/"
+    "be50o73Mzdtwt86WuX0WOzbN2bX4sb2dX/m3x5jHvx3BvqPYMdj1x08Qfv05hx/nCuOc"
+    "R3Ru7pHKvXRP3Vu4C2fhKhyFW/MRh9MJcBkIDiP47vrO+q763vDGfgpeeeA5Frwj4cNu"
+    "+CI+gaMpg4/iKX6MgYdD4V0DPOsLrwbCo3p4kw5P5sIL8SDtsQvFH01pMps2tu/31Mdn"
+    "zffPpNwzNK/KXJv0bPhXF/PNVW60+9y83ezWaZ83JjKfz7ou7LsGO3uxKz+p+JX/xFb+"
+    "A9l3JtHZ+Q67n+InHb/bGZOY38+6y/Bf4/abPdhlv+dXehfu0qv0KL3puwlf4XqO79sJ"
+    "HQvHYeAjftWC23rw7QOvhNNa+FENj24En1HwqwDe7HI8NBfgZzg8ET9egMeKR6/Ar2/h"
+    "bRo8KIef0oN0Ll1Lx9KtdBqBLjuhww7oTjqTrrw4gh4vZTi9HkDPR9B7BaPixV3oOoR9"
+    "W7Aju8Pwc2mD81vvRhvCuRRXPufc0dxjKvcq4p7EGy/OS+/CXXFVeEeBwxXglQHO+t5H"
+    "4dEgvvsB4sVmcL0BPCPEG/CohG/CsRN82QpP7qtweAfDQ+GGX9sAL2ofd3xSXBAfvoLX"
+    "UfDgN/haD89Gr7yreMaqRvNkckpSdXy5meJGzdtoxpnMP826KPZp/2zmp7FuJPtkZy7z"
+    "U1k3stX+ecxPbrX/fsYXmZ/Euhj28f9mPvNxrOP/7VjGBcxPZF20/IKf4rz0LtwVt3vw"
+    "/RSXpWfFC8VZxdUs+CO9kp/NYXhSBH+ywa8UXEfDszjiyVrwEy9OwdOL4g84joBXsfCX"
+    "+sAshgej4WWF44mdBX+kU+le+Vr5WPm2BN2gL0/XoehL8UE6bkSfP6KzaHT7HPpOQZ/S"
+    "6R7pnnUn2BdEfCnEbh/8dMRvMOfQuSo4Zxudm3uM514R3DODe6uuUx2muok6z8vPxGWz"
+    "FTya+Y7SYzI8kZ7RuxeHE8BZvPLz6/kvX1rAUzjtgBfd4WFX+BRwi8NbuCpvbYC3ilfw"
+    "0j4ED/rBu/nwPPOw42MMfFE+Vp5XPlceV94mz5pL5NN15Nv1jMqzyqsF7MvFjvJ0LH7W"
+    "4DeBsVMr/0XsS8ROBnYr8PMZfjMYVzCvuiKLfTuxsw27U/FDveDV86q3hU9P4rz0ngnu"
+    "FhyVn4fwnefwfTeATx3xAL17eq6CR1Hw4h5wFm7ziReHwPdyxxOjev8l+BkPLzvCsxZ4"
+    "sxseDALfceQF5YOT8DNM/EZvyvee7tGJ8u6N6DALvVahx2Po7Rv01A7dKR7sJe8fRM+x"
+    "6HUwejSM0vFh1t3Lvh7Y6YNd6VZ+0zjHLs71B3GnF+duk+nuoTqjG/ecoL4AXBX3Vdep"
+    "jlOcl94DwF1xXd9VdZbiwfXodTa8aAOOw/nu28BTeo6Bh83wRjhnglclfFgA38TTffBK"
+    "PEglHtTBp5A4x9cQeDwG3u2CJ0VDFz+14ZNaU+hG+wNjAfP8bfYy/z3jd8zvZ9zju8/m"
+    "+to1/C1/djfz8v9tK/+W+VpG/rYHGEuZP824k/kSxkPM1zFm+85rnddvqX9WPU+97+V3"
+    "5WfpPR7cv+D7Kx5M4furriwlXig/h/L9v4Z3itvR8C8UnKTnUnAMJh4J5wri+FJ40PiE"
+    "418JPDlNPFsAj0rIM+jeqN9Q3a86399Xv17dfhz9qC5XPle9EO0bP0wh8UP5+nLixzb0"
+    "W4Bu1d9vZr4f61THD9zu7JRjNw4/d+J3AOeYwLlYZ2+mnujPPTLoE3ar3uDeys/q39XH"
+    "oWOvrlN+Vx6V3qnL7HrwUr0dBt6B4Kb8/iu4xMK3cPDgXcHAKy9uj4IPH8AT3pXszfBg"
+    "usPdw3kZfG4Cb/hg80sdX87Cyxj4pn5beVf9uvpx9duR5E3lV+X1QkblfeXxdPaRp82j"
+    "2FUe3oVf5elk5peRx3ewbzV2nsPuDvw04beMMYX5s4k++d0uxs5fST71gS3Gr/o+xVPF"
+    "ffVxqudzwUf5XfFAehfu6qv84Yfiuurt8eSNKHBVHaY4Ph1+KT9XE2/OgJvidgS8qoKn"
+    "0nM6/CIemQBw/gHeLIGH3ag/9a6nfK13M/K4lzeHoLMcFw9MNjrKRLcTiRPK59TdXh3e"
+    "jM5Vp//8m9NxV/R8G/OVrJvJvnrsdMWudK2+5T3O8TvnGs059b4wm3qghnvhx77OvfVO"
+    "q/c63vO8/l19nOp56nUvvyvOS+/Cnfzu8SoQPqWga+KIXQje+dQXelcUTjPA9Sw8iIY3"
+    "p+FZIrw8D48D4WsifJx6wvHtQfiUB1/OwYcnffthq75efbz69jHMx7KuF/vCGcf6vheY"
+    "CeyLZ3yA+TDWdVYf7/ueYEexbgz7/La68SHmx7FuKfsKGCcxP4J1Wez/kDGc+cG+7wle"
+    "flfdpz5belKdNxL8VM+rrlN+X4ceB8MfxfEvwGERcbotugM/r047BH5Pw59SeCcehIIf"
+    "dYBZDW8/hEf54Eqfb18uc/wtgYfixQD4c5A4ofd8vbcr7/Ne7uX7bPI58cGqP1e/QH9u"
+    "YtDnA+iaPv+/fI4+s8nHvzBGMd+XdRvZV0OcCMZuNX7U1xdxjs84Vyn1/gW3z1T7vl/q"
+    "/dD+RFzQu4/eeVTvK+7r3Ub9u/o41fOq65TfFeeld9XrgcSLHPhQAY8YzWrwToaPc+DB"
+    "M+D5JnxbBK8eBsc04tES3v3bu3rf3A5fusDnYnhGHWPeJt7onV/9vvL+dt/3fUO/bn8k"
+    "b64hz5Yx1jG/kXXK05nK69jNxs9C8nwzo/L4aq1j30bsrMKu8jbvAPatLW5sUR3Buq3s"
+    "S8IO7xTmJH7udvu83+P0u8wm9QPgqndd6Zn8bvrzfVXPf4mexvNemwSvpHfh/rLv7y8e"
+    "z+LAl3W2mHiQFedwetjZtdSPBr92BfzkXcHrS47Dr/bwZDL8HkLc6DvF8VLvfqr79a6n"
+    "dzzV+cr36s9V1yufS4/qz7uhs3z02oCOW9BdAPWC8nkIcehW4oZ0PlH1BHZLfH8/ND05"
+    "RyHnWsk5x3HuudzDn3utJd68Q5zQ77D6PU6/y+h9Xu+0eq/rD97q3zeDq+p51XXK74rz"
+    "Fb6/v3p1gd4P2sMD9R0l4DkRXijOBIE39aZdBF/JTzYP3tTC51XwZQU82kKfWAWf/gbI"
+    "IPAa"
+)
+
+
 def _dct_basis(n: int):
     """Cached DCT-II basis matrix (constant per img_size — rebuilding
     the 32×32 cos outer product per image row wastes linear work in
     the hot mapInPandas loop; a module-level dict survives across
-    rows within each Python worker)."""
+    rows within each Python worker).  For the pHash size (32) the
+    table decodes from frozen literal bits, never libm (see
+    ``_DCT32_B64``); other sizes derive on demand and are NOT pinned
+    across hosts — only pHash feeds golden-pinned outputs."""
     import numpy as np
 
     got = _DCT_BASIS_CACHE.get(n)
     if got is None:
-        k = np.arange(n)[:, None]
-        x = np.arange(n)[None, :]
-        got = np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+        if n == 32:
+            import base64
+            import zlib
+
+            got = np.frombuffer(
+                zlib.decompress(base64.b64decode(_DCT32_B64)), dtype="<f8"
+            ).reshape(32, 32)
+        else:
+            k = np.arange(n)[:, None]
+            x = np.arange(n)[None, :]
+            got = np.cos(np.pi * (2 * x + 1) * k / (2 * n))
         _DCT_BASIS_CACHE[n] = got
     return got
+
+
+def _mm_pinned(a, b):
+    """Order-pinned float64 matmul ``a @ b`` (reduction axis
+    accumulated serially j=0,1,... via elementwise outer products) —
+    bit-identical on every host, unlike BLAS dgemm whose blocking/FMA/
+    reassociation track the CPU microarchitecture (the codec_vp8_enc
+    r11 root cause).  Elementwise IEEE multiply/add leave no ordering
+    freedom; cost at 32×32 is 32 vectorized outer products —
+    microseconds, and pHash is not the media queries' bottleneck."""
+    import numpy as np
+
+    acc = np.multiply.outer(a[:, 0], b[0, :])
+    for j in range(1, a.shape[1]):
+        acc = acc + np.multiply.outer(a[:, j], b[j, :])
+    return acc
 
 
 def _phash64(pixels, hash_size: int = 8, img_size: int = 32) -> int:
@@ -417,7 +509,8 @@ def _phash64(pixels, hash_size: int = 8, img_size: int = 32) -> int:
     ci = (np.arange(img_size) * w) // img_size
     small = a[np.ix_(ri, ci)]
     d = _dct_basis(img_size)
-    freq = d @ small @ d.T
+    # order-pinned (host-FP-stable) equivalent of d @ small @ d.T
+    freq = _mm_pinned(_mm_pinned(d, small), d.T)
     block = freq[:hash_size, :hash_size].flatten()
     med = np.median(block)
     bits = 0

@@ -61,16 +61,25 @@ def split_corrupt(
     drops the corrupt column; ``quarantine`` is (raw_line) — the audit
     trail a DROPMALFORMED read destroys.
 
-    The parsed frame is cached first: Spark's analyzer rejects a
+    The parsed frame is persisted first: Spark's analyzer rejects a
     filter that references only the internal corrupt column on a
     direct file scan (the pushed-down predicate would re-parse), and
-    the cache also means clean + quarantine share one parse of the
-    corpus instead of two."""
+    the persist also means clean + quarantine share one parse of the
+    corpus instead of two.  Storage level is DISK_ONLY, not the
+    MEMORY_AND_DISK default: at 100 TB an unbounded memory cache of
+    the full parsed corpus competes with execution memory on every
+    executor (guide §5) — a disk-backed copy satisfies the analyzer
+    and the share-one-parse goal while bounding pressure to local
+    disk.  Call ``unpersist()`` on either returned frame's source
+    (``clean.sparkSession.catalog.clearCache()`` or keep a handle to
+    ``parsed``) once both splits are consumed."""
     if corrupt_col not in parsed.columns:
         raise ValueError(
             f"no {corrupt_col!r} column — read with read_jsonl()"
         )
-    parsed = parsed.cache()
+    from pyspark import StorageLevel
+
+    parsed = parsed.persist(StorageLevel.DISK_ONLY)
     clean = parsed.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     quarantine = parsed.filter(F.col(corrupt_col).isNotNull()).select(
         F.col(corrupt_col).alias("raw_line")

@@ -777,3 +777,40 @@ def test_phash_progressive_jpeg_equals_baseline(spark):
         for r in phash_images(media, decoder="auto").collect()
     }
     assert got[1] == got[2]
+
+
+def test_phash_dct_bit_pinned_across_hosts():
+    """pHash's 32×32 DCT runs over a FROZEN literal basis through an
+    order-pinned matmul (no BLAS, no libm at import) — the same
+    host-FP hazard class root-caused in codec_vp8_enc (r11): BLAS
+    reassociation/FMA and np.cos SIMD dispatch differ per CPU
+    microarchitecture, and a pHash bit is a coefficient-vs-median
+    comparison one ulp can flip.  These exact doubles and hashes must
+    reproduce on EVERY host; drift here means a reassociating kernel
+    was reintroduced."""
+    import numpy as np
+
+    from org_revue_de_presse_trends_spark.operators.multimodal import (
+        _dct_basis,
+        _mm_pinned,
+        _phash64,
+    )
+
+    d = _dct_basis(32)
+    assert d[0, 0] == 1.0
+    assert d[1, 0] == 0.9987954562051724
+    assert d[17, 5] == -0.9700312531945436
+    assert d[31, 31] == -0.049067674327421214
+
+    a = np.array([[1.5, -2.25], [0.125, 3.0]])
+    b = np.array([[4.0, 0.5], [-1.0, 2.0]])
+    assert _mm_pinned(a, b).tolist() == [[8.25, -3.75], [-2.5, 6.0625]]
+
+    img = np.array(
+        [[((3 * r + 7 * c) * (r + c + 1)) % 256 for c in range(40)]
+         for r in range(37)],
+        dtype="uint8",
+    )
+    assert _phash64(img) == -1895349290837965367
+    rgb = np.stack([img, (img * 2) % 256, (img + 91) % 256], axis=2)
+    assert _phash64(rgb) == -4849509161153508147

@@ -223,3 +223,34 @@ def test_line_dedup_two_aggregates_no_pair_join(spark):
     # exchanges: norm-agg, doc-agg (partial/final pairs share one
     # exchange each) + the totality join's two sides
     assert plan.count("Exchange") <= 10
+
+
+def test_source_ngram_overlap_skew_salt_paths(spark):
+    """The default path keeps the per-source window (its exchange is
+    load-bearing — r11 dead-end note); the skew_salt path (r12, guide
+    §2.5: one dominant source would serialize the window count into a
+    single task at 100 TB) replaces it with a salted two-phase
+    aggregate + broadcast join-back and must contain NO Window node
+    and no per-source window exchange.  Outputs must be identical
+    (exact integer counts)."""
+    from org_revue_de_presse_trends_spark.plans.analytics_ext import (
+        source_ngram_overlap,
+    )
+
+    default_plan = plan_of(spark, "source_ngram_overlap")
+    assert "Window" in default_plan
+
+    salted = source_ngram_overlap(spark, SF, skew_salt=64)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        salted.explain("formatted")
+    salted_plan = buf.getvalue()
+    assert "Window" not in salted_plan
+    # two-phase count: (source, bucket) partial then source total
+    assert "xxhash64" in salted_plan
+
+    base = {
+        tuple(r) for r in QUERIES["source_ngram_overlap"](spark, SF).collect()
+    }
+    got = {tuple(r) for r in salted.collect()}
+    assert got == base
