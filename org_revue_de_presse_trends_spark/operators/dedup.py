@@ -119,6 +119,19 @@ def shingle_pair_counts(
     # id-window before the join would re-partition the exploded rows by
     # id and force both join sides to recompute everything.  Shingles
     # are distinct per doc, so a row count is the set size.
+    # Dead end (r12 optimization round): a WINDOW-FREE group mode —
+    # groupBy(shingle, block).agg(array_sort(collect_list(id))) with
+    # the df cap as a size(ids) filter (no Sort+Window pass at all),
+    # memory-bounded pair expansion via posexplode + slice + explode
+    # (O(cap) per row, fixing the C(cap,2)-in-one-value spike), and
+    # sizes derived from the same grouped frame.  Output identical;
+    # steady-state interleaved best-of-8 at sf0.1 vs the fixed join
+    # form: join min 1.206 / med 1.256 s, group min 1.512 / med 1.704
+    # (localCheckpoint(grouped) variant 1.65/1.86 — worse still).  The
+    # collect_list buffering + double Generate + the aggregate running
+    # once per reference cost more than the window's sorts, which the
+    # reused exchange already amortizes.  Don't retry without a
+    # different sizes story.
     if pair_mode == "group":
         # Alternative formulation: aggregate each shingle's id list and
         # expand C(df,2) ordered pairs with a HOF instead of the
@@ -1061,6 +1074,21 @@ def minhash_lsh_pairs_incremental(
     sig_new = minhash_signatures(
         new_docs, text_col, id_col, k, num_perm
     ).repartition(F.col("id"))
+    # Dead end (r12 optimization round): a repartition(id) barrier on
+    # sig_idx ALONE (the surgical variant the r11 union-barrier probe
+    # left unmeasured — sig_idx has no exchange below it, so its
+    # anti-join + index-signature derivation re-runs in all three
+    # sig_all references; stage profile at sf0.1 shows three
+    # concurrent 33-task stages of ~4.5 CPU-s each re-deriving it).
+    # Steady-state interleaved best-of-8 after 3 warmups: no-barrier
+    # min 1.837 / med 1.974 s vs barrier min 1.903 / med 2.048 — the
+    # three references execute as INDEPENDENT CONCURRENT stages, so
+    # the recompute hides behind the critical path while the barrier
+    # adds an exchange to it.  At real scale the index is a
+    # materialized lake table, so the recompute is 3 scans of
+    # 512 B/doc signatures, not 3 re-shingles — acceptable.  Output
+    # verified identical.  Don't retry without a new wall-clock
+    # argument.
     sig_idx = index.select(
         F.col("id").cast("long").alias("id"), "sig"
     ).join(sig_new.select("id"), "id", "left_anti")
