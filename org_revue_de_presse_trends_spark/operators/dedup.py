@@ -1263,6 +1263,20 @@ def edit_distance_pairs(
     Verification runs JVM-side with the BANDED levenshtein (threshold
     arg -> O(n * max_dist) per pair instead of O(n^2), returning -1
     past the band).
+
+    Dead ends (r12 optimization round, per-pair constant cuts on the
+    accepted tau=Theta(len) regime): stage profile at sf0.1 shows the
+    verify stage is 88 executor-CPU-seconds spread over 32 equal tasks
+    (zero skew, zero shuffle — ~229k candidates x ~267-char docs x
+    201-wide band ~ 6.2G DP cells, ~70M cells/s/core — at the JVM
+    banded-DP hardware constant).  (a) char-frequency L1 lower bound
+    (dist >= L1/2) pre-filter: prunes 1/20000 sampled candidate pairs
+    (0.0%) — same-vocab synthetic docs have near-identical char
+    histograms at tau=100.  (b) common-prefix stripping before the
+    DP (exact for Levenshtein): sampled LCP mean 0.27 chars, median 0
+    — candidate pairs share no prefix.  Neither filter can pay for
+    its own evaluation here; the verify stays the plain banded
+    levenshtein.
     """
     blocks = list(block_cols or [])
     w = int(max_dist) + 1
