@@ -97,6 +97,14 @@ def shingle_pair_counts(
     for c in block_cols:
         notnull = notnull & F.col(c).isNotNull()
     pre = pre.where(notnull)
+    # Re-measured dead end (r12, after the reuse fix changed the plan
+    # structure): spread_for_cpu on `pre` — the single materialization
+    # made the 1-task scan+shingle+explode map stage look like the
+    # critical path, but interleaved best-of-8 still reads plain min
+    # 1.266 / spread min 1.382 at sf0.1 (r10b's loss reproduces; the
+    # round-robin exchange of the raw docs costs more than the map
+    # pass it parallelizes, and the window exchange's reducers overlap
+    # the map stage anyway).  Don't retry.
     staged = T.with_shingles(pre, text_col, "__sh", k)
     ex = staged.select(
         "id", *block_cols, F.explode("__sh").alias("shingle")
